@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark runner — per-round feedback loop (BENCH_r{N}.json).
+
+Runs every registered headline query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-count via a
+lightweight ``count()`` action so results stream but aren't shipped to
+the driver in full). A warmup query first amortizes JVM/session startup
+out of the per-query numbers; session startup is reported separately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    t0 = time.perf_counter()
+    from xngin_spark.session import get_spark
+    from xngin_spark import queries as Q
+
+    Q.load_all()
+    spark = get_spark("xngin_spark_bench")
+    # warmup: touch every table once so OS page cache / parquet footer
+    # reads don't land on the first measured query
+    from xngin_spark.catalog import ALL_TABLES
+
+    for name in ALL_TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).count()
+    startup = time.perf_counter() - t0
+
+    only = set(sys.argv[1:])
+    timings: dict[str, float] = {}
+    for name in sorted(Q.QUERIES):
+        if only and name not in only:
+            continue
+        fn = Q.QUERIES[name]
+        t = time.perf_counter()
+        try:
+            df = fn(spark, sf_dir)
+            n = df.count()
+        except Exception as e:  # a failing query must not kill the bench
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - t, 3)
+        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "tpch_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "startup_sec": round(startup, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

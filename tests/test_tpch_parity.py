@@ -1,0 +1,31 @@
+"""Every registered query must hash-match its DuckDB oracle — the local
+twin of the driver's CORRECTNESS gate (same compare semantics:
+row count + columns + order-insensitive value hash)."""
+
+from __future__ import annotations
+
+import pytest
+
+from xngin_spark import queries as Q
+from xngin_spark.oracle import compare
+
+Q.load_all()
+NAMES = sorted(n for n in Q.QUERIES if n in Q.ORACLE)
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    sdf = Q.QUERIES[name](spark, sf_dir)
+    res = compare(name, sdf, oracle_con, Q.ORACLE[name])
+    assert res.ok, (
+        f"{name}: spark rows={res.spark_rows} hash={res.spark_hash} "
+        f"cols={sorted(res.spark_cols)} vs oracle rows={res.oracle_rows} "
+        f"hash={res.oracle_hash} cols={sorted(res.oracle_cols)}"
+    )
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_query_nonempty(name, spark, sf_dir):
+    # A correct-but-empty query usually means a retuned constant missed
+    # the data domain — catch that explicitly.
+    assert Q.QUERIES[name](spark, sf_dir).count() > 0, f"{name} returned 0 rows"

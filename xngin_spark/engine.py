@@ -1,0 +1,49 @@
+"""Engine facade — the Spark analog of the reference's query lifecycle.
+
+Reference entry points (SURVEY.md §3): MySQL wire session
+(doradb-server/src/mysql/session.rs:79-93, dies at `todo!()`) and the
+programmatic parse → LgcPlan → rule_optimize → join_reorder pipeline
+(doradb-plan/src/lgc/builder.rs:20-59, rule/mod.rs:55-85). Here the whole
+pipeline collapses to: dialect-shimmed SQL (or DataFrame combinators) →
+Catalyst analyze/optimize/plan → Tungsten execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xngin_spark.catalog import Catalog
+from xngin_spark.dialect import rewrite_sql
+from xngin_spark.session import get_spark
+
+
+class Engine:
+    """Thin session+catalog facade: ``Engine(sf_dir).sql("select ...")``."""
+
+    def __init__(
+        self,
+        data_dir: str | None = None,
+        spark: SparkSession | None = None,
+        app_name: str = "xngin_spark",
+    ) -> None:
+        self.spark = spark or get_spark(app_name)
+        self.catalog = Catalog(self.spark)
+        if data_dir:
+            self.catalog.register_dir(data_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL in the reference's dialect surface (MySQL-isms shimmed)."""
+        return self.spark.sql(rewrite_sql(query))
+
+    def table(self, name: str) -> DataFrame:
+        return self.catalog.table(name)
+
+    def explain(self, query: str) -> str:
+        """Formatted physical plan — the analog of the reference's EXPLAIN
+        renderer (doradb-plan/src/explain.rs:38-41)."""
+        return self.sql(query)._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            self.sql(query)._jdf.queryExecution(), "formatted"
+        )
+
+    def stop(self) -> None:
+        self.spark.stop()

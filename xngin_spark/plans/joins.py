@@ -1,0 +1,170 @@
+"""Join operators — all seven join kinds of the reference.
+
+Reference: ``JoinKind::{Inner, Left, Full, Semi, AntiSemi, Mark, Single}``
+(doradb-plan/src/join/mod.rs:88-97) inside ``QualifiedJoin {kind, left,
+right, cond, filt}`` (join/mod.rs:16-24) plus N-ary ``Join::Cross``
+(join/mod.rs:48-52). The reference never built physical joins (its only
+executor is a projection, doradb-server/src/exec/mod.rs:35-37); Spark
+supplies broadcast-hash / shuffled-hash / sort-merge / BNL selection via
+Catalyst + AQE.
+
+``cond`` vs ``filt``: the reference distinguishes the ON condition from
+optimizer-added post-join filters. We mirror that: ``cond`` goes into the
+join (equi parts become the shuffle/broadcast keys), ``filt`` is applied
+after — Catalyst will push it back down when legal, so the split is
+semantic, not physical.
+
+Scale notes: pass ``broadcast=True`` when the right side is a dimension
+table — at 100 TB a broadcast-hash join on region/nation/part avoids
+shuffling the fact table entirely. Semi/anti joins reduce to Spark's
+``left_semi``/``left_anti`` which never materialize right-side columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_KIND_MAP = {
+    "inner": "inner",
+    "left": "left",
+    "full": "full",
+    "semi": "left_semi",
+    "antisemi": "left_anti",
+}
+
+
+def join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: Column | list[Column] | None,
+    kind: str = "inner",
+    filt: Column | None = None,
+    broadcast: bool = False,
+) -> DataFrame:
+    """QualifiedJoin (join/mod.rs:16-24) for kinds inner/left/full/semi/antisemi."""
+    how = _KIND_MAP[kind.lower()]
+    r = F.broadcast(right) if broadcast else right
+    if isinstance(cond, list):
+        cond = _conj(cond)
+    out = left.join(r, on=cond, how=how)
+    if filt is not None:
+        out = out.filter(filt)
+    return out
+
+
+def cross_join(*dfs: DataFrame) -> DataFrame:
+    """Join::Cross (join/mod.rs:48-52) — N-ary cross product. The caller
+    (or Catalyst, once filters are applied) turns it into real joins."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.crossJoin(d)
+    return out
+
+
+def semi_join(
+    left: DataFrame, right: DataFrame, cond: Column | list[Column], broadcast: bool = False
+) -> DataFrame:
+    """JoinKind::Semi — EXISTS / IN(subquery) after unnesting."""
+    return join(left, right, cond, "semi", broadcast=broadcast)
+
+
+def anti_join(
+    left: DataFrame, right: DataFrame, cond: Column | list[Column], broadcast: bool = False
+) -> DataFrame:
+    """JoinKind::AntiSemi — NOT EXISTS.
+
+    NOTE: this is NOT-EXISTS semantics. SQL ``NOT IN (subquery)`` with a
+    nullable subquery column needs :func:`null_aware_anti_join`.
+    """
+    return join(left, right, cond, "antisemi", broadcast=broadcast)
+
+
+def null_aware_anti_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: Column,
+    right_key: Column,
+) -> DataFrame:
+    """``NOT IN (subquery)`` with correct 3-valued-logic semantics
+    (Pred::NotInSubquery, doradb-expr/src/pred.rs:13-20).
+
+    If the subquery yields ANY null, NOT IN is never true; a null probe
+    key is never true either. Spark SQL's NOT IN plans a
+    null-aware anti join natively; this DataFrame-level version encodes
+    the same logic: anti-join plus a guard on right-side null presence.
+    The guard aggregate is a cheap global agg broadcast as a literal.
+    """
+    has_null, nonempty = right.select(
+        F.max(right_key.isNull()).alias("has_null"), F.count(F.lit(1)).alias("cnt")
+    ).first()
+    if has_null:
+        return left.limit(0)
+    if not nonempty:
+        return left
+    return left.filter(left_key.isNotNull()).join(
+        right.select(right_key.alias("__k")).where(F.col("__k").isNotNull()),
+        on=left_key == F.col("__k"),
+        how="left_anti",
+    )
+
+
+def mark_join(
+    left: DataFrame,
+    right: DataFrame,
+    cond: Column | list[Column],
+    mark: str = "mark",
+    broadcast: bool = False,
+) -> DataFrame:
+    """JoinKind::Mark (join/mod.rs:22,95) — Catalyst's ExistenceJoin:
+    keep every left row and add a boolean ``mark`` column telling whether
+    a right match exists (the shape needed when EXISTS appears under OR).
+
+    Encoding: left join against the distinct right keys extended with a
+    constant flag, then coalesce(flag, false). Distinct-ing the right
+    side keeps the join 1:1 so no duplication occurs.
+    """
+    if isinstance(cond, list):
+        cond = _conj(cond)
+    r = right.distinct().withColumn("__mark__", F.lit(True))
+    r = F.broadcast(r) if broadcast else r
+    out = left.join(r, on=cond, how="left")
+    return out.withColumn(mark, F.coalesce(F.col("__mark__"), F.lit(False))).drop(
+        "__mark__"
+    )
+
+
+def single_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: Column,
+    right_key: Column,
+    value: Column,
+    out_name: str,
+) -> DataFrame:
+    """JoinKind::Single (join/mod.rs:23,96) — scalar subquery as a join:
+    attach at most one right value per left row; NULL when no match;
+    runtime error when more than one (ExprKind::Attval semantics,
+    doradb-expr/src/expr.rs:42-45 — "if multiple values returned, throws
+    runtime error; if none, NULL").
+
+    Implemented as pre-aggregation (count + any value) per key + left
+    join, with the uniqueness guard evaluated distributed-side via
+    ``raise_error`` — no driver round-trip, scales with the join.
+    """
+    agg = right.groupBy(right_key.alias("__sk")).agg(
+        F.count(F.lit(1)).alias("__cnt"), F.first(value).alias("__val")
+    )
+    out = left.join(agg, on=left_key == F.col("__sk"), how="left")
+    guarded = F.when(
+        F.col("__cnt") > 1,
+        F.raise_error(F.lit("scalar subquery returned more than one row")),
+    ).otherwise(F.col("__val"))
+    return out.withColumn(out_name, guarded).drop("__sk", "__cnt", "__val")
+
+
+def _conj(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out

@@ -1,0 +1,78 @@
+"""SparkSession factory.
+
+The reference runs a fixed worker-thread pool per server
+(doradb-server/src/mysql/mod.rs:48-71); our unit of parallelism is the
+Spark task. Conf here is chosen for the analytics path:
+
+- AQE on: runtime coalescing, skew-join splitting, dynamic join strategy.
+  This stands in for the reference's (unfinished) physical planner.
+- shuffle.partitions sized to cores locally; on a real cluster AQE
+  coalesces from a high initial number, so the setting scales.
+- parquet filter pushdown + vectorized reader: the Spark analog of the
+  reference's SMA zone maps (doradb-storage/src/col/sma.rs:10-15) and
+  Data-Blocks codecs (doradb-storage/src/col/codec/mod.rs:9-33).
+- Arrow enabled: pandas-UDF fast path for the operators/ package.
+- UTC + session timezone pinned so timestamp semantics are stable and
+  match the reference's zoneless Datetime (doradb-datatype/src/lib.rs:49).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "xngin_spark",
+    cpus: str | int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    In tests and the bench we run ``local[N]``; the same conf is valid on a
+    cluster master — nothing here assumes single-node.
+    """
+    cpus = str(cpus or _DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # --- parallelism / shuffle ---
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.default.parallelism", cpus)
+        # --- adaptive execution: runtime re-plan, skew handling ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- scan-side pruning (zone-map / codec analog) ---
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.parquet.enableVectorizedReader", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast: dimension tables (region/nation/supplier) are tiny ---
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- python <-> jvm fast path ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- deterministic timestamp semantics ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+        .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert (catalog.events_df)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # --- quieter driver ---
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "false")
+    )
+    if os.path.isdir("/root/repo") and os.access("/tmp", os.W_OK):
+        builder = builder.config("spark.local.dir", "/tmp/spark-local")
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        builder = builder.config("spark.driver.memory", mem)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
