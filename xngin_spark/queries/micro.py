@@ -1,0 +1,430 @@
+"""Operator micro-queries — one executable probe per logical operator /
+function family in the reference inventory (SURVEY.md §2), each with a
+DuckDB oracle. These are the runnable analog of the reference's
+plan-shape unit tests (doradb-plan lgc/mod.rs `plan_shape!`,
+pred_pushdown_old.rs `assert_j_plan1`) — but they execute and compare
+values, which the reference never could.
+
+Covered here:
+  Setop {Union,Except,Intersect} × {All,Distinct}   lgc/setop.rs:8-22
+  Limit {start,end} (OFFSET+FETCH)                  lgc/op.rs:192-196
+  Sort + fused top-k                                lgc/op.rs:186-190
+  Mark join (EXISTS under OR)                       join/mod.rs:22,95
+  Single join (scalar subquery per row)             join/mod.rs:23,96
+  Full outer join                                   join/mod.rs:88-97
+  Cross join                                        join/mod.rs:48-52
+  Row (table-less SELECT)                           lgc/op.rs:202
+  Scalar funcs: Substring/Extract/Case/arith/mod    doradb-expr/src/func.rs
+  Bit ops: And/Or/Xor/Shl/Shr/Inv                   func.rs:10,17-21
+  Predicates: LIKE/REGEXP/IN/BETWEEN/IS NULL/<=>    doradb-expr/src/pred.rs
+  Window functions (beyond-reference bonus)          SURVEY.md §2.5
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from xngin_spark.functions.aggregates import DEC, count_star, dsum, dsum_expr
+from xngin_spark.functions.scalar import int_div
+from xngin_spark.plans.builders import limit as limit_op
+from xngin_spark.plans.builders import row as row_op
+from xngin_spark.plans.builders import setop, sort
+from xngin_spark.plans.joins import cross_join, mark_join, single_join
+from xngin_spark.queries import register
+from xngin_spark.queries.tpch import T
+
+
+# --- Setops ---------------------------------------------------------------
+
+_SETOP_LEFT = "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'"
+_SETOP_RIGHT = "SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000"
+
+
+def _setop_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    c = T(spark, sf_dir, "customer")
+    left = c.filter(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    right = c.filter(F.col("c_acctbal") > 5000).select(F.col("c_custkey").alias("k"))
+    return left, right
+
+
+@register("setop_union_all", f"{_SETOP_LEFT} UNION ALL {_SETOP_RIGHT}")
+def setop_union_all(spark, sf_dir):
+    return setop("union", "all", *_setop_sides(spark, sf_dir))
+
+
+@register("setop_union_distinct", f"{_SETOP_LEFT} UNION {_SETOP_RIGHT}")
+def setop_union_distinct(spark, sf_dir):
+    return setop("union", "distinct", *_setop_sides(spark, sf_dir))
+
+
+@register("setop_except_all", f"{_SETOP_LEFT} EXCEPT ALL {_SETOP_RIGHT}")
+def setop_except_all(spark, sf_dir):
+    return setop("except", "all", *_setop_sides(spark, sf_dir))
+
+
+@register("setop_except_distinct", f"{_SETOP_LEFT} EXCEPT {_SETOP_RIGHT}")
+def setop_except_distinct(spark, sf_dir):
+    return setop("except", "distinct", *_setop_sides(spark, sf_dir))
+
+
+@register("setop_intersect_all", f"{_SETOP_LEFT} INTERSECT ALL {_SETOP_RIGHT}")
+def setop_intersect_all(spark, sf_dir):
+    return setop("intersect", "all", *_setop_sides(spark, sf_dir))
+
+
+@register("setop_intersect_distinct", f"{_SETOP_LEFT} INTERSECT {_SETOP_RIGHT}")
+def setop_intersect_distinct(spark, sf_dir):
+    return setop("intersect", "distinct", *_setop_sides(spark, sf_dir))
+
+
+# --- Limit / offset / top-k ----------------------------------------------
+
+
+@register(
+    "limit_offset",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_orderkey LIMIT 50 OFFSET 100
+    """,
+)
+def limit_offset(spark, sf_dir):
+    o = sort(T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+             [F.col("o_orderkey")])
+    return limit_op(o, end=150, start=100)
+
+
+@register(
+    "topk_fused",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+)
+def topk_fused(spark, sf_dir):
+    # Sort{limit} → Spark TakeOrderedAndProject: distributed per-partition
+    # heap + driver merge, never a full sort — the scale-correct top-k.
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return sort(o, [F.col("o_totalprice").desc(), F.col("o_orderkey")], fused_limit=25)
+
+
+@register("distinct_proj", "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer")
+def distinct_proj(spark, sf_dir):
+    return T(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# --- Join kinds beyond the TPC-H suite -----------------------------------
+
+
+@register(
+    "mark_join_q",
+    """
+    SELECT c_custkey,
+           (c_acctbal > 9000) OR EXISTS (
+             SELECT 1 FROM orders
+             WHERE o_custkey = c_custkey AND o_totalprice > 50000
+           ) AS flagged
+    FROM customer
+    """,
+)
+def mark_join_q(spark, sf_dir):
+    # EXISTS under OR cannot become a plain semi join — this is exactly
+    # the Mark-join case (JoinKind::Mark, join/mod.rs:22).
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 50000).select("o_custkey")
+    marked = mark_join(c, o, F.col("c_custkey") == F.col("o_custkey"), mark="m")
+    return marked.select(
+        "c_custkey", ((F.col("c_acctbal") > 9000) | F.col("m")).alias("flagged")
+    )
+
+
+@register(
+    "single_join_q",
+    """
+    SELECT n_nationkey, n_name,
+           (SELECT r_name FROM region WHERE r_regionkey = n_regionkey) AS region_name
+    FROM nation
+    """,
+)
+def single_join_q(spark, sf_dir):
+    # Scalar subquery per row = JoinKind::Single with the uniqueness
+    # guard (ExprKind::Attval, doradb-expr/src/expr.rs:42-45).
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return single_join(
+        n, r, F.col("n_regionkey"), F.col("r_regionkey"), F.col("r_name"), "region_name"
+    ).select("n_nationkey", "n_name", "region_name")
+
+
+@register(
+    "full_outer_join",
+    """
+    SELECT COALESCE(s.nk, c.nk) AS nationkey,
+           s.n_supp, c.n_cust
+    FROM (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+    FULL OUTER JOIN
+         (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+      ON s.nk = c.nk
+    """,
+)
+def full_outer_join(spark, sf_dir):
+    s = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(count_star().alias("n_supp"))
+    )
+    c = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("cnk"))
+        .agg(count_star().alias("n_cust"))
+    )
+    return s.join(c, F.col("snk") == F.col("cnk"), "full").select(
+        F.coalesce(F.col("snk"), F.col("cnk")).alias("nationkey"), "n_supp", "n_cust"
+    )
+
+
+@register(
+    "cross_join_q",
+    "SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def cross_join_q(spark, sf_dir):
+    return cross_join(
+        T(spark, sf_dir, "region").select("r_name"),
+        T(spark, sf_dir, "nation").select("n_name"),
+    )
+
+
+@register("row_select", "SELECT 1 AS one, 'x' AS tag, CAST(2.5 AS DOUBLE) AS v")
+def row_select(spark, sf_dir):
+    # OpKind::Row — table-less single row (lgc/op.rs:202).
+    return row_op(
+        spark,
+        F.lit(1).alias("one"),
+        F.lit("x").alias("tag"),
+        F.lit(2.5).alias("v"),
+    )
+
+
+# --- Scalar function surface ---------------------------------------------
+
+
+@register(
+    "scalar_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           SUBSTRING(l_returnflag, 1, 1) AS rf,
+           CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+           CAST(EXTRACT(month FROM l_shipdate) AS BIGINT) AS ship_month,
+           CAST(EXTRACT(day FROM l_shipdate) AS BIGINT) AS ship_day,
+           CAST(EXTRACT(quarter FROM l_shipdate) AS BIGINT) AS ship_quarter,
+           CASE WHEN l_quantity < 10 THEN 'low'
+                WHEN l_quantity < 40 THEN 'mid'
+                ELSE 'high' END AS qty_band,
+           CAST(l_quantity AS BIGINT) % 7 AS qmod,
+           CAST(FLOOR(CAST(l_quantity AS BIGINT) / 7) AS BIGINT) AS qdiv,
+           -l_linenumber AS neg_line,
+           l_extendedprice * 2.0 + 1.0 AS arith
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def scalar_funcs(spark, sf_dir):
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    from xngin_spark.functions.scalar import case_when, extract, substring_sql
+
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        substring_sql(F.col("l_returnflag"), 1, 1).alias("rf"),
+        extract("year", F.col("l_shipdate")).alias("ship_year"),
+        extract("month", F.col("l_shipdate")).alias("ship_month"),
+        extract("day", F.col("l_shipdate")).alias("ship_day"),
+        extract("quarter", F.col("l_shipdate")).alias("ship_quarter"),
+        case_when(
+            [
+                (F.col("l_quantity") < 10, F.lit("low")),
+                (F.col("l_quantity") < 40, F.lit("mid")),
+            ],
+            F.lit("high"),
+        ).alias("qty_band"),
+        (F.col("l_quantity").cast("long") % 7).alias("qmod"),
+        int_div(F.col("l_quantity").cast("long"), F.lit(7)).alias("qdiv"),
+        (-F.col("l_linenumber")).alias("neg_line"),
+        (F.col("l_extendedprice") * 2.0 + 1.0).alias("arith"),
+    )
+
+
+@register(
+    "bit_ops",
+    """
+    SELECT l_linenumber,
+           l_linenumber & 3 AS band,
+           l_linenumber | 8 AS bor,
+           xor(l_linenumber, 5) AS bxor,
+           l_linenumber << 2 AS shl,
+           l_linenumber >> 1 AS shr,
+           ~l_linenumber AS binv
+    FROM lineitem WHERE l_orderkey < 50
+    """,
+)
+def bit_ops(spark, sf_dir):
+    from xngin_spark.functions.scalar import (
+        bit_and,
+        bit_inv,
+        bit_or,
+        bit_shl,
+        bit_shr,
+        bit_xor,
+    )
+
+    l = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    n = F.col("l_linenumber")
+    return l.select(
+        "l_linenumber",
+        bit_and(n, F.lit(3)).alias("band"),
+        bit_or(n, F.lit(8)).alias("bor"),
+        bit_xor(n, F.lit(5)).alias("bxor"),
+        bit_shl(n, 2).alias("shl"),
+        bit_shr(n, 1).alias("shr"),
+        bit_inv(n).alias("binv"),
+    )
+
+
+# --- Predicate surface ----------------------------------------------------
+
+
+@register(
+    "predicates",
+    """
+    SELECT o_orderkey,
+           o_orderpriority LIKE '1-%' AS is_urgent,
+           o_orderpriority NOT LIKE '%LOW' AS not_low,
+           regexp_matches(o_orderpriority, '^[12]-') AS high_re,
+           o_orderstatus IN ('F', 'P') AS closed,
+           o_totalprice BETWEEN 1000 AND 2000 AS mid_price,
+           (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END)
+             IS NULL AS made_null,
+           (CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderstatus END)
+             IS NOT DISTINCT FROM 'F' AS safe_eq_f
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def predicates(spark, sf_dir):
+    from xngin_spark.functions.predicates import safe_eq
+
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    nullable_status = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderstatus")
+    )
+    nullable_price = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").like("1-%").alias("is_urgent"),
+        (~F.col("o_orderpriority").like("%LOW")).alias("not_low"),
+        F.col("o_orderpriority").rlike("^[12]-").alias("high_re"),
+        F.col("o_orderstatus").isin("F", "P").alias("closed"),
+        F.col("o_totalprice").between(1000, 2000).alias("mid_price"),
+        nullable_price.isNull().alias("made_null"),
+        safe_eq(nullable_status, F.lit("F")).alias("safe_eq_f"),
+    )
+
+
+# --- Window functions (beyond-reference: absent in the reference, AST
+# placeholder only — doradb-sql/src/ast.rs:1278 "// todo: window") -------
+
+
+@register(
+    "window_rank",
+    f"""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WHERE o_custkey < 50
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(wrun).cast("double").alias("running_total"),
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "window_agg_per_group",
+    f"""
+    SELECT c_nationkey, c_custkey, c_acctbal
+    FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) t WHERE rn <= 3
+    """,
+)
+def window_agg_per_group(spark, sf_dir):
+    # top-3-per-group — the canonical windowed top-k; at scale this is a
+    # single shuffle on the partition key, no global sort.
+    c = T(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal")
+    )
+
+
+# --- Aggregate-function surface (distinct variants) -----------------------
+
+
+@register(
+    "agg_distinct",
+    f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS uniq_cust,
+           {dsum_expr("o_totalprice", "total")},
+           CAST(SUM(DISTINCT CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_uniq_cust,
+           MIN(o_orderdate) AS first_date,
+           MAX(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("uniq_cust"),
+            dsum(F.col("o_totalprice"), "total"),
+            F.sum_distinct(F.col("o_custkey").cast("long")).alias("sum_uniq_cust"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus")
+    )
