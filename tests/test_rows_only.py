@@ -1,0 +1,22 @@
+"""Queries without oracle SQL (xxhash64-based / approximate) still must
+run and return sane results — the driver's weaker rows-only gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from xngin_spark import queries as Q
+
+Q.load_all()
+ROWS_ONLY = sorted(n for n in Q.QUERIES if n not in Q.ORACLE)
+
+
+def test_rows_only_set_is_expected():
+    assert ROWS_ONLY == ["dedup_minhash_lsh", "dedup_simhash", "knn_cosine_lsh"]
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    df = Q.QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0  # executes; schema stable
+    assert len(df.columns) >= 2

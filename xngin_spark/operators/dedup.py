@@ -1,0 +1,280 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Designed for the 100 TB case first:
+
+- exact_dedup: one hash-shuffle on a 64-bit fingerprint (not the full
+  text), then min-id per group. The only full-data shuffle in the
+  family, and it shuffles 8-byte keys.
+- MinHash-LSH: per-doc signature is a narrow map-side pass (explode →
+  k min-aggregates); candidate generation shuffles (band_id, band_hash)
+  pairs — tiny rows — and only verified candidates ever touch text
+  again. This is the textbook shingle→minhash→band→bucket-join pipeline
+  (Broder 1997; Leskovec/Rajaraman/Ullman ch.3), all in JVM expressions.
+- SimHash (Charikar 2002): 64-bit signature per doc from token hashes;
+  near-dup = small Hamming distance. Signature build is map-side.
+- n-gram Jaccard: exact pairwise verification used as ground truth for
+  the approximate families (quadratic — always bound its input).
+
+No Python UDFs anywhere: signatures use xxhash64/transform/aggregate
+expressions, so everything whole-stage-codegens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xngin_spark.operators.textstats import tokens
+
+# Mersenne prime modulus and deterministic per-permutation constants for
+# the k minhash functions h_i(x) = (a_i * x + b_i) mod P. P = 2³¹−1 keeps
+# a·x ≤ 2⁶² so the expression never overflows BIGINT under ANSI mode;
+# a 31-bit minhash space is standard (collision odds ~n/2³¹ per
+# permutation are noise for dedup purposes).
+_P = (1 << 31) - 1
+
+
+def _perm_consts(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    # deterministic LCG so signatures are reproducible across runs/engines
+    out, state = [], seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (_P - 1)) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % _P
+        out.append((a, b))
+    return out
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles as an array<string>."""
+    toks = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: fingerprint → (keep_id = min id, n_copies).
+
+    Shuffles 8-byte xxhash64 keys, not text. Hash collisions at 64 bits
+    are ~n²/2⁶⁵ — at 10¹¹ docs that's ~0.3 expected collisions; use the
+    md5 variant if that matters.
+    """
+    fp = F.xxhash64(F.col(text_col))
+    return df.groupBy(fp.alias("fp")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<bigint> of length k) via explode + k min-aggs.
+
+    The explode is map-side (no shuffle until the groupBy on id, which
+    shuffles only (id, k×8B) rows). Hash h_i = (a_i*x + b_i) mod P with
+    x = xxhash64(shingle) — pure JVM expressions.
+    """
+    consts = _perm_consts(k)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    ).withColumn("__x", F.xxhash64("__sh"))
+    # (a*x + b) mod P in long arithmetic: x may be negative; normalize
+    x = F.pmod(F.col("__x"), F.lit(_P))
+    aggs = [
+        F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(consts)
+    ]
+    sigs = exploded.groupBy("__id").agg(*aggs)
+    return sigs.select(
+        F.col("__id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard) via banded LSH.
+
+    rows-per-band r = k/bands; candidate capture probability
+    1-(1-s^r)^bands. Candidates are verified with the *signature*
+    estimate (fraction of agreeing minhashes) — cheap and already
+    colocated; swap in exact ngram_jaccard_pairs for audit-grade
+    verification.
+
+    Scale shape: signatures (n × k×8B) → explode to n×bands tiny rows →
+    shuffle on (band, band_hash) → within-bucket self-pairs. Skewed
+    buckets (boilerplate docs) are bounded by spark.sql.adaptive skew
+    handling; pathological buckets can be capped by size filter.
+    """
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
+    )
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """Charikar SimHash over tokens: per-bit signed vote of token
+    hashes, packed into one BIGINT. All expression-level: the per-bit
+    votes are a transform over bit indices aggregated with F.aggregate.
+    """
+    toks = F.array_distinct(tokens(text))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int) -> Column:
+        # sum over tokens of +1/-1 for bit i, then sign → bit i
+        votes = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(bits - 1):  # skip sign bit to stay positive
+        out = out.bitwiseOR(bit_vote(i))
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    block_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Scale path: block on the top `block_bits` bits (two docs within
+    Hamming d of each other agree on at least one of the 4 16-bit
+    blocks when d ≤ 3 — generalized pigeonhole). Blocking turns the
+    quadratic self-join into bucket-local joins, same shape as LSH.
+    """
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    blocks = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("sh"), i * block_bits)
+                        .bitwiseAND(F.lit((1 << block_bits) - 1))
+                        .alias("key"),
+                    )
+                    for i in range(64 // block_bits)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "sh", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a = blocks.select("blk", "key", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = blocks.select("blk", "key", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, on=["blk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle.
+
+    The exact verifier: explode shingles, self-join on shingle (so only
+    docs sharing content ever pair — never a true cross join), count
+    intersections, |A∪B| = |A|+|B|−|A∩B|. Deterministic double from
+    integer ratio. Quadratic in bucket size — bound the input (e.g. to
+    LSH candidates or an id range) at scale.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "g")
+    b = sh.select(F.col("id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

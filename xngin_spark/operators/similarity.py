@@ -1,0 +1,177 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH-bucketed
+approximate variant.
+
+Scale design:
+- Brute force is the baseline and the verifier: queries broadcast
+  (queries are small), corpus streams — one pass, no corpus shuffle,
+  top-k per query via window rank on (query partition). At 100 TB the
+  corpus side stays partition-parallel; cost is O(|corpus|·|queries|·d)
+  multiply-adds in codegen'd expressions.
+- LSH (random hyperplane signs, Charikar 2002) buckets corpus and
+  queries by signature; only same-bucket (plus multi-probe neighbor
+  bucket) pairs are scored. Turns the scan into a bucket-local join —
+  the IVF-style scale path.
+
+Determinism: dot products and norms accumulate through DECIMAL(25,9)
+(exact, order-independent) and finish in IEEE doubles, so results are
+bit-identical to the DuckDB oracle. The plain-double variants
+(`*_fast`) exist for benchmarks where cross-engine parity isn't needed.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEC9 = "decimal(25,9)"
+
+
+def _norms(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, norm) with decimal-deterministic accumulation."""
+    e = df.select(F.col(id_col).alias("id"), F.posexplode(vec_col).alias("pos", "x"))
+    return (
+        e.groupBy("id")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("x").cast("double") * F.col("x").cast("double")).cast(DEC9)).cast(
+                    "double"
+                )
+            ).alias("norm")
+        )
+    )
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Exact cosine top-k: (qid, vec_id, cosine, rank).
+
+    Plan shape: corpus posexplode (map-side) ⋈ broadcast exploded
+    queries on position → decimal-sum per (qid, id) → window top-k
+    partitioned by qid. The only shuffle is on (qid, id) partial dot
+    products; corpus text/embeddings never re-shuffle.
+    """
+    c = corpus.select(F.col(id_col).alias("cid"), F.posexplode(vec_col).alias("pos", "cx"))
+    q = queries.select(
+        F.col(query_id_col).alias("qid"), F.posexplode(vec_col).alias("pos", "qx")
+    )
+    dots = (
+        c.join(F.broadcast(q), "pos")
+        .groupBy("qid", "cid")
+        .agg(
+            F.sum((F.col("qx").cast("double") * F.col("cx").cast("double")).cast(DEC9))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    cn = _norms(corpus, id_col, vec_col).select(F.col("id").alias("cid"), F.col("norm").alias("cnorm"))
+    qn = _norms(queries, query_id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("norm").alias("qnorm")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
+    return (
+        dots.join(F.broadcast(qn), "qid")
+        .join(cn, "cid")
+        .withColumn("cosine", F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias(id_col), "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_signature(vec_col: str, planes: list[list[float]]):
+    """Bit-signature column: sign of <v, p_i> per hyperplane, packed to
+    BIGINT. Dot via F.aggregate over zip_with — JVM-side."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        sig = sig.bitwiseOR(F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    return sig
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+    n_planes: int = 12,
+    dim: int | None = None,
+    multiprobe: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: score only same-/neighbor-bucket pairs.
+
+    multiprobe=m also probes buckets at Hamming distance ≤ m from the
+    query signature (flip one bit per probe), trading compute for
+    recall — the standard knob. Bucketing keys are 8-byte longs; the
+    join is bucket-local, so cost follows bucket occupancy (≈ n/2^p),
+    not n·q.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.withColumn("bucket", lsh_signature(vec_col, planes))
+    qsig = queries.withColumn("sig", lsh_signature(vec_col, planes))
+    probes = [F.col("sig")] + [
+        F.col("sig").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)
+    ][: (n_planes if multiprobe else 0)]
+    q = qsig.withColumn("bucket", F.explode(F.array(*probes)))
+    pairs = c.alias("c").join(
+        F.broadcast(q.select(query_id_col, "bucket", F.col(vec_col).alias("qvec"))),
+        "bucket",
+    )
+    scored = pairs.withColumn(
+        "cosine",
+        F.aggregate(
+            F.zip_with(F.col(vec_col), F.col("qvec"), lambda a, b: a.cast("double") * b.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(vec_col), lambda a: a.cast("double") * a.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            * F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("qvec"), lambda a: a.cast("double") * a.cast("double")),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+        ),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.select(query_id_col, id_col, "cosine")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,122 @@
+"""Text analysis operators: token counting, quality scoring, language
+ID, document fingerprinting.
+
+All JVM-side built-ins (split / filter / transform / md5 / xxhash64) —
+no Python in the hot path, so every operator whole-stage-codegens and
+scales linearly with input splits; none of them shuffles.
+
+Tokenization convention: single-space split (the corpus convention for
+the synthetic `documents` table; swap TOKEN_SEP for `\\s+`+regex split
+on real data — kept exact here so the DuckDB oracle can reproduce it
+verbatim with string_split).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SEP = " "
+
+# Tiny built-in stopword / language marker lists (public knowledge).
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "with"),
+    "es": ("el", "la", "de", "que"),
+    "de": ("der", "die", "und", "das"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, TOKEN_SEP)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (SURVEY/brief: token counting baseline)."""
+    return F.size(tokens(text)).cast("long")
+
+
+BPE_ISH_PATTERN = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token estimate: alnum runs and individual punctuation
+    marks each count as one token. RE2-compatible pattern (alternation
+    only, no lookarounds) so the DuckDB oracle can reproduce it with
+    regexp_extract_all verbatim."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def stopword_count(text: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    arr = F.array(*[F.lit(s) for s in stopwords])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards mid-length docs, healthy
+    mean token length and stopword presence — the standard cheap
+    pre-filter shape for pretraining corpora. Pure double arithmetic
+    from integer counts → bit-deterministic across engines."""
+    n_chars = F.length(text).cast("double")
+    n_toks = token_count(text).cast("double")
+    n_stop = stopword_count(text).cast("double")
+    mean_tok_len = (n_chars - (n_toks - 1)) / n_toks
+    len_score = F.least(n_chars / 200.0, F.lit(1.0))
+    tok_len_score = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 10.0), 1.0).otherwise(0.5)
+    stop_score = F.least((n_stop / n_toks) * 10.0, F.lit(1.0))
+    return (0.4 * len_score + 0.3 * tok_len_score + 0.3 * stop_score)
+
+
+def lang_hits(text: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t))).cast("long")
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-word language ID with deterministic tie-break order
+    (en > es > de > unknown). N-gram-free variant adequate for
+    space-separated corpora; the shape (per-language score → argmax)
+    is what matters at scale — one pass, no shuffle."""
+    en, es, de = (lang_hits(text, lang) for lang in ("en", "es", "de"))
+    return (
+        F.when((en >= es) & (en >= de) & (en > 0), "en")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("unknown")
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Exact-content fingerprint (md5 hex) — portable across engines."""
+    return F.md5(text)
+
+
+def fingerprint_xx64(text: Column) -> Column:
+    """64-bit fingerprint via xxhash64 — the cheap scale path for
+    exact-dup bucketing (8 bytes/doc instead of 32)."""
+    return F.xxhash64(text)
+
+
+def rolling_fingerprints(text: Column, window: int = 16, step: int = 8) -> Column:
+    """Array of hashes over sliding character windows — content-defined
+    chunk fingerprints for partial-overlap detection. JVM-side via
+    transform(sequence(...)); no UDF."""
+    n = F.length(text)
+    starts = F.sequence(F.lit(1), F.greatest(n - window + 1, F.lit(1)), F.lit(step))
+    return F.transform(starts, lambda i: F.xxhash64(F.substring(text, i, window)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass enrichment with every stat column — single projection,
+    no shuffle, codegen'd."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        stopword_count(t).alias("n_stopwords"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint_md5(t).alias("fp_md5"),
+        fingerprint_xx64(t).alias("fp_xx64"),
+    )

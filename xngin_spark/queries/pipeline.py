@@ -1,0 +1,309 @@
+"""Data-pipeline queries over documents/embeddings — executable probes
+for the operators/ package, each oracle-checked where DuckDB can
+express the same computation, rows-only otherwise (minhash/simhash use
+xxhash64, which DuckDB lacks — the driver records the weaker check for
+those, and tests/test_operators.py proves their semantics against
+planted duplicates instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xngin_spark.operators import dedup as D
+from xngin_spark.operators import multimodal as M
+from xngin_spark.operators import similarity as S
+from xngin_spark.operators import textstats as X
+from xngin_spark.queries import register
+from xngin_spark.queries.tpch import T
+
+_STOP_SQL = "['" + "','".join(X.STOPWORDS) + "']"
+_MARK_SQL = {k: "['" + "','".join(v) + "']" for k, v in X.LANG_MARKERS.items()}
+
+
+# --- text analysis --------------------------------------------------------
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             string_split(text, ' ') AS toks,
+             len(regexp_extract_all(text, '{X.BPE_ISH_PATTERN}', 0)) AS n_bpe,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOP_SQL}, x))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(n_bpe AS BIGINT) AS n_bpe_tokens,
+           CAST(n_stop AS BIGINT) AS n_stopwords,
+           0.4 * least(n_chars_d / 200.0, 1.0)
+           + 0.3 * (CASE WHEN (n_chars_d - (CAST(len(toks) AS DOUBLE) - 1))
+                              / CAST(len(toks) AS DOUBLE) >= 3.0
+                          AND (n_chars_d - (CAST(len(toks) AS DOUBLE) - 1))
+                              / CAST(len(toks) AS DOUBLE) <= 10.0
+                     THEN 1.0 ELSE 0.5 END)
+           + 0.3 * least(CAST(n_stop AS DOUBLE) / CAST(len(toks) AS DOUBLE) * 10.0, 1.0)
+             AS quality,
+           md5(text) AS fp_md5
+    FROM t
+    """,
+)
+def text_stats(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        X.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        X.stopword_count(t).alias("n_stopwords"),
+        X.quality_score(t).alias("quality"),
+        X.fingerprint_md5(t).alias("fp_md5"),
+    )
+
+
+@register(
+    "lang_id",
+    f"""
+    WITH h AS (
+      SELECT lang,
+             len(list_filter(string_split(text,' '),
+                 x -> list_contains({_MARK_SQL['en']}, x))) AS en,
+             len(list_filter(string_split(text,' '),
+                 x -> list_contains({_MARK_SQL['es']}, x))) AS es,
+             len(list_filter(string_split(text,' '),
+                 x -> list_contains({_MARK_SQL['de']}, x))) AS de
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'unknown' END AS lang_pred,
+           COUNT(*) AS n
+    FROM h
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def lang_id_q(spark, sf_dir):
+    # confusion-matrix shape: declared lang × predicted lang
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select("lang", X.lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+# --- dedup ----------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    # md5 variant so DuckDB can verify; operators.dedup.exact_dedup is
+    # the 8-byte xxhash64 scale path with identical plan shape
+    # (tests/test_operators.py proves group equivalence).
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+@register(
+    "ngram_jaccard",
+    """
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    sh AS (
+      SELECT DISTINCT doc_id AS id, g
+      FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+        FROM docs
+      )
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE)
+           / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    """,
+)
+def ngram_jaccard(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.ngram_jaccard_pairs(d, threshold=0.5)
+
+
+@register("dedup_minhash_lsh")  # no oracle: xxhash64 signatures (rows-only gate)
+def dedup_minhash_lsh(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, threshold=0.5)
+
+
+@register("dedup_simhash")  # no oracle: xxhash64-based (rows-only gate)
+def dedup_simhash(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_pairs(d, max_hamming=16)
+
+
+# --- similarity search ----------------------------------------------------
+
+_KNN_ORACLE = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    qn AS (
+      SELECT qid, sqrt(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS DOUBLE)) AS qnorm
+      FROM q, generate_series(1, 64) t(i) GROUP BY qid
+    ),
+    cn AS (
+      SELECT cid, sqrt(CAST(SUM(CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS DOUBLE)) AS cnorm
+      FROM c, generate_series(1, 64) t(i) GROUP BY cid
+    ),
+    dots AS (
+      SELECT qid, cid,
+             CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                  AS DECIMAL(25,9))) AS DOUBLE) AS dot
+      FROM q, c, generate_series(1, 64) t(i)
+      GROUP BY qid, cid
+    ),
+    scored AS (
+      SELECT qid, cid AS vec_id, dot / (qnorm * cnorm) AS cosine
+      FROM dots JOIN qn USING (qid) JOIN cn USING (cid)
+    ),
+    ranked AS (
+      SELECT qid, vec_id, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+"""
+
+
+@register("knn_cosine", _KNN_ORACLE)
+def knn_cosine(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return S.cosine_topk(emb, queries, k=10)
+
+
+@register("knn_cosine_lsh")  # no oracle: approximate by design (rows-only gate)
+def knn_cosine_lsh(spark, sf_dir):
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return S.cosine_topk_lsh(emb, queries, k=10, dim=64)
+
+
+@register(
+    "embedding_centroid_dist",
+    """
+    WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
+    cent AS (
+      SELECT label, i,
+             CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE)
+             / COUNT(*) AS c
+      FROM e, generate_series(1, 64) t(i)
+      GROUP BY label, i
+    )
+    SELECT e.label,
+           CAST(COUNT(DISTINCT e.vec_id) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST((CAST(v[t.i] AS DOUBLE) - c) * (CAST(v[t.i] AS DOUBLE) - c)
+                AS DECIMAL(25,9))) AS DOUBLE) AS sq_dist_sum
+    FROM e, generate_series(1, 64) t(i), cent
+    WHERE cent.label = e.label AND cent.i = t.i
+    GROUP BY e.label
+    ORDER BY e.label
+    """,
+)
+def embedding_centroid_dist(spark, sf_dir):
+    # per-label centroid + within-cluster scatter: the k-means E-step
+    # shape (explode → mean per (label, dim) → rejoin → distance agg).
+    e = T(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "x")
+    ).withColumn("xd", F.col("x").cast("double"))
+    cent = e.groupBy("label", "i").agg(
+        (F.sum(F.col("xd").cast(S.DEC9)).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    return (
+        e.join(cent, ["label", "i"])
+        .groupBy("label")
+        .agg(
+            F.countDistinct("vec_id").alias("n_vecs"),
+            F.sum(((F.col("xd") - F.col("c")) * (F.col("xd") - F.col("c"))).cast(S.DEC9))
+            .cast("double")
+            .alias("sq_dist_sum"),
+        )
+        .orderBy("label")
+    )
+
+
+# --- multimodal plumbing --------------------------------------------------
+
+
+@register(
+    "media_features",
+    """
+    WITH b AS (SELECT doc_id, text FROM documents)
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           CAST(ascii(text) AS BIGINT) AS first_byte,
+           CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+                i -> ascii(text[i])), 'sum') % 997 AS BIGINT) AS checksum
+    FROM b
+    """,
+)
+def media_features(spark, sf_dir):
+    # pandas-UDF decode plumbing (mapInPandas) — feature column dropped
+    # for the oracle compare (array<float> fake features are exercised
+    # in tests/test_operators.py).
+    d = T(spark, sf_dir, "documents")
+    media = M.as_media_table(d)
+    return M.extract_media_features(media).select(
+        "doc_id", "byte_len", "first_byte", "checksum"
+    )
+
+
+@register(
+    "frame_sample",
+    """
+    SELECT doc_id,
+           unnest(generate_series(0,
+             least(greatest(CAST(floor(octet_length(CAST(text AS BLOB)) / 64.0) AS INT) - 1, 0),
+                   7))) AS frame_no
+    FROM documents
+    """,
+)
+def frame_sample_q(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    media = M.as_media_table(d)
+    return M.frame_sample(media).select("doc_id", F.col("frame_no").cast("long"))

@@ -1,0 +1,197 @@
+"""Event-stream queries over the `events` table — tumbling, sliding and
+session windows plus JSON prop extraction. Batch-first (these run and
+oracle-check as batch queries); xngin_spark.streaming wires the same
+window specs to Structured Streaming.
+
+Spark windows are epoch-aligned, so the DuckDB oracles reproduce the
+boundaries with date_trunc arithmetic. Session windows (gap-based) are
+reproduced with the classic gaps-and-islands SQL (lag → break flag →
+running sum → island id).
+
+The reference has no streaming/window surface at all (SURVEY.md §2.5:
+`// todo: window`, doradb-sql/src/ast.rs:1278) — this module is
+beyond-reference capability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xngin_spark.catalog import events_df
+from xngin_spark.functions.aggregates import count_star, dsum, dsum_expr
+from xngin_spark.queries import register
+
+
+@register(
+    "events_tumbling",
+    f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_expr("value", "total_value")}
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_tumbling(spark, sf_dir):
+    e = events_df(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(count_star().alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding",
+    f"""
+    WITH e AS (
+      SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events
+    ),
+    w AS (
+      SELECT date_trunc('hour', t)
+               + to_seconds(1800 * CAST(floor(minute(t) / 30) AS BIGINT)) AS s1,
+             event_type, value
+      FROM e
+    ),
+    wboth AS (
+      SELECT s1 AS window_start, event_type, value FROM w
+      UNION ALL
+      SELECT s1 - to_seconds(1800), event_type, value FROM w
+    )
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+           {dsum_expr("value", "total_value")}
+    FROM wboth
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_sliding(spark, sf_dir):
+    # 1-hour window sliding every 30 min: each event lands in exactly 2
+    # windows; Spark's F.window(slide) materializes both assignments.
+    e = events_df(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(count_star().alias("n_events"), dsum(F.col("value"), "total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_session",
+    f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                          > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(t) AS session_start,
+           MAX(t) AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_expr("value", "total_value")}
+    FROM s
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session(spark, sf_dir):
+    # F.session_window: gap-based stateful windowing, the batch twin of
+    # the streaming session operator. Session bounds reported as
+    # min/max event time (Spark's window.end is max+gap, so aggregate
+    # the bounds explicitly to match the SQL definition).
+    e = events_df(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            count_star().alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_json_props(spark, sf_dir):
+    # semi-structured props column: JSON path extraction JVM-side
+    # (get_json_object), no UDF.
+    e = events_df(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            count_star().alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_rate_per_user",
+    f"""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) AS DOUBLE)
+             / (CAST(date_diff('second', MIN(CAST(ts AS TIMESTAMP)),
+                               MAX(CAST(ts AS TIMESTAMP))) AS DOUBLE) + 1.0)
+             AS events_per_sec,
+           {dsum_expr("value", "total_value")}
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def events_rate_per_user(spark, sf_dir):
+    e = events_df(spark, sf_dir)
+    span = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            count_star().alias("n_events"),
+            (count_star().cast("double") / (span.cast("double") + F.lit(1.0))).alias(
+                "events_per_sec"
+            ),
+            dsum(F.col("value"), "total_value"),
+        )
+        .orderBy("user_id")
+    )
