@@ -1,0 +1,130 @@
+"""Structured Streaming: batch results are the oracle.
+
+The events table is re-written into multiple time-ordered files; the
+stream is paced one file per micro-batch so watermark advancement and
+cross-batch state actually happen (a single batch would hide both).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xngin_spark.streaming import (
+    events_stream,
+    run_available_now,
+    running_totals,
+    stream_session,
+    stream_sliding,
+    stream_tumbling,
+)
+
+N_FILES = 4
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Events split into N_FILES time-ordered parquet files (arrival
+    order ≈ event order, so watermarks advance monotonically)."""
+    out = tmp_path_factory.mktemp("events_stream_src")
+    # keep raw nanos-long ts so the stream source sees the same
+    # physical type as the driver parquet
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw.repartitionByRange(N_FILES, "ts").write.mode("overwrite").parquet(str(out))
+    return str(out)
+
+
+def batch_events(spark, events_dir):
+    df = spark.read.parquet(events_dir)
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def rows_set(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    sdf = stream_tumbling(events_stream(spark, events_dir, max_files_per_trigger=1))
+    got = run_available_now(sdf, "t_tumbling", output_mode="append")
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+
+    e = batch_events(spark, events_dir)
+    want = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    got_set = rows_set(got, ["window_start", "event_type", "n_events"])
+    want_set = rows_set(want, ["window_start", "event_type", "n_events"])
+    # append mode: every emitted window is final and must match batch
+    # exactly; windows still above the final watermark never emit.
+    assert got_set <= want_set
+    assert len(got_set) > 0.5 * len(want_set), (
+        f"only {len(got_set)}/{len(want_set)} windows emitted"
+    )
+    assert got.count() == len(got_set)  # exactly-once per window
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    sdf = stream_sliding(events_stream(spark, events_dir, max_files_per_trigger=1))
+    got = run_available_now(sdf, "t_sliding", output_mode="append")
+    e = batch_events(spark, events_dir)
+    want = (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    got_set = rows_set(got, ["window_start", "event_type", "n_events"])
+    want_set = rows_set(want, ["window_start", "event_type", "n_events"])
+    assert got_set <= want_set and len(got_set) > 0.5 * len(want_set)
+
+
+def test_session_stream_matches_batch(spark, events_dir):
+    sdf = stream_session(events_stream(spark, events_dir, max_files_per_trigger=1))
+    got = run_available_now(sdf, "t_session", output_mode="append")
+    e = batch_events(spark, events_dir)
+    want = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "n_events")
+    )
+    cols = ["user_id", "session_start", "n_events"]
+    got_set = rows_set(got.select(*cols), cols)
+    want_set = rows_set(want, cols)
+    assert got_set <= want_set and len(got_set) > 0.3 * len(want_set)
+
+
+def test_running_totals_stateful(spark, events_dir):
+    sdf = running_totals(events_stream(spark, events_dir, max_files_per_trigger=1))
+    got = run_available_now(sdf, "t_totals", output_mode="update")
+    # update mode emits one row per user per batch they appear in; the
+    # LAST emission per user carries state accumulated across ALL
+    # batches — compare against the batch groupBy.
+    final = (
+        got.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("user_id")
+                .orderBy(F.col("n_events").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    e = batch_events(spark, events_dir)
+    want = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+    got_rows = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in final.collect()}
+    want_rows = {r.user_id: (r.n_events, round(r.total_value, 6)) for r in want.collect()}
+    assert got_rows == want_rows
+    # cross-batch statefulness: with N_FILES batches, users seen in >1
+    # batch must have emitted >1 progressively-growing row
+    multi = got.groupBy("user_id").count().filter(F.col("count") > 1).count()
+    assert multi > 0, "no user updated across batches — state not exercised"

@@ -1,0 +1,71 @@
+"""Streaming sources & sinks.
+
+File-stream source over the driver's events parquet. Streaming reads
+REQUIRE an explicit schema (no inference mid-stream) — consistent with
+the engine-wide schema-pinned policy (sources/readers.py).
+
+The events parquet stores TIMESTAMP(NANOS); with the session conf
+``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
+convert to a microsecond timestamp — same rule as the batch loader
+(xngin_spark.catalog.events_df) so streaming and batch agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def events_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream over a directory of events parquet files.
+
+    ``max_files_per_trigger`` paces ingestion into multiple micro-batches
+    (tests use it to exercise cross-batch watermark advancement; in
+    production it is the backpressure knob).
+    """
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def to_memory_sink(
+    sdf: DataFrame, name: str, output_mode: str = "append"
+):
+    """Start ``sdf`` into an in-memory table (test/demo sink) with an
+    availableNow trigger: process everything currently in the source,
+    respecting maxFilesPerTrigger pacing, then stop."""
+    return (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_available_now(
+    sdf: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
+) -> DataFrame:
+    """Run the stream to exhaustion and return the sink table."""
+    q = to_memory_sink(sdf, name, output_mode)
+    q.awaitTermination(timeout_s)
+    spark = sdf.sparkSession
+    return spark.table(name)

