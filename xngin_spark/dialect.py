@@ -29,6 +29,12 @@ def _rewrite_fragment(frag: str) -> str:
     # equivalent for booleans (NULL-propagating, like the reference's
     # LogicKind::Xor).
     frag = re.sub(r"\bxor\b", "!=", frag, flags=re.IGNORECASE)
+    # ANSI double-quoted identifiers (the reference's Ansi dialect quotes
+    # idents with ", doradb-sql/src/parser/dialect.rs:44-75; e.g.
+    # tpch11's `as "value"`) → Spark backticks. Spark reads "..." as a
+    # string literal by default, so this runs outside single-quoted
+    # strings only.
+    frag = re.sub(r'"([^"]*)"', r"`\1`", frag)
     return frag
 
 
