@@ -1,0 +1,96 @@
+"""Plan-shape assertions — the executable twin of the reference's
+plan-level test corpus (build_lgc.rs / rule_optimize.rs, SURVEY.md §5).
+
+Each test pins a scale-critical physical property:
+- predicate pushdown reaches the parquet scan (TableScan.filt analog)
+- column pruning reaches ReadSchema (col_prune analog)
+- dimension joins broadcast (no shuffle of the fact table)
+- fused top-k plans TakeOrderedAndProject (Sort{limit} analog)
+- the whole TPC-H path stays JVM-side (no Python UDF = no
+  BatchEvalPython/ArrowEvalPython node)
+- aggregates split partial/final (map-side combine)
+- IN/EXISTS subqueries unnest to semi/anti/existence joins (the
+  mark-join rewrite the reference only planned, join/mod.rs:22-23)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from xngin_spark import queries as Q
+from xngin_spark.plans.explain import formatted_plan, pushed_filters, read_schemas
+
+Q.load_all()
+TPCH = [f"q{i}" for i in range(1, 23)]
+
+
+def q(name, spark, sf_dir):
+    return Q.QUERIES[name](spark, sf_dir)
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    pf = " ".join(pushed_filters(q("q6", spark, sf_dir)))
+    # date range + discount between + quantity < : all at the scan
+    assert "l_shipdate" in pf and "l_discount" in pf and "l_quantity" in pf
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    schemas = read_schemas(q("q6", spark, sf_dir))
+    assert schemas, "no scan found"
+    s = " ".join(schemas)
+    # only the 4 referenced lineitem columns are read (16 in the table)
+    assert "l_comment" not in s and "l_orderkey" not in s and "l_tax" not in s
+
+
+def test_q1_partial_final_aggregate_and_codegen(spark, sf_dir):
+    df = q("q1", spark, sf_dir)
+    simple = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("HashAggregate") >= 2, "no partial/final agg split"
+    assert "partial_sum" in simple, "no map-side combine"
+    # codegen ids only materialize in the AQE final plan — run THIS
+    # dataframe's plan (count() would execute a different one), then read
+    df.collect()
+    assert "codegen id" in formatted_plan(df), "whole-stage codegen not engaged"
+
+
+def test_q3_dimension_join_broadcasts(spark, sf_dir):
+    p = formatted_plan(q("q3", spark, sf_dir))
+    assert "BroadcastHashJoin" in p, "customer side should broadcast"
+
+
+def test_q5_no_cartesian_and_broadcasts(spark, sf_dir):
+    p = formatted_plan(q("q5", spark, sf_dir))
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_topk_plans_take_ordered(spark, sf_dir):
+    p = formatted_plan(q("topk_fused", spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, "Sort+Limit should fuse to top-k"
+
+
+def test_q4_exists_plans_semi_join(spark, sf_dir):
+    p = formatted_plan(q("q4", spark, sf_dir))
+    assert "LeftSemi" in p or "left_semi" in p.lower()
+
+
+def test_q22_not_exists_plans_anti_join(spark, sf_dir):
+    p = formatted_plan(q("q22", spark, sf_dir))
+    assert "LeftAnti" in p or "left_anti" in p.lower()
+
+
+@pytest.mark.parametrize("name", TPCH)
+def test_tpch_path_is_jvm_only(name, spark, sf_dir):
+    # UDFs are the slow path; the TPC-H surface must compile entirely to
+    # JVM operators (BatchEvalPython/ArrowEvalPython = row/batch Python)
+    p = formatted_plan(q(name, spark, sf_dir))
+    assert "EvalPython" not in p, f"{name} fell back to Python execution"
+
+
+@pytest.mark.parametrize("name", TPCH)
+def test_tpch_every_scan_prunes_columns(name, spark, sf_dir):
+    # no scan may read all 16 lineitem columns — col_prune always fires
+    for s in read_schemas(q(name, spark, sf_dir)):
+        assert s.count(",") < 15, f"{name} reads every lineitem column: {s}"

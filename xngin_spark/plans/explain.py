@@ -1,0 +1,54 @@
+"""Plan introspection — the analog of the reference's EXPLAIN renderer
+(doradb-plan/src/explain.rs:38-41) and the substrate for plan-shape
+tests (the executable twin of doradb-tpch-tests/tests/build_lgc.rs /
+rule_optimize.rs golden assertions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The ``explain("formatted")`` text, returned instead of printed."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Every PushedFilters entry across the plan's scans (the Spark
+    surface of the reference's ``TableScan.filt``, lgc/op.rs:543-553)."""
+    out: list[str] = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("PushedFilters:"):
+            inner = line.split(":", 1)[1].strip().strip("[]")
+            out.extend(s.strip() for s in inner.split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema line per scan — what column pruning actually reached
+    the parquet reader (the reference's ``TableScan.cols``)."""
+    return [
+        ln.strip().split(":", 1)[1].strip()
+        for ln in formatted_plan(df).splitlines()
+        if ln.strip().startswith("ReadSchema:")
+    ]
+
+
+def node_names(df: DataFrame) -> list[str]:
+    """Physical operator names in plan order (from the formatted tree)."""
+    import re
+
+    names = []
+    for ln in formatted_plan(df).splitlines():
+        m = re.match(r"\s*[*+\-]*\s*\(?\d*\)?\s*([A-Za-z][A-Za-z0-9]+)", ln)
+        if m and not ln.lstrip().startswith(("Output", "Input", "Arguments", "Functions",
+                                            "Aggregate", "Keys", "Results", "Condition",
+                                            "Location", "ReadSchema", "PushedFilters",
+                                            "PartitionFilters", "DataFilters", "Batched",
+                                            "Subquery:", "Format")):
+            names.append(m.group(1))
+    return names
