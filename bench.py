@@ -36,6 +36,11 @@ def main() -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             spark.read.parquet(path).count()
+    # warm the Python worker pool (forked + pandas-imported lazily on
+    # first use) so pandas-UDF queries aren't charged the one-time cost
+    spark.range(0, 1024, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
     startup = time.perf_counter() - t0
 
     only = set(sys.argv[1:])

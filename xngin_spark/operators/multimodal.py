@@ -92,7 +92,13 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
                 }
             )
 
-    return media.select("doc_id", "payload").mapInPandas(process, MEDIA_FEATURES_SCHEMA)
+    from xngin_spark.operators.util import fan_out
+
+    # pandas decode is the expensive stage — spread single-row-group
+    # inputs across cores before entering Python
+    return fan_out(media.select("doc_id", "payload")).mapInPandas(
+        process, MEDIA_FEATURES_SCHEMA
+    )
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:

@@ -26,6 +26,8 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from xngin_spark.operators.util import fan_out
+
 DEC9 = "decimal(25,9)"
 
 
@@ -59,7 +61,9 @@ def cosine_topk(
     partitioned by qid. The only shuffle is on (qid, id) partial dot
     products; corpus text/embeddings never re-shuffle.
     """
-    c = corpus.select(F.col(id_col).alias("cid"), F.posexplode(vec_col).alias("pos", "cx"))
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("cid"), F.posexplode(vec_col).alias("pos", "cx")
+    )
     q = queries.select(
         F.col(query_id_col).alias("qid"), F.posexplode(vec_col).alias("pos", "qx")
     )
@@ -132,7 +136,7 @@ def cosine_topk_lsh(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("bucket", lsh_signature(vec_col, planes))
+    c = fan_out(corpus).withColumn("bucket", lsh_signature(vec_col, planes))
     qsig = queries.withColumn("sig", lsh_signature(vec_col, planes))
     probes = [F.col("sig")] + [
         F.col("sig").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)
