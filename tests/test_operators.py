@@ -110,3 +110,70 @@ def test_frame_sample_explosion(spark):
     frames = M.frame_sample(M.as_media_table(d), every_n_bytes=64, max_frames=8).collect()
     assert len(frames) == 4  # 300 bytes / 64 → frames 0..3
     assert all(len(r["frame_bytes"]) <= 64 for r in frames)
+
+
+def test_cosine_dup_pairs_blocked_matches_unblocked(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)], i % 2) for i in range(30)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_dup_pairs(emb, threshold=0.3, block_col="label").collect()
+    }
+    full = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_dup_pairs(emb, threshold=0.3).collect()
+    }
+    # blocking only restricts the candidate set: subset, and exactly the
+    # same-label members of the full result
+    same_label = {(a, b) for a, b in full if a % 2 == b % 2}
+    assert blocked == same_label
+
+
+def test_ivf_topk_recall(spark):
+    import random
+
+    from xngin_spark.operators import clustering as C
+
+    rng = random.Random(3)
+    # clustered data: 4 centers, 15 points each
+    centers = [[rng.gauss(0, 5) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for i in range(60):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.2) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("qid"), "embedding")
+    exact = {
+        (r.qid, r.vec_id)
+        for r in S.cosine_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r.qid, r.vec_id)
+        for r in C.cosine_topk_ivf(emb, q, k=5, nlist=4, nprobe=2, max_iter=5).collect()
+    }
+    # tight clusters: the probed lists must contain the true neighbors
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_kmeans_partitions_clustered_data(spark):
+    import random
+
+    from xngin_spark.operators import clustering as C
+
+    rng = random.Random(5)
+    centers = [[10.0] * 4, [-10.0] * 4]
+    rows = [
+        (i, [x + rng.gauss(0, 0.5) for x in centers[i % 2]]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = C.kmeans_fit(emb, 2, max_iter=6)
+    assigned = C.ivf_index(emb, cents)
+    # every even id in one list, every odd in the other
+    lists = {r.vec_id: r.ivf_list for r in assigned.collect()}
+    evens = {lists[i] for i in range(0, 40, 2)}
+    odds = {lists[i] for i in range(1, 40, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds

@@ -12,7 +12,12 @@ ROWS_ONLY = sorted(n for n in Q.QUERIES if n not in Q.ORACLE)
 
 
 def test_rows_only_set_is_expected():
-    assert ROWS_ONLY == ["dedup_minhash_lsh", "dedup_simhash", "knn_cosine_lsh"]
+    assert ROWS_ONLY == [
+        "dedup_minhash_lsh",   # xxhash64 signatures — DuckDB lacks the hash
+        "dedup_simhash",       # xxhash64-based
+        "knn_cosine_ivf",      # iterative k-means training
+        "knn_cosine_lsh",      # approximate by design
+    ]
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)

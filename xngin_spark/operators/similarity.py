@@ -93,6 +93,72 @@ def cosine_topk(
     )
 
 
+def vec_norm(vec_col) -> "F.Column":
+    """Deterministic L2 norm of an array<float> column: squares
+    accumulate through DECIMAL(25,9) (exact, order-independent), final
+    sqrt in double — same recipe as the DuckDB oracles."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda a: (a.cast("double") * a.cast("double")).cast(DEC9)),
+            F.lit(0).cast(DEC9),
+            lambda acc, x: (acc + x).cast(DEC9),
+        ).cast("double")
+    )
+
+
+def vec_dot(a, b) -> "F.Column":
+    """Deterministic dot product of two array columns (decimal
+    accumulation, double result)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(DEC9)),
+        F.lit(0).cast(DEC9),
+        lambda acc, x: (acc + x).cast(DEC9),
+    ).cast("double")
+
+
+def cosine_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a < id_b, cosine ≥
+    threshold) — the embedding member of the dedup family.
+
+    ``block_col`` bounds the quadratic: only pairs sharing the block key
+    are compared (at scale, block on an LSH bucket — ``lsh_signature`` —
+    or a cluster id from ``operators.clustering``; here any column).
+    Without it this is the n² verifier, for small n or audits only.
+
+    Both sides of the self-join carry (id, norm, vec); the join shuffles
+    on the block key, so cost follows block occupancy, not n².
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        *([F.col(block_col).alias("blk")] if block_col else []),
+        vec_norm(F.col(vec_col)).alias("nrm"),
+    )
+    on = ["blk"] if block_col else []
+    a = base.select(
+        *(["blk"] if block_col else []),
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"),
+    )
+    b = base.select(
+        *(["blk"] if block_col else []),
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"),
+    )
+    pairs = a.join(b, on=on) if on else a.crossJoin(b)
+    return (
+        pairs.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", vec_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

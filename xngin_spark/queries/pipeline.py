@@ -307,3 +307,49 @@ def frame_sample_q(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     media = M.as_media_table(d)
     return M.frame_sample(media).select("doc_id", F.col("frame_no").cast("long"))
+
+
+# --- embedding near-dup + IVF ANN -----------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    n AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE)) AS nrm
+      FROM e, generate_series(1, 64) t(i)
+      GROUP BY vec_id
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(CAST(a.embedding[t.i] AS DOUBLE)
+                  * CAST(b.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE) AS dot
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
+           generate_series(1, 64) t(i)
+      GROUP BY 1, 2
+    )
+    SELECT p.id_a, p.id_b, p.dot / (na.nrm * nb.nrm) AS cosine
+    FROM p JOIN n na ON na.vec_id = p.id_a JOIN n nb ON nb.vec_id = p.id_b
+    WHERE p.dot / (na.nrm * nb.nrm) >= 0.3
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    # embedding-cosine near-dup, blocked by label (the scale path blocks
+    # on an LSH bucket / IVF list; the blocked-self-join shape is what
+    # matters). Decimal-deterministic dot+norm match the oracle exactly.
+    e = T(spark, sf_dir, "embeddings")
+    return S.cosine_dup_pairs(e, threshold=0.3, block_col="label")
+
+
+@register("knn_cosine_ivf")  # no oracle: iterative k-means training (rows-only)
+def knn_cosine_ivf(spark, sf_dir):
+    from xngin_spark.operators import clustering as C
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return C.cosine_topk_ivf(emb, queries, k=10, nlist=8, nprobe=3, max_iter=4)

@@ -195,3 +195,31 @@ def events_rate_per_user(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_stream_tumbling",
+    f"""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_expr("value", "total_value")}
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_stream_tumbling(spark, sf_dir):
+    """The STREAMING tumbling window run to exhaustion (availableNow,
+    complete mode) — proves the Structured Streaming path against the
+    same DuckDB oracle as the batch twin: incremental execution must
+    produce exactly the batch answer."""
+    import os
+    import uuid
+
+    from xngin_spark.streaming import events_stream, run_available_now, stream_tumbling
+
+    sdf = stream_tumbling(
+        events_stream(spark, os.path.join(sf_dir, "events.parquet")), delay="2 hours"
+    )
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    return run_available_now(sdf, name, output_mode="complete")

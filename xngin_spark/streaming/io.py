@@ -39,9 +39,15 @@ def events_stream(
     (tests use it to exercise cross-batch watermark advancement; in
     production it is the backpressure knob).
     """
+    import os
+
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        # FileStreamSource only lists directories; narrow with a glob
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
     df = reader.parquet(path)
     return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
