@@ -78,20 +78,24 @@ def kmeans_fit(
     dim = len(centroids[0])
     for _ in range(max_iter):
         assigned = vecs.withColumn("cl", _nearest(F.col("v"), centroids)["c"])
+        # update step: explode to (cl, dim, x) and aggregate narrow —
+        # one small fixed-shape plan per iteration (a dim-wide column
+        # aggregate recompiles dim sum expressions every iteration and
+        # dominates wall-clock)
         sums = (
-            assigned.groupBy("cl")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[
-                    F.sum(F.element_at(F.col("v"), i + 1).cast("double")).alias(f"s{i}")
-                    for i in range(dim)
-                ],
-            )
+            assigned.select("cl", F.posexplode("v").alias("i", "x"))
+            .groupBy("cl", "i")
+            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        new = list(centroids)
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
         for r in sums:
-            new[r.cl] = [r[f"s{i}"] / r.n for i in range(dim)]
+            acc.setdefault(r.cl, [0.0] * dim)[r.i] = r.s
+            cnt[r.cl] = r.n
+        new = list(centroids)
+        for cl, vec in acc.items():
+            new[cl] = [x / cnt[cl] for x in vec]
         if new == centroids:
             break
         centroids = new

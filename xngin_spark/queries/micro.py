@@ -428,3 +428,52 @@ def agg_distinct(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "agg_stats",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(25,6))) AS sx,
+             SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                 AS DECIMAL(25,6))) AS sxx
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           CAST(sx AS DOUBLE) / n AS mean_qty,
+           sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                / (n - 1)) AS stddev_qty,
+           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+                / (n - 1) AS var_qty
+    FROM s
+    ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Extended statistical aggregates (beyond the reference's 5-function
+    surface, SURVEY.md §2.2): mean/stddev/variance through the exact
+    sum/sum-of-squares formula with decimal accumulation, so both
+    engines do identical IEEE math on identical exact sums (native
+    stddev uses Welford updates whose result is order-dependent)."""
+    li = T(spark, sf_dir, "lineitem")
+    xd = F.col("l_quantity").cast("double")
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd.cast(DEC)).alias("sx"),
+        F.sum((xd * xd).cast(DEC)).alias("sxx"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    var = (sxx - sx * sx / n) / (n - 1)
+    return g.select(
+        "l_returnflag",
+        n,
+        (sx / n).alias("mean_qty"),
+        F.sqrt(var).alias("stddev_qty"),
+        var.alias("var_qty"),
+    ).orderBy("l_returnflag")

@@ -352,4 +352,8 @@ def knn_cosine_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
-    return C.cosine_topk_ivf(emb, queries, k=10, nlist=8, nprobe=3, max_iter=4)
+    # max_iter=2: each Lloyd iteration is a fresh plan (centroid
+    # literals change), so iterations cost ~1s of plan-build regardless
+    # of data size; 2 suffice for a meaningful index here. In production
+    # fit once (sampled), freeze centroids, and reuse the index.
+    return C.cosine_topk_ivf(emb, queries, k=10, nlist=8, nprobe=3, max_iter=2)
