@@ -135,3 +135,28 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_pair):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_insert_dml_paths(spark, sf_dir, tmp_path):
+    from xngin_spark.sources.writers import insert_into
+
+    spark.sql("DROP TABLE IF EXISTS dml_region")
+    src = read_parquet(spark, os.path.join(sf_dir, "region.parquet"))
+    src.write.option("path", str(tmp_path / "dml_region")).saveAsTable("dml_region")
+    try:
+        n0 = spark.table("dml_region").count()
+        # INSERT INTO ... VALUES (SQL form the reference parses)
+        spark.sql("INSERT INTO dml_region VALUES (99, 'TESTREGION')")
+        # INSERT INTO ... SELECT (programmatic, by name)
+        insert_into(
+            spark.sql("SELECT 100 AS r_regionkey, 'TESTREGION2' AS r_name"),
+            "dml_region",
+        )
+        assert spark.table("dml_region").count() == n0 + 2
+        got = {
+            r.r_regionkey
+            for r in spark.table("dml_region").filter(F.col("r_regionkey") >= 99).collect()
+        }
+        assert got == {99, 100}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_region")

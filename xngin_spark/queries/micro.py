@@ -477,3 +477,142 @@ def agg_stats(spark, sf_dir):
         F.sqrt(var).alias("stddev_qty"),
         var.alias("var_qty"),
     ).orderBy("l_returnflag")
+
+
+# --- Grouping sets / rollup / cube (beyond the reference's GROUP BY — no
+# grouping-set surface exists in its AST, SURVEY.md §2.2) -------------------
+
+
+@register(
+    "rollup_agg",
+    f"""
+    SELECT n_name, o_orderstatus,
+           CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dsum_expr("o_totalprice", "total")}
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY ROLLUP (n_name, o_orderstatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    o, c, n = (T(spark, sf_dir, t) for t in ("orders", "customer", "nation"))
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return j.rollup("n_name", "o_orderstatus").agg(
+        F.grouping("n_name").cast("long").alias("g_nation"),
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        count_star().alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total"),
+    ).select("n_name", "o_orderstatus", "g_nation", "g_status", "n_orders", "total")
+
+
+@register(
+    "cube_agg",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_expr("l_quantity", "sum_qty")}
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        count_star().alias("n"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "g_rf", "g_ls", "n", "sum_qty")
+
+
+@register(
+    "grouping_sets_agg",
+    f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {dsum_expr("o_totalprice", "total")}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_agg(spark, sf_dir):
+    # DataFrame API has rollup/cube but not arbitrary grouping sets —
+    # the SQL surface does (Spark SQL GROUPING SETS), so express it as
+    # SQL over a temp view; the semantics stay declarative/Catalyst'd.
+    o = T(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+# --- Window frame specs (rows/range between) ------------------------------
+
+
+@register(
+    "window_frames",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM orders
+      WHERE o_custkey < 200
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
+           CAST(COUNT(*)
+                OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                      RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_last_30d,
+           LAG(o_orderkey, 1, -1)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                AS prev_order,
+           FIRST_VALUE(o_orderkey)
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS first_order
+    FROM o
+    """,
+)
+def window_frames(spark, sf_dir):
+    """Window frame-spec surface: rows-frames (running/moving), a
+    range-frame over time, lag, first_value — all absent from the
+    reference (`// todo: window`, doradb-sql/src/ast.rs:1278)."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    by_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = by_time.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = by_time.rowsBetween(-2, Window.currentRow)
+    last30 = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    price_dec = F.col("o_totalprice").cast(DEC)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price_dec).over(running).cast("double").alias("running_total"),
+        (F.sum(price_dec).over(moving).cast("double") / F.count(F.lit(1)).over(moving)).alias("moving_avg3"),
+        F.count(F.lit(1)).over(last30).alias("n_last_30d"),
+        F.lag("o_orderkey", 1, -1).over(by_time).alias("prev_order"),
+        F.first("o_orderkey").over(running).alias("first_order"),
+    )

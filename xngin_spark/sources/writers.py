@@ -65,3 +65,17 @@ def write_bucketed_table(
     if path:
         writer = writer.option("path", path)
     writer.saveAsTable(table)
+
+
+def insert_into(df: DataFrame, table: str) -> None:
+    """INSERT INTO ... SELECT, executed.
+
+    The reference parses INSERT (values and select forms,
+    doradb-sql/src/ast.rs:22-33, parser/dml.rs) but never plans or
+    executes DML; here the append path is real for any saved table.
+    By-name resolution (append ``saveAsTable``) rather than positional —
+    schema-evolution-safe. UPDATE/DELETE need a transactional table
+    format (Delta/Iceberg) and stay parse-parity only, as in the
+    reference.
+    """
+    df.write.mode("append").saveAsTable(table)
