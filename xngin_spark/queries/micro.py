@@ -616,3 +616,67 @@ def window_frames(spark, sf_dir):
         F.lag("o_orderkey", 1, -1).over(by_time).alias("prev_order"),
         F.first("o_orderkey").over(running).alias("first_order"),
     )
+
+
+@register(
+    "bool_tests",
+    """
+    SELECT o_orderkey,
+           b IS TRUE AS is_t,
+           b IS NOT TRUE AS is_nt,
+           b IS FALSE AS is_f,
+           b IS NOT FALSE AS is_nf
+    FROM (SELECT o_orderkey,
+                 CASE WHEN o_orderstatus = 'P' THEN NULL
+                      ELSE o_orderstatus = 'F' END AS b
+          FROM orders WHERE o_orderkey < 500) t
+    """,
+)
+def bool_tests(spark, sf_dir):
+    """IS [NOT] TRUE/FALSE on a nullable boolean — the reference's
+    IsTrue/IsNotTrue/IsFalse/IsNotFalse predicates
+    (doradb-expr/src/pred.rs:31-58). Unlike IS NULL these never return
+    NULL (NULL IS TRUE = false), which is the MySQL-ism worth pinning.
+    DataFrame API has no operator for it; `F.expr` keeps it declarative.
+    """
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    b = F.when(F.col("o_orderstatus") == "P", F.lit(None)).otherwise(
+        F.col("o_orderstatus") == "F"
+    )
+    return o.select(
+        "o_orderkey",
+        b.alias("b"),
+    ).select(
+        "o_orderkey",
+        F.expr("b IS TRUE").alias("is_t"),
+        F.expr("b IS NOT TRUE").alias("is_nt"),
+        F.expr("b IS FALSE").alias("is_f"),
+        F.expr("b IS NOT FALSE").alias("is_nf"),
+    )
+
+
+@register(
+    "quantified_cmp",
+    """
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice > ALL (SELECT p_retailprice FROM part WHERE p_size = 1)
+      AND p_brand = ANY (SELECT p_brand FROM part WHERE p_size = 1)
+    """,
+)
+def quantified_cmp(spark, sf_dir):
+    """Quantified comparison (`> ALL`, `= ANY`) — the reference parses
+    QuantCmp (doradb-sql/src/ast.rs:758-760, 877-881); Spark SQL has no
+    quantified-comparison syntax, so we implement the standard rewrite
+    the reference would lower to: `> ALL (q)` ⇒ `> (SELECT MAX ...)` (for
+    non-null, non-empty q), `= ANY (q)` ⇒ semi join on equality.
+    """
+    p = T(spark, sf_dir, "part")
+    sized = p.filter(F.col("p_size") == 1)
+    max_price = sized.agg(F.max("p_retailprice").alias("m"))
+    return (
+        p.join(F.broadcast(max_price))
+        .filter(F.col("p_retailprice") > F.col("m"))
+        .join(sized.select("p_brand").distinct(), "p_brand", "left_semi")
+        .select("p_partkey", "p_retailprice")
+    )
