@@ -1,0 +1,49 @@
+"""Property-based tests for the dialect rewriter (hypothesis).
+
+The rewriter must never corrupt string literals and must be idempotent
+— both properties hold for ALL inputs, which example-based tests can't
+show.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xngin_spark.dialect import rewrite_sql
+
+# SQL-ish fragments: identifiers, operators, quoted strings (with ''
+# escapes), the shimmed tokens
+_token = st.one_of(
+    st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,8}", fullmatch=True),
+    st.sampled_from(
+        ["xor", "XOR", "Xor", "select", "'it''s'", "'xor'", '"value"', "<=>", "*", ",", "(", ")"]
+    ),
+)
+_sql = st.lists(_token, min_size=0, max_size=30).map(" ".join)
+
+
+@given(_sql)
+@settings(max_examples=300, deadline=None)
+def test_rewrite_idempotent(sql):
+    once = rewrite_sql(sql)
+    assert rewrite_sql(once) == once
+
+
+@given(st.lists(st.sampled_from(["xor", "abc", "1", "+"]), max_size=10).map(" ".join))
+@settings(max_examples=200, deadline=None)
+def test_single_quoted_strings_never_touched(inner):
+    lit = "'" + inner.replace("'", "''") + "'"
+    out = rewrite_sql(f"select {lit} as c")
+    assert lit in out  # the literal survives byte-for-byte
+
+
+@given(_sql)
+@settings(max_examples=300, deadline=None)
+def test_no_xor_survives_outside_strings(sql):
+    out = rewrite_sql(sql)
+    # strip single-quoted strings, then no bare xor token may remain
+    import re
+
+    stripped = re.sub(r"'(?:[^']|'')*'", "", out)
+    assert not re.search(r"\bxor\b", stripped, re.IGNORECASE)
