@@ -177,3 +177,21 @@ def test_kmeans_partitions_clustered_data(spark):
     evens = {lists[i] for i in range(0, 40, 2)}
     odds = {lists[i] for i in range(1, 40, 2)}
     assert len(evens) == 1 and len(odds) == 1 and evens != odds
+
+
+def test_salted_join_matches_plain_join(spark):
+    from xngin_spark.plans.joins import salted_join
+
+    # skewed fact: 90% of rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else i, i) for i in range(1000)], "k int, payload int"
+    )
+    dim = spark.createDataFrame([(i, f"d{i}") for i in range(100)], "k int, name string")
+    plain = big.join(dim, "k").groupBy("k").count().collect()
+    salted = salted_join(big, dim, ["k"], salt=8).groupBy("k").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+    # left join keeps unmatched big rows exactly once
+    big2 = big.withColumn("k", F.col("k") + 1000)  # no matches
+    n_plain = big2.join(dim, "k", "left").count()
+    n_salted = salted_join(big2, dim, ["k"], salt=8, how="left").count()
+    assert n_plain == n_salted == 1000

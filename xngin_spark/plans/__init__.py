@@ -19,4 +19,5 @@ from xngin_spark.plans.joins import (  # noqa: F401
     anti_join,
     mark_join,
     single_join,
+    salted_join,
 )

@@ -168,3 +168,33 @@ def _conj(conds: list[Column]) -> Column:
     for c in conds[1:]:
         out = out & c
     return out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    keys: list[str],
+    salt: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-resistant equi-join: spread each hot key of ``big`` across
+    ``salt`` shuffle partitions by joining on (keys + salt bucket), with
+    ``small`` replicated ``salt`` times.
+
+    Use when one side has pathological key skew (one key = 10% of rows),
+    the other side is too big to broadcast, and AQE's skew-join split
+    isn't enough (it splits partitions, not single hot keys' hash
+    bucket). Cost: |small| × salt replication — pick the smaller side as
+    ``small`` and size ``salt`` ≈ (hot-key rows) / (target partition
+    rows). Result is identical to a plain join for every ``how`` that
+    keeps all big-side rows matched the same way (inner/left).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    b = big.withColumn("__salt", (F.rand(seed) * salt).cast("int"))
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = b.join(s, on=keys + ["__salt"], how=how)
+    return out.drop("__salt")
