@@ -195,3 +195,25 @@ def test_salted_join_matches_plain_join(spark):
     n_plain = big2.join(dim, "k", "left").count()
     n_salted = salted_join(big2, dim, ["k"], salt=8, how="left").count()
     assert n_plain == n_salted == 1000
+
+
+def test_single_join_uniqueness_guard(spark):
+    from xngin_spark.plans.joins import single_join
+
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    # k=1 unique, k=2 duplicated, k=3 absent
+    right_ok = spark.createDataFrame([(1, 10), (3, 30)], "rk int, v int")
+    ok = single_join(
+        left.filter(F.col("k") != 2), right_ok, F.col("k"), F.col("rk"), F.col("v"), "val"
+    ).collect()
+    assert {(r.k, r.val) for r in ok} == {(1, 10), (3, 30)}
+    right_missing = spark.createDataFrame([(1, 10)], "rk int, v int")
+    got = {r.k: r.val for r in single_join(
+        left, right_missing, F.col("k"), F.col("rk"), F.col("v"), "val"
+    ).collect()}
+    assert got[2] is None and got[3] is None  # no match -> NULL
+    # duplicate match -> runtime error (ExprKind::Attval semantics,
+    # doradb-expr/src/expr.rs:42-45)
+    right_dup = spark.createDataFrame([(2, 20), (2, 21)], "rk int, v int")
+    with pytest.raises(Exception, match="more than one row"):
+        single_join(left, right_dup, F.col("k"), F.col("rk"), F.col("v"), "val").collect()
