@@ -45,6 +45,7 @@ def main() -> None:
 
     only = set(sys.argv[1:])
     timings: dict[str, float] = {}
+    empty: list[str] = []
     for name in sorted(Q.QUERIES):
         if only and name not in only:
             continue
@@ -58,7 +59,13 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(time.perf_counter() - t, 3)
-        print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
+        if n == 0:
+            # a 0-row result at bench scale makes the oracle comparison
+            # vacuous — surface it loudly instead of reporting a green time
+            empty.append(name)
+            print(f"# {name}: EMPTY RESULT ({timings[name]}s)", file=sys.stderr)
+        else:
+            print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -71,6 +78,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "startup_sec": round(startup, 3),
+                "empty_results": empty,
             }
         )
     )

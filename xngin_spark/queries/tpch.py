@@ -35,8 +35,22 @@ from xngin_spark.plans.joins import anti_join, null_aware_anti_join, semi_join
 from xngin_spark.queries import register
 
 
+# Analyzed-scan cache: resolving a parquet scan re-reads file footers and
+# re-runs schema resolution every time; a 68-query suite over 10 tables
+# repeats that work hundreds of times for identical scans.  DataFrames
+# are immutable, so reusing the analyzed relation is safe — every
+# downstream transformation builds a fresh plan on top.  Keyed by the
+# live session object (a restarted session gets fresh entries).
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (id(spark), sf_dir, name)
+    df = _SCAN_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _SCAN_CACHE[key] = df
+    return df
 
 
 def ts(s: str) -> datetime:
