@@ -59,6 +59,11 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(time.perf_counter() - t, 3)
+        # free any operator-internal caches (e.g. minhash signatures)
+        # so 68 queries in one session don't accumulate storage memory
+        from xngin_spark.operators.dedup import release_persisted
+
+        release_persisted()
         if n == 0:
             # a 0-row result at bench scale makes the oracle comparison
             # vacuous — surface it loudly instead of reporting a green time

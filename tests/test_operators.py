@@ -217,3 +217,55 @@ def test_single_join_uniqueness_guard(spark):
     right_dup = spark.createDataFrame([(2, 20), (2, 21)], "rk int, v int")
     with pytest.raises(Exception, match="more than one row"):
         single_join(left, right_dup, F.col("k"), F.col("rk"), F.col("v"), "val").collect()
+
+
+def test_mark_join_wide_right_no_duplication(spark):
+    # A right side carrying non-key columns must not duplicate left rows:
+    # mark_join distincts only the cond-referenced columns (VERDICT r1 #3).
+    from xngin_spark.plans.joins import mark_join
+
+    left = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+    wide_right = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (1, "c", 30.0), (9, "z", 0.0)],
+        "rk int, tag string, pay double",
+    )
+    out = mark_join(left, wide_right, left["k"] == wide_right["rk"], mark="m")
+    rows = {(r.k, r.m) for r in out.collect()}
+    assert out.count() == 3  # one row per left row, no fan-out
+    assert rows == {(1, True), (2, False), (3, False)}
+    # only left columns + the mark survive
+    assert out.columns == ["k", "m"]
+
+
+def test_mark_join_unresolved_cols_and_no_right_ref(spark):
+    from xngin_spark.plans.joins import mark_join
+
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame([(1, "x")], "rk int, extra string")
+    out = mark_join(left, right, F.col("k") == F.col("rk"), mark="m")
+    assert {(r.k, r.m) for r in out.collect()} == {(1, True), (2, False)}
+    with pytest.raises(ValueError, match="references no column"):
+        mark_join(left, right, F.col("k") == F.col("k"), mark="m")
+
+
+def test_minhash_lsh_bucket_cap(spark):
+    # A planted mega-cluster (identical boilerplate) must not reach the
+    # pairing join when max_bucket_size caps it; unrelated near-dup
+    # pairs in small buckets survive.
+    from xngin_spark.operators.dedup import minhash_lsh_pairs, release_persisted
+
+    boiler = [(i, "all rights reserved standard license header text here") for i in range(40)]
+    near = [
+        (100, "the quick brown fox jumps over the lazy dog tonight again"),
+        (101, "the quick brown fox jumps over the lazy dog tonight indeed"),
+    ]
+    docs = spark.createDataFrame(boiler + near, "doc_id int, text string")
+    uncapped = minhash_lsh_pairs(docs, threshold=0.5)
+    got = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    assert (100, 101) in got
+    assert any(a < 40 and b < 40 for a, b in got)  # mega-cluster pairs present
+    capped = minhash_lsh_pairs(docs, threshold=0.5, max_bucket_size=10)
+    got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got_capped  # small-bucket pair survives the cap
+    assert not any(a < 40 and b < 40 for a, b in got_capped)
+    release_persisted()

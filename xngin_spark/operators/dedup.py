@@ -34,6 +34,19 @@ from xngin_spark.operators.util import fan_out
 # permutation are noise for dedup purposes).
 _P = (1 << 31) - 1
 
+# DataFrames persisted internally by operators in this module (e.g. the
+# minhash signature cache). Persisted RDDs outlive the returned result
+# in a long-lived session, so callers that loop over many dedup runs
+# should call release_persisted() after materializing each result.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every internally persisted DataFrame (safe anytime:
+    unpersisted lineage recomputes on next use rather than failing)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 def _perm_consts(k: int, seed: int = 42) -> list[tuple[int, int]]:
     # deterministic LCG so signatures are reproducible across runs/engines
@@ -127,6 +140,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.7,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via banded LSH.
 
@@ -137,9 +151,21 @@ def minhash_lsh_pairs(
     verification.
 
     Scale shape: signatures (n × k×8B) → explode to n×bands tiny rows →
-    shuffle on (band, band_hash) → within-bucket self-pairs. Skewed
-    buckets (boilerplate docs) are bounded by spark.sql.adaptive skew
-    handling; pathological buckets can be capped by size filter.
+    shuffle on (band, band_hash) → within-bucket self-pairs. AQE's
+    skew-join split rebalances moderately skewed buckets, but a single
+    pathological bucket (m near-identical boilerplate docs) still costs
+    O(m²) candidate pairs no matter how it's split — at 100 TB, one
+    million-doc license-header cluster is a job-killer. Set
+    ``max_bucket_size`` to drop (band, bucket) groups larger than the
+    cap before pairing. Recall impact: only pairs whose EVERY matching
+    band lands in an over-cap bucket are lost — i.e. members of
+    mega-clusters, which exact dedup already collapses upstream and
+    which rarely need pairwise enumeration (dedup wants one keeper per
+    cluster, not m² edges).
+
+    The signature cache persisted internally is tracked; call
+    ``release_persisted()`` after materializing the result to free
+    executor storage in long-lived sessions.
     """
     r = k // bands
     # signatures feed banding AND both sides of the verification join —
@@ -150,6 +176,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _PERSISTED.append(sigs)
     # materialize eagerly: the banding stage and both verification-join
     # sides consume `sigs`; without a barrier they race the cold cache
     # and each recomputes the signatures
@@ -168,6 +195,17 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    if max_bucket_size is not None:
+        # one extra (band,bucket) count agg (map-side partial, 24B rows)
+        # buys an O(m²) -> 0 cut on every over-cap bucket
+        ok_buckets = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .drop("__bsz")
+        )
+        banded = banded.join(ok_buckets, on=["band", "bucket"])
 
     # candidate generation shuffles (band, bucket, id) — 24 bytes/row;
     # signatures rejoin AFTER pair dedup so the k×8B arrays never ride

@@ -121,17 +121,22 @@ def mark_join(
     a right match exists (the shape needed when EXISTS appears under OR).
 
     Encoding: left join against the distinct right keys extended with a
-    constant flag, then coalesce(flag, false). Distinct-ing the right
-    side keeps the join 1:1 so no duplication occurs.
+    constant flag, then coalesce(flag, false). Only the right columns the
+    condition actually references are kept before the ``distinct`` — a
+    right side carrying extra non-key columns must not defeat the
+    dedup (that would silently duplicate left rows). Consequently the
+    output is exactly ``left`` + the mark column, matching the
+    reference's mark-join projection (only the mark is visible).
     """
     if isinstance(cond, list):
         cond = _conj(cond)
-    r = right.distinct().withColumn("__mark__", F.lit(True))
-    r = F.broadcast(r) if broadcast else r
+    keys = _referenced_cols(left, right, cond)
+    proj = right.select(*keys).distinct().withColumn("__mark__", F.lit(True))
+    r = F.broadcast(proj) if broadcast else proj
     out = left.join(r, on=cond, how="left")
-    return out.withColumn(mark, F.coalesce(F.col("__mark__"), F.lit(False))).drop(
-        "__mark__"
-    )
+    out = out.withColumn(mark, F.coalesce(proj["__mark__"], F.lit(False)))
+    # drop by Column reference so same-named left columns survive
+    return out.drop(proj["__mark__"], *[proj[k] for k in keys])
 
 
 def single_join(
@@ -161,6 +166,32 @@ def single_join(
         F.raise_error(F.lit("scalar subquery returned more than one row")),
     ).otherwise(F.col("__val"))
     return out.withColumn(out_name, guarded).drop("__sk", "__cnt", "__val")
+
+
+def _referenced_cols(left: DataFrame, right: DataFrame, cond: Column) -> list[str]:
+    """Names of ``right``'s columns referenced by join condition ``cond``.
+
+    Resolution happens through a throwaway analyzed join (plan-time only,
+    nothing executes), so both resolved ``df["k"]`` and unresolved
+    ``F.col("k")`` conditions work, and exprId matching stays correct
+    even when Catalyst's self-join dedup re-aliases the right side (the
+    analyzed Join's right-child output is positionally aligned with
+    ``right.columns``). Raises if nothing matches — a mark-join
+    condition that touches no right column is a caller bug, and silently
+    keeping the whole row would reintroduce the duplication footgun.
+    """
+    plan = left.join(right, cond, "left")._jdf.queryExecution().analyzed()
+    refs = plan.condition().get().references().toSeq()
+    ref_ids = {refs.apply(i).exprId().id() for i in range(refs.size())}
+    r_out = plan.right().output()
+    cols = [
+        right.columns[i]
+        for i in range(r_out.size())
+        if r_out.apply(i).exprId().id() in ref_ids
+    ]
+    if not cols:
+        raise ValueError("join condition references no column of the right side")
+    return cols
 
 
 def _conj(conds: list[Column]) -> Column:
