@@ -47,3 +47,28 @@ def test_no_xor_survives_outside_strings(sql):
 
     stripped = re.sub(r"'(?:[^']|'')*'", "", out)
     assert not re.search(r"\bxor\b", stripped, re.IGNORECASE)
+
+
+def test_ansi_escaped_identifier():
+    # "a""b" names the identifier a"b -> backticked `a"b`
+    assert rewrite_sql('select x as "a""b"') == 'select x as `a"b`'
+    # a backtick inside a quoted ident must be doubled for Spark
+    assert rewrite_sql('select x as "a`b"') == "select x as `a``b`"
+
+
+def test_mysql_dialect_double_quoted_strings_protected():
+    sql = 'select "a xor b", c from t'
+    assert rewrite_sql(sql, dialect="mysql") == sql
+    assert rewrite_sql("select a xor b", dialect="mysql") == "select a != b"
+
+
+def test_spark_dialect_passthrough():
+    sql = 'select "literal string", a xor b from t'
+    assert rewrite_sql(sql, dialect="spark") == sql
+
+
+def test_unknown_dialect_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown dialect"):
+        rewrite_sql("select 1", dialect="postgres")

@@ -31,9 +31,15 @@ class Engine:
         if data_dir:
             self.catalog.register_dir(data_dir)
 
-    def sql(self, query: str) -> DataFrame:
-        """Run SQL in the reference's dialect surface (MySQL-isms shimmed)."""
-        return self.spark.sql(rewrite_sql(query))
+    def sql(self, query: str, dialect: str = "ansi") -> DataFrame:
+        """Run SQL in the reference's dialect surface (MySQL-isms shimmed).
+
+        ``dialect`` selects the input dialect like the reference's
+        parser flag (doradb-sql/src/parser/dialect.rs:14-20):
+        ``ansi`` (default, "ident" quoting), ``mysql`` ("string"
+        literals), or ``spark`` for untouched Spark SQL.
+        """
+        return self.spark.sql(rewrite_sql(query, dialect))
 
     def table(self, name: str) -> DataFrame:
         return self.catalog.table(name)

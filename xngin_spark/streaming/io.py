@@ -70,8 +70,15 @@ def to_memory_sink(
 def run_available_now(
     sdf: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
 ) -> DataFrame:
-    """Run the stream to exhaustion and return the sink table."""
+    """Run the stream to exhaustion and return the sink table.
+
+    Raises TimeoutError if the availableNow run doesn't finish in
+    ``timeout_s`` — returning a partially-populated sink while the query
+    keeps running in the background would silently truncate results.
+    """
     q = to_memory_sink(sdf, name, output_mode)
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"stream {name!r} did not finish in {timeout_s}s")
     spark = sdf.sparkSession
     return spark.table(name)
