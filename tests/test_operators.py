@@ -269,3 +269,65 @@ def test_minhash_lsh_bucket_cap(spark):
     assert (100, 101) in got_capped  # small-bucket pair survives the cap
     assert not any(a < 40 and b < 40 for a, b in got_capped)
     release_persisted()
+
+
+@pytest.mark.parametrize(
+    "key,val",
+    [
+        ("spark.sql.ansi.enabled", "true"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.codegen.wholeStage", "false"),
+        ("spark.sql.adaptive.enabled", "false"),
+    ],
+)
+def test_single_join_guard_conf_matrix(spark, key, val):
+    # SURVEY §7 hard-point 3: the Attval multi-row error must hold (and
+    # the happy path stay correct) regardless of session conf — the
+    # guard is an explicit raise_error expression, not a legacy-config-
+    # dependent Spark behavior, and this pins that.
+    from xngin_spark.plans.joins import single_join
+
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, val)
+    try:
+        left = spark.createDataFrame([(1,), (2,)], "k int")
+        right = spark.createDataFrame([(1, 10)], "rk int, v int")
+        got = {r.k: r.val for r in single_join(
+            left, right, F.col("k"), F.col("rk"), F.col("v"), "val"
+        ).collect()}
+        assert got == {1: 10, 2: None}
+        dup = spark.createDataFrame([(1, 10), (1, 11)], "rk int, v int")
+        with pytest.raises(Exception, match="more than one row"):
+            single_join(left, dup, F.col("k"), F.col("rk"), F.col("v"), "val").collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_quantified_all_boundary_semantics(spark):
+    # empty subquery -> TRUE; NULL x -> NULL; counterexample -> FALSE;
+    # no counterexample but NULLs in subquery -> NULL
+    from xngin_spark.plans.joins import quantified_all
+
+    left = spark.createDataFrame([(1, 5.0), (2, None), (3, 100.0)], "k int, x double")
+    empty = spark.createDataFrame([], "v double")
+    out = {r.k: r.a for r in quantified_all(
+        left, F.col("x"), empty, "v", ">", "a"
+    ).collect()}
+    assert out == {1: True, 2: True, 3: True}  # > ALL (empty) is TRUE even for NULL x
+    sub = spark.createDataFrame([(10.0,), (None,)], "v double")
+    out = {r.k: r.a for r in quantified_all(
+        left, F.col("x"), sub, "v", ">", "a"
+    ).collect()}
+    assert out == {1: False, 2: None, 3: None}
+    nonull = spark.createDataFrame([(10.0,), (50.0,)], "v double")
+    out = {r.k: r.a for r in quantified_all(
+        left, F.col("x"), nonull, "v", ">", "a"
+    ).collect()}
+    assert out == {1: False, 2: None, 3: True}
+    out = {r.k: r.a for r in quantified_all(
+        left, F.col("x"), nonull, "v", "<", "a"
+    ).collect()}
+    assert out == {1: True, 2: None, 3: False}

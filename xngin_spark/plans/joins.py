@@ -168,6 +168,51 @@ def single_join(
     return out.withColumn(out_name, guarded).drop("__sk", "__cnt", "__val")
 
 
+def quantified_all(
+    left: DataFrame,
+    x: Column,
+    sub: DataFrame,
+    sub_col: str,
+    op: str,
+    out_name: str,
+) -> DataFrame:
+    """``x <op> ALL (SELECT sub_col FROM sub)`` as a boolean column —
+    the reference's QuantCmp (doradb-sql/src/ast.rs:758-760) lowered
+    with full SQL three-valued semantics, not the naive MAX rewrite:
+
+    - empty subquery      → TRUE (the naive ``x > (SELECT MAX ...)``
+      yields NULL here — wrong);
+    - x NULL (non-empty)  → NULL;
+    - counterexample row  → FALSE;
+    - no counterexample but subquery has NULLs → NULL.
+
+    One extreme-value aggregate (max for >/>=, min for </<=) plus
+    count(*) / count(col) broadcast-attached to every left row; the
+    subquery is never joined row-by-row, so cost is one scan of ``sub``
+    regardless of |left|.
+    """
+    extreme, cmp = {
+        ">": (F.max, lambda a, m: a > m),
+        ">=": (F.max, lambda a, m: a >= m),
+        "<": (F.min, lambda a, m: a < m),
+        "<=": (F.min, lambda a, m: a <= m),
+    }[op]
+    agg = sub.agg(
+        extreme(sub_col).alias("__m"),
+        F.count(F.lit(1)).alias("__cnt"),
+        F.count(sub_col).alias("__nn"),
+    )
+    pred = (
+        F.when(F.col("__cnt") == 0, F.lit(True))
+        .when(x.isNull(), F.lit(None))
+        .when(~cmp(x, F.col("__m")), F.lit(False))
+        .when(F.col("__nn") < F.col("__cnt"), F.lit(None))
+        .otherwise(F.lit(True))
+    )
+    out = left.join(F.broadcast(agg))
+    return out.withColumn(out_name, pred).drop("__m", "__cnt", "__nn")
+
+
 def _referenced_cols(left: DataFrame, right: DataFrame, cond: Column) -> list[str]:
     """Names of ``right``'s columns referenced by join condition ``cond``.
 

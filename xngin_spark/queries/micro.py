@@ -30,7 +30,7 @@ from xngin_spark.functions.scalar import int_div
 from xngin_spark.plans.builders import limit as limit_op
 from xngin_spark.plans.builders import row as row_op
 from xngin_spark.plans.builders import setop, sort
-from xngin_spark.plans.joins import cross_join, mark_join, single_join
+from xngin_spark.plans.joins import cross_join, mark_join, quantified_all, single_join
 from xngin_spark.queries import register
 from xngin_spark.queries.tpch import T
 
@@ -658,25 +658,50 @@ def bool_tests(spark, sf_dir):
 @register(
     "quantified_cmp",
     """
-    SELECT p_partkey, p_retailprice
+    SELECT p_partkey, p_retailprice,
+           p_retailprice > ALL (SELECT p_retailprice FROM part
+                                WHERE p_size = 1) AS gt_all,
+           p_retailprice > ALL (SELECT p_retailprice FROM part
+                                WHERE p_size = -1) AS gt_all_empty,
+           p_retailprice > ALL (SELECT CASE WHEN p_partkey % 10 = 0
+                                            THEN NULL
+                                            ELSE p_retailprice END
+                                FROM part WHERE p_size = 1) AS gt_all_null,
+           p_brand = ANY (SELECT p_brand FROM part WHERE p_size = 1) AS eq_any
     FROM part
-    WHERE p_retailprice > ALL (SELECT p_retailprice FROM part WHERE p_size = 1)
-      AND p_brand = ANY (SELECT p_brand FROM part WHERE p_size = 1)
     """,
 )
 def quantified_cmp(spark, sf_dir):
     """Quantified comparison (`> ALL`, `= ANY`) — the reference parses
     QuantCmp (doradb-sql/src/ast.rs:758-760, 877-881); Spark SQL has no
-    quantified-comparison syntax, so we implement the standard rewrite
-    the reference would lower to: `> ALL (q)` ⇒ `> (SELECT MAX ...)` (for
-    non-null, non-empty q), `= ANY (q)` ⇒ semi join on equality.
+    quantified-comparison syntax, so we lower it ourselves:
+    `<op> ALL (q)` via quantified_all (extreme-value attach with the
+    empty-set/NULL guard — DuckDB runs the real `> ALL` as the oracle,
+    including an empty subquery and a NULL-bearing one to pin the
+    boundary semantics), `= ANY (q)` via mark_join (ExistenceJoin).
     """
     p = T(spark, sf_dir, "part")
     sized = p.filter(F.col("p_size") == 1)
-    max_price = sized.agg(F.max("p_retailprice").alias("m"))
-    return (
-        p.join(F.broadcast(max_price))
-        .filter(F.col("p_retailprice") > F.col("m"))
-        .join(sized.select("p_brand").distinct(), "p_brand", "left_semi")
-        .select("p_partkey", "p_retailprice")
+    out = quantified_all(
+        p, F.col("p_retailprice"), sized.select("p_retailprice"), "p_retailprice",
+        ">", "gt_all",
+    )
+    empty_sub = p.filter(F.col("p_size") == -1).select("p_retailprice")
+    out = quantified_all(
+        out, F.col("p_retailprice"), empty_sub, "p_retailprice", ">", "gt_all_empty"
+    )
+    null_sub = sized.select(
+        F.when(F.col("p_partkey") % 10 == 0, F.lit(None))
+        .otherwise(F.col("p_retailprice"))
+        .alias("pr")
+    )
+    out = quantified_all(
+        out, F.col("p_retailprice"), null_sub, "pr", ">", "gt_all_null"
+    )
+    brands = sized.select(F.col("p_brand").alias("__b"))
+    out = mark_join(
+        out, brands, F.col("p_brand") == F.col("__b"), mark="eq_any", broadcast=True
+    )
+    return out.select(
+        "p_partkey", "p_retailprice", "gt_all", "gt_all_empty", "gt_all_null", "eq_any"
     )
