@@ -1,0 +1,80 @@
+"""Per-query plan-diff regression harness.
+
+``plan_snapshots.json`` pins the scale-relevant physical-node counts
+(shuffles, join strategies, Python-eval boundaries, fused top-k — see
+``PLAN_SIG_NODES``) for every registered batch query at sf0.001. A diff
+means the physical strategy changed: a new Exchange, a broadcast join
+degrading to sort-merge, a Python boundary appearing. Results can stay
+bit-correct through all of those — only this harness catches them.
+
+Regenerate intentionally after a deliberate plan change:
+
+    XNGIN_REGEN_PLAN_SNAPSHOTS=1 python -m pytest \
+        tests/test_plan_snapshots.py -q -k regen
+
+The harness's own sensitivity is proven by
+``test_harness_catches_broadcast_regression``, which injects a
+broadcast->shuffle flip (autoBroadcastJoinThreshold=-1) and asserts the
+signature comparison fails.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import pytest
+
+from xngin_spark import queries as Q
+from xngin_spark.plans.explain import plan_signature
+
+Q.load_all()
+
+SNAP_PATH = Path(__file__).parent / "plan_snapshots.json"
+# events_stream_tumbling runs a Structured Streaming query during plan
+# construction; its incremental plan isn't comparable here (covered by
+# tests/test_streaming.py batch-as-oracle instead).
+SKIP = {"events_stream_tumbling"}
+NAMES = sorted(n for n in Q.QUERIES if n not in SKIP)
+
+
+def _load() -> dict[str, dict[str, int]]:
+    if not SNAP_PATH.exists():
+        return {}
+    return json.loads(SNAP_PATH.read_text())
+
+
+@pytest.mark.skipif(
+    not os.environ.get("XNGIN_REGEN_PLAN_SNAPSHOTS"), reason="regen is opt-in"
+)
+def test_regen_snapshots(spark, sf_dir):
+    snaps = {n: plan_signature(Q.QUERIES[n](spark, sf_dir)) for n in NAMES}
+    SNAP_PATH.write_text(json.dumps(snaps, indent=1, sort_keys=True) + "\n")
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_plan_signature_unchanged(name, spark, sf_dir):
+    snaps = _load()
+    assert name in snaps, (
+        f"{name} has no plan snapshot — regenerate with "
+        "XNGIN_REGEN_PLAN_SNAPSHOTS=1 pytest tests/test_plan_snapshots.py -k regen"
+    )
+    sig = plan_signature(Q.QUERIES[name](spark, sf_dir))
+    assert sig == snaps[name], (
+        f"{name}: physical plan shape changed.\n  snapshot: {snaps[name]}\n"
+        f"  current:  {sig}\nIf intentional, regenerate the snapshot."
+    )
+
+
+def test_harness_catches_broadcast_regression(spark, sf_dir):
+    snaps = _load()
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        sig = plan_signature(Q.QUERIES["q3"](spark, sf_dir))
+    finally:
+        spark.conf.set(key, old)
+    assert sig != snaps["q3"], "harness failed to detect an injected regression"
+    assert sig.get("BroadcastHashJoin", 0) < snaps["q3"].get("BroadcastHashJoin", 0)

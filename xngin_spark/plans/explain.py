@@ -38,6 +38,36 @@ def read_schemas(df: DataFrame) -> list[str]:
     ]
 
 
+# Node kinds that determine scale behavior: every entry is either a
+# shuffle, a join strategy, a Python-eval boundary, or a fused top-k.
+# A plan-signature diff on these is a performance regression even when
+# results stay correct (e.g. a dimension join silently flipping from
+# broadcast to sort-merge).
+PLAN_SIG_NODES = (
+    "Exchange",
+    "BroadcastExchange",
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "TakeOrderedAndProject",
+)
+
+
+def plan_signature(df: DataFrame) -> dict[str, int]:
+    """Counts of scale-relevant physical nodes — the snapshot unit for
+    the plan-diff regression harness (tests/test_plan_snapshots.py)."""
+    from collections import Counter
+
+    c = Counter(node_names(df))
+    return {k: c[k] for k in PLAN_SIG_NODES if c[k]}
+
+
 def node_names(df: DataFrame) -> list[str]:
     """Physical operator names in plan order (from the formatted tree)."""
     import re
