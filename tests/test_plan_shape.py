@@ -94,3 +94,29 @@ def test_tpch_every_scan_prunes_columns(name, spark, sf_dir):
     # no scan may read all 16 lineitem columns — col_prune always fires
     for s in read_schemas(q(name, spark, sf_dir)):
         assert s.count(",") < 15, f"{name} reads every lineitem column: {s}"
+
+
+def test_bucketed_tpch_drops_fact_shuffles(spark, sf_dir):
+    # The bucketed variants must eliminate the orderkey Exchange on BOTH
+    # fact sides (orders, lineitem). Broadcast off + AQE off so the
+    # static plan shows the real shuffle structure at scale.
+    from xngin_spark.plans.explain import plan_signature
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        for name in ("q3", "q18"):
+            plain = plan_signature(Q.QUERIES[name](spark, sf_dir))
+            bkt = plan_signature(Q.QUERIES[f"{name}_bucketed"](spark, sf_dir))
+            assert bkt.get("Exchange", 0) <= plain.get("Exchange", 0) - 2, (
+                f"{name}: bucketed layout did not drop both fact-side "
+                f"shuffles (plain={plain}, bucketed={bkt})"
+            )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -1,0 +1,86 @@
+"""Bucketed-layout TPC-H variants — the Spark analog of the reference's
+shard-key table attribute (``SK`` in doradb-catalog/src/lib.rs:147-153):
+co-locating orders and lineitem on the join key at WRITE time so the
+fact-fact join never shuffles at READ time.
+
+``q3_bucketed`` / ``q5_bucketed`` / ``q18_bucketed`` run the *same*
+query definitions as q3/q5/q18 (via the table-override hook in
+``tpch.T``) against orders/lineitem persisted bucketed+sorted by
+orderkey. Results are identical (same oracle SQL); the physical plans
+drop the orderkey Exchange on both fact sides — asserted in
+tests/test_plan_shape.py. At 100 TB this is the difference between
+shuffling the two largest tables per query and never shuffling them:
+the one-time layout cost is paid at ingest, like the reference's
+sharded storage.
+
+Bucket count here is 16 (local-scale); size it at ~100-200 MB per
+bucket of lineitem for a real cluster (O(10^5) buckets at 100 TB).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xngin_spark.queries import ORACLE, QUERIES, register
+from xngin_spark.queries import tpch  # noqa: F401 — ensures q3/q5/q18 registered
+from xngin_spark.sources.writers import write_bucketed_table
+
+_BUCKETS = 16
+
+
+def _tag(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
+
+
+def ensure_bucketed(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    """Write bucketed twins of orders/lineitem for ``sf_dir`` once per
+    warehouse; return {logical name -> managed table name}."""
+    tag = _tag(sf_dir)
+    mapping = {}
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        table = f"{name}_bkt_{tag}"
+        if not spark.catalog.tableExists(table):
+            # catalog metadata is session-scoped but the warehouse dir
+            # persists: a location left by a previous session must be
+            # cleared before the managed CTAS (it's a derived artifact,
+            # rebuilt bit-identically from the parquet source)
+            import os
+            import shutil
+
+            wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            loc = os.path.join(wh, table)
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+            df = tpch.T(spark, sf_dir, name)
+            write_bucketed_table(
+                df, table, [key], _BUCKETS, sort_cols=[key], mode="overwrite"
+            )
+        mapping[name] = table
+    return mapping
+
+
+@contextmanager
+def _overridden(mapping: dict[str, str]):
+    tpch._TABLE_OVERRIDES.update(mapping)
+    try:
+        yield
+    finally:
+        for k in mapping:
+            tpch._TABLE_OVERRIDES.pop(k, None)
+
+
+def _bucketed_variant(base: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        mapping = ensure_bucketed(spark, sf_dir)
+        with _overridden(mapping):
+            return QUERIES[base](spark, sf_dir)
+
+    run.__name__ = f"{base}_bucketed"
+    run.__doc__ = f"{base} against orderkey-bucketed orders/lineitem (same oracle)."
+    return run
+
+
+for _base in ("q3", "q5", "q18"):
+    register(f"{_base}_bucketed", ORACLE[_base])(_bucketed_variant(_base))

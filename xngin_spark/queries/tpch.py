@@ -43,8 +43,18 @@ from xngin_spark.queries import register
 # live session object (a restarted session gets fresh entries).
 _SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
+# (table name -> managed-table name) overrides, set temporarily by
+# queries.bucketed so the physical-layout variants reuse the exact
+# query definitions below against bucketed tables instead of raw
+# parquet. Only consulted during DataFrame *construction* — once built,
+# a plan no longer goes through T().
+_TABLE_OVERRIDES: dict[str, str] = {}
+
 
 def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    override = _TABLE_OVERRIDES.get(name)
+    if override is not None:
+        return spark.table(override)
     key = (id(spark), sf_dir, name)
     df = _SCAN_CACHE.get(key)
     if df is None:
