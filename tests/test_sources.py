@@ -160,3 +160,74 @@ def test_insert_dml_paths(spark, sf_dir, tmp_path):
         assert got == {99, 100}
     finally:
         spark.sql("DROP TABLE IF EXISTS dml_region")
+
+
+# --- copy-on-write UPDATE / DELETE (sources/dml.py) ----------------------
+
+
+@pytest.fixture()
+def cow_table(spark, sf_dir, tmp_path):
+    # several files so the CoW claim ("only affected files rewrite") is
+    # actually observable
+    path = str(tmp_path / "orders_cow")
+    src = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    src.repartitionByRange(4, "o_orderkey").write.parquet(path)
+    return path
+
+
+def test_update_rewrites_only_affected_files(spark, cow_table):
+    from xngin_spark.sources.dml import update_table
+
+    before = {f: os.stat(os.path.join(cow_table, f)).st_ino
+              for f in os.listdir(cow_table) if f.endswith(".parquet")}
+    assert len(before) == 4
+    n0 = spark.read.parquet(cow_table).count()
+    lo = spark.read.parquet(cow_table).agg(F.min("o_orderkey")).first()[0]
+    stats = update_table(
+        spark, cow_table,
+        {"o_orderstatus": "X"},
+        F.col("o_orderkey") == lo,
+    )
+    assert stats == {"files_rewritten": 1, "rows_updated": 1}
+    after = {f: os.stat(os.path.join(cow_table, f)).st_ino
+             for f in os.listdir(cow_table) if f.endswith(".parquet")}
+    untouched = set(before) & set(after)
+    assert len(untouched) == 3  # 3 of 4 files kept byte-identical
+    assert all(before[f] == after[f] for f in untouched)
+    got = spark.read.parquet(cow_table)
+    assert got.filter(F.col("o_orderstatus") == "X").count() == 1
+    assert got.count() == n0  # UPDATE never changes cardinality
+    # schema preserved exactly
+    assert got.schema == read_parquet(spark, cow_table).schema
+
+
+def test_update_casts_literal_to_column_type(spark, cow_table):
+    from xngin_spark.sources.dml import update_table
+
+    t0 = spark.read.parquet(cow_table).schema["o_totalprice"].dataType
+    update_table(spark, cow_table, {"o_totalprice": 0}, "o_orderkey % 2 = 0")
+    assert spark.read.parquet(cow_table).schema["o_totalprice"].dataType == t0
+
+
+def test_update_unknown_column_rejected(spark, cow_table):
+    from xngin_spark.sources.dml import update_table
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_table(spark, cow_table, {"nope": 1}, "o_orderkey = 1")
+
+
+def test_delete_from_table(spark, cow_table):
+    from xngin_spark.sources.dml import delete_from_table
+
+    n0 = spark.read.parquet(cow_table).count()
+    k = spark.read.parquet(cow_table).agg(F.max("o_orderkey")).first()[0]
+    stats = delete_from_table(spark, cow_table, F.col("o_orderkey") == k)
+    assert stats["rows_deleted"] == 1 and stats["files_rewritten"] == 1
+    got = spark.read.parquet(cow_table)
+    assert got.count() == n0 - 1
+    assert got.filter(F.col("o_orderkey") == k).count() == 0
+    # no-match DELETE is a metadata-only no-op
+    assert delete_from_table(spark, cow_table, "o_orderkey = -42") == {
+        "files_rewritten": 0,
+        "rows_deleted": 0,
+    }

@@ -74,8 +74,8 @@ def insert_into(df: DataFrame, table: str) -> None:
     doradb-sql/src/ast.rs:22-33, parser/dml.rs) but never plans or
     executes DML; here the append path is real for any saved table.
     By-name resolution (append ``saveAsTable``) rather than positional —
-    schema-evolution-safe. UPDATE/DELETE need a transactional table
-    format (Delta/Iceberg) and stay parse-parity only, as in the
-    reference.
+    schema-evolution-safe. UPDATE/DELETE are executed by the
+    copy-on-write helpers in sources/dml.py (beyond the reference, which
+    parses but never plans them).
     """
     df.write.mode("append").saveAsTable(table)
