@@ -1,0 +1,64 @@
+"""Schema-level catalog surface — create/drop schema, USE, and
+schema-scoped table registration (Catalog trait,
+doradb-catalog/src/lib.rs:14-46; USE, doradb-sql/src/ast.rs:1552)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from xngin_spark.catalog import Catalog
+
+
+@pytest.fixture()
+def cat(spark):
+    c = Catalog(spark)
+    yield c
+    for s in ("analytics", "staging"):
+        try:
+            c.drop_schema(s, cascade=True)
+        except Exception:
+            pass
+    spark.sql("USE default")
+
+
+def test_create_use_drop_schema(cat):
+    cat.create_schema("analytics")
+    assert "analytics" in cat.schemas()
+    cat.use("analytics")
+    assert cat.current_schema() == "analytics"
+    cat.use("default")
+    cat.drop_schema("analytics")
+    assert "analytics" not in cat.schemas()
+
+
+def test_schema_scoped_table(cat, spark, sf_dir):
+    cat.create_schema("analytics")
+    cat.register("nation", os.path.join(sf_dir, "nation.parquet"), schema="analytics")
+    # qualified access
+    assert spark.sql("SELECT count(*) c FROM analytics.nation").first().c == 25
+    # USE makes it the unqualified default
+    cat.use("analytics")
+    assert spark.table("nation").count() == 25
+    cat.use("default")
+    cat.drop_schema("analytics", cascade=True)
+
+
+def test_same_name_in_two_schemas(cat, spark, sf_dir):
+    cat.create_schema("analytics")
+    cat.create_schema("staging")
+    cat.register("region", os.path.join(sf_dir, "region.parquet"), schema="analytics")
+    cat.register("region", os.path.join(sf_dir, "region.parquet"), schema="staging")
+    a = spark.sql("SELECT count(*) c FROM analytics.region").first().c
+    b = spark.sql("SELECT count(*) c FROM staging.region").first().c
+    assert a == b == 5
+
+
+def test_time_type_mapping():
+    from pyspark.sql import types as T
+
+    from xngin_spark.sources.ddl import parse_type
+
+    assert parse_type("time") == T.TimeType()
+    assert parse_type("TIME") == T.TimeType()

@@ -68,6 +68,30 @@ class Catalog:
     spark: SparkSession
     tables: dict[str, TableDef] = field(default_factory=dict)
 
+    # --- schema (database) level — Catalog::create_schema/drop_schema +
+    # USE (doradb-catalog/src/lib.rs:14-46; ast.rs:1552). Spark's session
+    # catalog has real namespaces; these are thin, executable wrappers.
+    # Note temp views (register() below) live OUTSIDE namespaces by
+    # Spark's design; schema-scoped registration uses external tables.
+
+    def create_schema(self, name: str, if_not_exists: bool = True) -> None:
+        ine = "IF NOT EXISTS " if if_not_exists else ""
+        self.spark.sql(f"CREATE DATABASE {ine}`{name}`")
+
+    def drop_schema(self, name: str, cascade: bool = False) -> None:
+        self.spark.sql(f"DROP DATABASE `{name}`{' CASCADE' if cascade else ''}")
+
+    def use(self, name: str) -> None:
+        """USE <schema> — unqualified table lookups resolve here first
+        (temp views still shadow, as in Spark generally)."""
+        self.spark.sql(f"USE `{name}`")
+
+    def current_schema(self) -> str:
+        return self.spark.catalog.currentDatabase()
+
+    def schemas(self) -> list[str]:
+        return [d.name for d in self.spark.catalog.listDatabases()]
+
     def register_dir(self, sf_dir: str, names: tuple[str, ...] = ALL_TABLES) -> "Catalog":
         """Register every ``{name}.parquet`` under ``sf_dir`` as a temp view."""
         for name in names:
@@ -77,15 +101,23 @@ class Catalog:
             self.register(name, path)
         return self
 
-    def register(self, name: str, path: str) -> TableDef:
+    def register(self, name: str, path: str, schema: str | None = None) -> TableDef:
+        """Register a parquet path as ``name`` — as a temp view (flat
+        namespace, default), or as an external table inside ``schema``
+        (temp views can't live in a namespace by Spark's design)."""
         td = TableDef(
-            name=name,
+            name=name if schema is None else f"{schema}.{name}",
             path=path,
             primary_key=PRIMARY_KEYS.get(name, ()),
             broadcast=name in BROADCAST_TABLES,
         )
-        self.tables[name] = td
-        if name == "events":
+        self.tables[td.name] = td
+        if schema is not None:
+            self.spark.sql(
+                f"CREATE TABLE IF NOT EXISTS `{schema}`.`{name}` "
+                f"USING parquet LOCATION '{path}'"
+            )
+        elif name == "events":
             events_df(self.spark, os.path.dirname(path)).createOrReplaceTempView(name)
         else:
             self.spark.read.parquet(path).createOrReplaceTempView(name)

@@ -46,6 +46,9 @@ _SIMPLE = {
     "date": T.DateType(),
     "datetime": T.TimestampNTZType(),
     "timestamp": T.TimestampNTZType(),
+    # reference TIME (doradb-datatype/src/lib.rs:47) — Spark 4 has a
+    # native TimeType (time-of-day, no date part)
+    "time": T.TimeType(),
     "char": T.StringType(),
     "varchar": T.StringType(),
     "text": T.StringType(),
