@@ -331,3 +331,39 @@ def test_quantified_all_boundary_semantics(spark):
         left, F.col("x"), nonull, "v", "<", "a"
     ).collect()}
     assert out == {1: True, 2: None, 3: False}
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    from xngin_spark.operators.quantize import quantize_int8
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -2.0, 0.5]), (2, [0.0, 0.0, 0.0]), (3, [127.0, -127.0, 63.5])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    for r in rows.values():
+        assert all(-127 <= q <= 127 for q in r.qvec)  # int8 range
+        assert r.max_abs_err <= r.scale / 2 + 1e-12  # round-half bound
+    assert rows[1].qvec == [64, -127, 32]
+    assert rows[2].qvec == [0, 0, 0]  # zero vector guarded, no div-by-zero
+    assert rows[3].qvec == [127, -127, 64]
+
+
+def test_redact_pii_families(spark):
+    from xngin_spark.operators.textstats import pii_hits, redact_pii
+
+    df = spark.createDataFrame(
+        [("mail a.b+c@x-corp.io here", 1),
+         ("server at 192.168.001.25 port", 1),
+         ("call 555-867-5309 now", 1),
+         ("no pii at all", 0)],
+        "text string, expected int",
+    )
+    got = df.select(
+        redact_pii(F.col("text")).alias("clean"),
+        pii_hits(F.col("text")).alias("n"),
+        "expected",
+    ).collect()
+    for r in got:
+        assert r.n == r.expected
+        assert "@" not in r.clean and "192.168" not in r.clean and "867-5309" not in r.clean

@@ -120,3 +120,31 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         fingerprint_md5(t).alias("fp_md5"),
         fingerprint_xx64(t).alias("fp_xx64"),
     )
+
+
+# RE2-compatible PII patterns (no lookarounds) so the DuckDB oracle can
+# run them verbatim; ordered most-specific first because redaction is a
+# sequential rewrite chain.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Chain of regexp_replace passes substituting typed placeholder
+    tokens — the standard pretraining-corpus scrub step. All JVM
+    regex, map-side, no shuffle; at 100 TB this is a pure scan."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_hits(text: Column) -> Column:
+    """Total count of PII matches across all pattern families."""
+    total = F.lit(0)
+    for pat, _ in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+    return total.cast("long")

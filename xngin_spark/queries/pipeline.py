@@ -360,3 +360,129 @@ def knn_cosine_ivf(spark, sf_dir):
     # of data size; 2 suffice for a meaningful index here. In production
     # fit once (sampled), freeze centroids, and reuse the index.
     return C.cosine_topk_ivf(emb, queries, k=10, nlist=8, nprobe=3, max_iter=2)
+
+
+# --- round-2 additions: quantization, PII scrub, vocab, split -------------
+
+
+@register(
+    "embedding_quantize",
+    """
+    SELECT vec_id, scale, qvec, max_abs_err
+    FROM (
+      SELECT vec_id,
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE)))),
+                      1e-30) / 127.0 AS scale,
+             embedding
+      FROM embeddings
+    ) s,
+    LATERAL (
+      SELECT list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                      AS INTEGER)) AS qvec
+    ) q,
+    LATERAL (
+      SELECT list_max(list_transform(
+               list_zip(qvec, embedding),
+               p -> abs(CAST(p[1] AS DOUBLE) * scale
+                        - CAST(p[2] AS DOUBLE)))) AS max_abs_err
+    ) e
+    """,
+)
+def embedding_quantize(spark, sf_dir):
+    # symmetric int8: 4x the bytes of every downstream shuffle back;
+    # floor(x+0.5) rounding keeps the oracle bit-exact (see
+    # operators/quantize.py)
+    from xngin_spark.operators.quantize import quantize_int8
+
+    return quantize_int8(T(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "pii_scrub",
+    r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com ip 10.0.' || doc_id % 256 || '.7 tel 555-867-5309'
+               AS text
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '<PHONE>', 'g') AS clean,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(text,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+           + len(regexp_extract_all(text,
+             '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_pii
+    FROM enriched
+    """,
+)
+def pii_scrub(spark, sf_dir):
+    # the synthetic corpus carries no PII, so the probe plants a typed
+    # specimen of each family per row, then proves the scrub chain
+    # removes and counts them — the redaction path itself is exactly
+    # what runs on a real corpus (map-side regex, no shuffle)
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel 555-867-5309"),
+    )
+    return d.select(
+        "doc_id",
+        X.redact_pii(planted).alias("clean"),
+        X.pii_hits(planted).alias("n_pii"),
+    )
+
+
+@register(
+    "vocab_topk",
+    """
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def vocab_topk(spark, sf_dir):
+    # vocabulary building: explode -> count -> fused top-k
+    # (TakeOrderedAndProject). At 100 TB the groupBy is the only
+    # shuffle, of (token, partial count) pairs after map-side combine.
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "split_assign",
+    """
+    SELECT doc_id,
+           CASE WHEN substr(md5(text), 1, 2) < 'e6'
+                THEN 'train' ELSE 'val' END AS split
+    FROM documents
+    """,
+)
+def split_assign(spark, sf_dir):
+    # deterministic content-hash split: stable across runs/engines,
+    # immune to row order and partitioning, leakage-free under exact
+    # dedup (identical text -> identical split). 'e6'/256 ~ 90/10.
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.substring(F.md5("text"), 1, 2) < "e6", "train")
+        .otherwise("val")
+        .alias("split"),
+    )

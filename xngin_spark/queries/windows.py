@@ -223,3 +223,41 @@ def events_stream_tumbling(spark, sf_dir):
     )
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     return run_available_now(sdf, name, output_mode="complete")
+
+
+@register(
+    "events_topk_per_window",
+    """
+    WITH counts AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rnk FROM (
+      SELECT window_start, event_type, n,
+             CAST(ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n DESC, event_type)
+                  AS BIGINT) AS rnk
+      FROM counts
+    ) WHERE rnk <= 3
+    """,
+)
+def events_topk_per_window(spark, sf_dir):
+    # top-k per window: one (window, type) count shuffle with map-side
+    # combine, then a rank over the tiny per-window type counts — the
+    # trending-items shape. The window function partitions by
+    # window_start, so no single-partition global sort ever happens.
+    e = events_df(spark, sf_dir)
+    counts = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(count_star().alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    from pyspark.sql import Window as W
+
+    rk = W.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        counts.withColumn("rnk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n", "rnk")
+    )
