@@ -367,3 +367,37 @@ def test_redact_pii_families(spark):
     for r in got:
         assert r.n == r.expected
         assert "@" not in r.clean and "192.168" not in r.clean and "867-5309" not in r.clean
+
+
+def test_asof_join_semantics(spark):
+    from xngin_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "u"), (2, 20.0, "u"), (3, 5.0, "v")], "id int, ts double, k string"
+    )
+    right = spark.createDataFrame(
+        [(10.0, "u", 100.0), (15.0, "u", 150.0), (30.0, "v", 300.0)],
+        "ts double, k string, v double",
+    )
+    out = {r.id: r.v_r for r in asof_join(
+        left, right, on="ts", by="k", value_cols=["v"]
+    ).collect()}
+    assert out[1] == 100.0  # tie at ts=10 is inclusive
+    assert out[2] == 150.0  # latest at-or-before 20
+    assert out[3] is None   # no prior right row for key v
+
+
+def test_range_join_boundaries(spark):
+    from xngin_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(1, 100.0, "u")], "id int, ts double, k string")
+    right = spark.createDataFrame(
+        [(10, 99.0, "u"), (11, 100.0, "u"), (12, 400.0, "u"),
+         (13, 401.0, "u"), (14, 250.0, "x")],
+        "rid int, ts double, k string",
+    )
+    got = {r.rid_r for r in range_join(
+        left, right, on="ts", by="k", lower=0, upper=300
+    ).collect()}
+    # inclusive bounds [ts, ts+300]; other keys and out-of-range excluded
+    assert got == {11, 12}

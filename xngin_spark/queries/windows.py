@@ -261,3 +261,66 @@ def events_topk_per_window(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("window_start", "event_type", "n", "rnk")
     )
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH l AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts, r.pval AS pval_r
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_join(spark, sf_dir):
+    """As-of join (point-in-time correctness): each click gets the most
+    recent prior purchase value of the same user. Custom operator Spark
+    lacks natively (operators/temporal.py asof_join: union + window
+    forward-fill, one key shuffle); DuckDB's native ASOF JOIN is the
+    oracle."""
+    from xngin_spark.operators.temporal import asof_join
+
+    e = events_df(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    return asof_join(left, right, on="ts", by="user_id", value_cols=["pval"]).select(
+        "event_id", "user_id", "ts", "pval_r"
+    )
+
+
+@register(
+    "events_range_join",
+    """
+    SELECT l.event_id, r.event_id AS event_id_r
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 300 SECOND
+    """,
+)
+def events_range_join(spark, sf_dir):
+    """Bounded range join: purchases within 5 minutes after a click by
+    the same user. The raw theta join is per-key quadratic; the binned
+    equi-join rewrite (operators/temporal.py range_join) bounds
+    candidates to two adjacent 300s bins per row."""
+    from xngin_spark.operators.temporal import range_join
+
+    e = events_df(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+    return range_join(left, right, on="ts", by="user_id", lower=0, upper=300).select(
+        "event_id", F.col("event_id_r")
+    )
