@@ -33,26 +33,32 @@ GATE_PRIORITY = [
     "media_features",
     "frame_sample",
     "dedup_embedding_cosine",
-    # event windows (oracle-bearing, incl. the streaming twin)
+    "embedding_quantize",
+    "pii_scrub",
+    "vocab_topk",
+    "split_assign",
+    # event windows / temporal joins (oracle-bearing, incl. streaming twin)
     "events_tumbling",
     "events_sliding",
     "events_session",
     "events_json_props",
     "events_rate_per_user",
     "events_stream_tumbling",
-    # micros that are the sole gate evidence for a SURVEY §2 row
+    "events_asof_join",
+    "events_range_join",
+    # micros that are the sole gate evidence for a SURVEY §2 row.
+    # Displaced to the tail (still oracle-compared by local pytest):
+    # topk_fused (TakeOrderedAndProject also proven by q2/q3/q10 +
+    # plan-shape test), rollup/grouping-sets (grouping-set machinery
+    # gate-proven via cube_agg's GROUPING() markers), agg_stats,
+    # window_rank / window_agg_per_group (window machinery gate-proven
+    # via window_frames; windowed top-k via events_topk_per_window).
     "mark_join_q",
     "single_join_q",
-    "topk_fused",
     "scalar_funcs",
     "predicates",
     "agg_distinct",
-    "agg_stats",
-    "rollup_agg",
     "cube_agg",
-    "grouping_sets_agg",
-    "window_rank",
-    "window_agg_per_group",
     "window_frames",
 ]
 

@@ -1,0 +1,197 @@
+"""Corpus-level training-data operators: contamination checks,
+repetition scoring, document chunking, stratified sampling, length
+histograms.
+
+These extend operators/textstats.py (per-document projections) with the
+corpus-shaped steps of a pretraining data pipeline — the operations that
+involve a reference set, a shuffle, or a row-multiplying transform.
+All JVM built-ins (split/transform/slice/explode/xxhash-free md5), no
+Python in the hot path; every shuffle is on a compact key and noted in
+the docstring of the operator that introduces it.
+
+Reference scope note: the reference engine (jiangzhe/xngin →
+doradb-plan/lgc) has no corpus operators at all — this module is part
+of the beyond-reference pipeline surface the driver brief mandates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from xngin_spark.operators.textstats import TOKEN_SEP, tokens
+
+
+def token_ngrams(toks: Column, n: int = 3) -> Column:
+    """Array of space-joined token n-grams; empty when the document has
+    fewer than ``n`` tokens (guarded — Spark's ``sequence`` would
+    otherwise descend for negative spans). Pure ``transform`` over a
+    ``sequence`` of 0-based offsets, codegen'd, no shuffle."""
+    cnt = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), cnt - 1),
+        lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(n)]),
+    )
+    return F.when(cnt >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-contamination check: fraction of each corpus document's
+    distinct token n-grams that appear anywhere in the benchmark set.
+
+    Scale shape: the benchmark's distinct-gram set is tiny relative to
+    the corpus (eval suites are MBs, corpora are TBs) → broadcast it;
+    the corpus side is explode → broadcast-hash-join → partial-agg
+    re-keyed on the 8-byte doc id. One narrow shuffle of
+    (doc_id, count) pairs; no corpus-vs-corpus join ever happens.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(
+                F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))
+            ).alias("gram")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    doc_grams = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))).alias(
+            "gram"
+        ),
+    )
+    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "contamination",
+            F.col("n_hits").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition: distinct-token ratio and top-token
+    share — the cheap repetition filters (boilerplate, keyword-stuffed
+    and looping docs score high).
+
+    Two-level aggregation: explode → combine on (doc_id, token) with
+    map-side partial counts → re-agg on doc_id. Both shuffles carry
+    8-byte-id + small-int rows; at 100 TB this is the standard
+    word-count shape and scales with the token count, not the doc size
+    squared.
+    """
+    per_tok = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        "top_count",
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / n).alias("dup_ratio"),
+        (F.col("top_count").cast("double") / n).alias("top_share"),
+    )
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 16
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Sliding-window token chunking — the context-window packing
+    precursor: each document becomes ceil(max(n-size,0)/stride)+1
+    overlapping chunks of at most ``size`` tokens.
+
+    Row-multiplying but shuffle-free: chunk starts are a ``sequence``
+    literal per row, the chunk text a 1-based ``slice`` — all computed
+    inside the scan stage, so chunks stream out of the same partitions
+    the documents came in on. Emit the chunk text itself only when the
+    consumer needs it; here we keep (id, chunk_id, n_tokens, md5) so
+    downstream shuffles move fingerprints, not text.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # identical integer ceil in the DuckDB oracle: floor((n-size+stride-1)/stride)
+    n_chunks = (
+        F.greatest(F.floor((n - size + stride - 1) / stride), F.lit(0)).cast("int") + 1
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, size)),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+    ).select(
+        id_col,
+        "chunk_id",
+        F.size(F.split(F.col("chunk_text"), TOKEN_SEP)).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, str],
+    default_cut: str,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the first two
+    hex chars of md5(text) sort below the stratum's cut ('1a' ≈ 26/256
+    ≈ 10%). Content-hash-based like split_assign — stable across runs,
+    engines, row order and partitioning, and exact-dup-consistent. A
+    pure filter: no shuffle, no RNG state, trivially reproducible at
+    any scale."""
+    cut = F.lit(default_cut)
+    for stratum, c in rates.items():
+        cut = F.when(F.col(stratum_col) == stratum, c).otherwise(cut)
+    return df.filter(F.substring(F.md5(F.col(text_col)), 1, 2) < cut)
+
+
+def length_histogram(
+    df: DataFrame, length_col: str = "n_chars", width: int = 40, n_buckets: int = 20
+) -> DataFrame:
+    """Fixed-width length histogram with a clamped overflow bucket —
+    the distribution check run before/after every length filter. One
+    shuffle of at most ``n_buckets`` (bucket, partial-agg) rows."""
+    bucket = F.least(
+        F.floor(F.col(length_col) / float(width)), F.lit(n_buckets - 1)
+    ).cast("long")
+    return (
+        df.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(length_col).cast("long").alias("min_chars"),
+            F.max(length_col).cast("long").alias("max_chars"),
+        )
+        .withColumn("lo", (F.col("bucket") * width).cast("long"))
+    )

@@ -1,0 +1,138 @@
+"""Corpus-pipeline queries — executable probes for operators/corpus.py
+(contamination, repetition, chunking, stratified sampling, length
+histograms), each with a DuckDB oracle that reproduces the exact same
+integer/hash arithmetic so value hashes match bit-for-bit.
+
+Benchmark-set convention for the contamination probe: documents with
+``doc_id % 97 = 0`` stand in for the held-out eval suite (a small,
+broadcastable fraction at every SF); the remaining corpus is checked
+against their distinct token 3-grams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xngin_spark.operators import corpus as C
+from xngin_spark.queries import register
+from xngin_spark.queries.tpch import T
+
+_NGRAMS_DUCK = (
+    "list_distinct(list_transform(range(1, greatest(len(t) - 2, 0) + 1), "
+    "i -> concat_ws(' ', t[i], t[i + 1], t[i + 2])))"
+)
+
+
+@register(
+    "contamination_ngram",
+    f"""
+    WITH g AS (
+      SELECT doc_id, {_NGRAMS_DUCK} AS gs
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hits,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS contamination
+    FROM corpus c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    HAVING n_hits > 0
+    """,
+)
+def contamination_ngram(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    return C.contamination(corpus, bench).filter(F.col("n_hits") > 0)
+
+
+@register(
+    "repetition_score",
+    """
+    WITH per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS top_count,
+           1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_ratio,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_share
+    FROM per_tok
+    GROUP BY doc_id
+    """,
+)
+def repetition_score(spark, sf_dir):
+    return C.repetition_stats(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_chunks",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    c AS (
+      SELECT doc_id, toks,
+             greatest(CAST(floor((len(toks) - 32 + 15) / 16.0) AS BIGINT), 0) + 1
+               AS n_chunks
+      FROM t
+    ),
+    e AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+    SELECT doc_id,
+           CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(len(list_slice(toks, chunk_id * 16 + 1, chunk_id * 16 + 32))
+                AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(
+                 list_slice(toks, chunk_id * 16 + 1, chunk_id * 16 + 32), ' '))
+             AS chunk_md5
+    FROM e
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    return C.chunk_documents(T(spark, sf_dir, "documents"))
+
+
+# stratum cuts on the first md5 hex byte: en ≈ 13/256, es ≈ 51/256,
+# de ≈ 128/256, everything else ≈ 26/256
+_SAMPLE_RATES = {"en": "0d", "es": "33", "de": "80"}
+_SAMPLE_DEFAULT = "1a"
+
+
+@register(
+    "corpus_sample",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(text), 1, 2) <
+          CASE lang WHEN 'en' THEN '0d' WHEN 'es' THEN '33'
+                    WHEN 'de' THEN '80' ELSE '1a' END
+    """,
+)
+def corpus_sample(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return C.stratified_sample(d, _SAMPLE_RATES, _SAMPLE_DEFAULT).select(
+        "doc_id", "lang"
+    )
+
+
+@register(
+    "length_histogram",
+    """
+    SELECT bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(bucket * 40 AS BIGINT) AS lo
+    FROM (SELECT CAST(least(floor(n_chars / 40.0), 19) AS BIGINT) AS bucket,
+                 n_chars
+          FROM documents)
+    GROUP BY bucket
+    """,
+)
+def length_histogram_q(spark, sf_dir):
+    return C.length_histogram(T(spark, sf_dir, "documents"))
