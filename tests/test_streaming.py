@@ -128,3 +128,55 @@ def test_running_totals_stateful(spark, events_dir):
     # batch must have emitted >1 progressively-growing row
     multi = got.groupBy("user_id").count().filter(F.col("count") > 1).count()
     assert multi > 0, "no user updated across batches — state not exercised"
+
+
+def test_stream_dedup_across_batches(spark, events_dir):
+    from xngin_spark.streaming import stream_dedup
+
+    # every event delivered twice, paced one file per micro-batch so
+    # the duplicate of an early event can arrive in a later batch.
+    # delay must cover the full dataset span: the two file sources may
+    # list files in different orders, and a row arriving below the
+    # advanced watermark is (correctly) dropped as late — with a 2h
+    # delay that made this test emit half the events on some listings.
+    src = events_stream(spark, events_dir, max_files_per_trigger=1)
+    doubled = src.unionAll(events_stream(spark, events_dir, max_files_per_trigger=1))
+    got = run_available_now(
+        stream_dedup(doubled, keys=("event_id",), delay="45 days"),
+        "t_dedup",
+        output_mode="append",
+    )
+    e = batch_events(spark, events_dir)
+    assert got.count() == e.count()
+    assert got.select("event_id").distinct().count() == e.count()
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from xngin_spark.streaming import stream_stream_join
+
+    clicks = events_stream(spark, events_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "click"
+    )
+    purchases = events_stream(spark, events_dir, max_files_per_trigger=1).filter(
+        F.col("event_type") == "purchase"
+    )
+    # full-span delay for the same reason as the dedup test: unordered
+    # file listing + a short watermark horizon can evict a buffered row
+    # before its partner batch arrives
+    got = run_available_now(
+        stream_stream_join(clicks, purchases, delay="45 days"),
+        "t_ssjoin",
+        output_mode="append",
+    )
+    e = batch_events(spark, events_dir)
+    c = e.filter(F.col("event_type") == "click").alias("l")
+    p = e.filter(F.col("event_type") == "purchase").alias("r")
+    want = c.join(
+        p,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr("INTERVAL 300 SECOND")),
+    ).select(F.col("l.event_id").alias("event_id"), F.col("r.event_id").alias("event_id_r"))
+    got_set = rows_set(got, ["event_id", "event_id_r"])
+    want_set = rows_set(want, ["event_id", "event_id_r"])
+    assert got_set == want_set and len(want_set) > 0

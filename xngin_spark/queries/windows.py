@@ -324,3 +324,63 @@ def events_range_join(spark, sf_dir):
     return range_join(left, right, on="ts", by="user_id", lower=0, upper=300).select(
         "event_id", F.col("event_id_r")
     )
+
+
+@register(
+    "events_stream_dedup",
+    """
+    SELECT event_id, user_id, event_type
+    FROM (
+      SELECT event_id, user_id, event_type FROM events
+      UNION ALL
+      SELECT event_id, user_id, event_type FROM events
+    )
+    GROUP BY event_id, user_id, event_type
+    """,
+)
+def events_stream_dedup(spark, sf_dir):
+    """Streaming exactly-once dedup run to exhaustion: the event stream
+    unioned with itself (every event delivered twice, the at-least-once
+    failure mode) must collapse back to exactly the batch-distinct
+    answer through dropDuplicatesWithinWatermark. Bounded state: the
+    seen-key set lives only inside the watermark horizon."""
+    import os
+    import uuid
+
+    from xngin_spark.streaming import events_stream, run_available_now, stream_dedup
+
+    path = os.path.join(sf_dir, "events.parquet")
+    doubled = events_stream(spark, path).unionAll(events_stream(spark, path))
+    sdf = stream_dedup(doubled, keys=("event_id",), delay="2 hours")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    out = run_available_now(sdf, name, output_mode="append")
+    return out.select("event_id", "user_id", "event_type")
+
+
+@register(
+    "events_stream_join",
+    """
+    SELECT l.event_id, r.event_id AS event_id_r
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP)
+     AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 300 SECOND
+    """,
+)
+def events_stream_join(spark, sf_dir):
+    """STREAM-STREAM interval join run to exhaustion — the streaming
+    twin of events_range_join, against the identical DuckDB oracle: two
+    live watermarked streams (clicks, purchases) joined per user within
+    a 300s horizon must emit exactly the batch range-join pairs."""
+    import os
+    import uuid
+
+    from xngin_spark.streaming import events_stream, run_available_now, stream_stream_join
+
+    path = os.path.join(sf_dir, "events.parquet")
+    clicks = events_stream(spark, path).filter(F.col("event_type") == "click")
+    purchases = events_stream(spark, path).filter(F.col("event_type") == "purchase")
+    sdf = stream_stream_join(clicks, purchases)
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    return run_available_now(sdf, name, output_mode="append")

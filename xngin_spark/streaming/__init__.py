@@ -22,6 +22,7 @@ points at a bucketed object-store prefix or Kafka source unchanged.
 """
 
 from xngin_spark.streaming.io import events_stream, run_available_now, to_memory_sink
+from xngin_spark.streaming.joins import stream_dedup, stream_stream_join
 from xngin_spark.streaming.windows import (
     stream_session,
     stream_sliding,
@@ -37,4 +38,6 @@ __all__ = [
     "stream_sliding",
     "stream_session",
     "running_totals",
+    "stream_dedup",
+    "stream_stream_join",
 ]
