@@ -32,10 +32,10 @@ from xngin_spark.plans.explain import plan_signature
 Q.load_all()
 
 SNAP_PATH = Path(__file__).parent / "plan_snapshots.json"
-# events_stream_tumbling runs a Structured Streaming query during plan
-# construction; its incremental plan isn't comparable here (covered by
-# tests/test_streaming.py batch-as-oracle instead).
-SKIP = {"events_stream_tumbling"}
+# the events_stream_* queries run a Structured Streaming query during
+# plan construction; their incremental plans aren't comparable here
+# (covered by tests/test_streaming.py batch-as-oracle instead).
+SKIP = {"events_stream_tumbling", "events_stream_dedup", "events_stream_join"}
 NAMES = sorted(n for n in Q.QUERIES if n not in SKIP)
 
 

@@ -42,8 +42,10 @@ def contamination(
     id_col: str = "doc_id",
     n: int = 3,
 ) -> DataFrame:
-    """Benchmark-contamination check: fraction of each corpus document's
-    distinct token n-grams that appear anywhere in the benchmark set.
+    """Benchmark-contamination check: for every corpus document with at
+    least one overlapping distinct token n-gram, the fraction of its
+    distinct n-grams that appear anywhere in the benchmark set
+    (documents with zero overlap are clean by definition and omitted).
 
     Scale shape: the benchmark's distinct-gram set is tiny relative to
     the corpus (eval suites are MBs, corpora are TBs) → broadcast it;
@@ -51,28 +53,29 @@ def contamination(
     re-keyed on the 8-byte doc id. One narrow shuffle of
     (doc_id, count) pairs; no corpus-vs-corpus join ever happens.
     """
-    bench_grams = (
-        benchmark.select(
-            F.explode(
-                F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))
-            ).alias("gram")
-        )
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    doc_grams = corpus.select(
-        F.col(id_col),
+    bench_grams = benchmark.select(
         F.explode(F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))).alias(
             "gram"
-        ),
-    )
-    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
-    return (
-        joined.groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
         )
+    ).distinct()
+    # per-doc gram count is an array length — computed map-side in the
+    # scan stage, never via counting exploded join output
+    doc_level = corpus.select(
+        F.col(id_col),
+        F.array_distinct(token_ngrams(tokens(F.col(text_col)), n)).alias("grams"),
+    ).select(id_col, F.size("grams").cast("long").alias("n_grams"), "grams")
+    # INNER join so only hit grams flow into the shuffle: at a typical
+    # per-gram hit rate the aggregated volume is ~10-20x smaller than
+    # left-joining every gram, and the docs-without-hits never shuffle
+    hits = (
+        doc_level.select(id_col, F.explode("grams").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram", "inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        doc_level.drop("grams")
+        .join(hits, id_col, "inner")
         .withColumn(
             "contamination",
             F.col("n_hits").cast("double") / F.col("n_grams").cast("double"),

@@ -47,7 +47,7 @@ def contamination_ngram(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     bench = d.filter(F.col("doc_id") % 97 == 0)
     corpus = d.filter(F.col("doc_id") % 97 != 0)
-    return C.contamination(corpus, bench).filter(F.col("n_hits") > 0)
+    return C.contamination(corpus, bench)
 
 
 @register(
