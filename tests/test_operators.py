@@ -401,3 +401,28 @@ def test_range_join_boundaries(spark):
     ).collect()}
     # inclusive bounds [ts, ts+300]; other keys and out-of-range excluded
     assert got == {11, 12}
+
+
+def test_connected_components_multihop(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
+    # 10-11-12, isolated 99 — the LSH-pair-graph shapes with no SQL oracle
+    from xngin_spark.operators.corpus import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 10, 11, 12, 99)], "id long")
+    got = {r.id: r.component for r in connected_components(edges, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_sequence_pack_fills_budget(spark):
+    from xngin_spark.operators.corpus import sequence_pack
+
+    df = spark.createDataFrame(
+        [(i, "s", 1000) for i in range(10)], "doc_id long, source string, n_tokens long"
+    )
+    got = {r.doc_id: r.pack_id for r in sequence_pack(df, budget=2048).collect()}
+    # start-offset binning: doc i starts at offset 1000*i, so its pack
+    # is floor(1000*i / 2048) — three docs start inside window 0
+    assert got == {i: (1000 * i) // 2048 for i in range(10)}

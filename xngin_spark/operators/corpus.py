@@ -198,3 +198,148 @@ def length_histogram(
         )
         .withColumn("lo", (F.col("bucket") * width).cast("long"))
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 100,
+) -> DataFrame:
+    """Token → (document frequency, capped sorted posting list) — the
+    search-index build step. Distinct (doc, token) pairs shuffle once on
+    the token; the posting list is sorted for determinism and capped so
+    a stop-word's postings can't materialize an entire corpus partition
+    in one row (df still counts everything)."""
+    pairs = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+    )
+    return pairs.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.slice(F.sort_array(F.collect_list(id_col)), 1, max_postings).alias(
+            "postings"
+        ),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (idf = ln(N/df), smoothing-free since every indexed token has
+    df ≥ 1). Three narrow shuffles — (doc,tok) counts, per-token df,
+    per-doc rank — each on a compact key; df is broadcast back. Scores
+    rounded to 8 digits: ln() is not guaranteed correctly-rounded
+    identically across engines."""
+    from pyspark.sql import Window
+
+    pairs = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    tf = pairs.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+    scored = tf.join(F.broadcast(dfreq), "tok").select(
+        id_col,
+        "tok",
+        "tf",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 8
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    step that turns near-dup PAIRS (minhash/simhash/cosine output) into
+    dedup CLUSTERS (keep one doc per component).
+
+    Each iteration: every node takes the min label over itself and its
+    neighbors — one shuffle on the 8-byte node id; convergence needs
+    graph-diameter iterations (dup clusters are near-star-shaped, so
+    2-3 in practice; large-star/small-star contraction is the
+    published upgrade if diameters grow). The only driver traffic is a
+    scalar changed-count per iteration. Labels persist between
+    iterations and unpersist after; returns (id, component) where
+    component = min node id reachable.
+    """
+    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("comp"))
+    labels.persist()
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym.src == labels.nid)
+                .groupBy("dst")
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            new_labels = (
+                labels.join(nbr_min, labels.nid == nbr_min.dst, "left")
+                .select(
+                    "nid",
+                    F.least(
+                        F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    ).alias("comp"),
+                )
+            )
+            new_labels.persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
+                .filter(F.col("n.comp") != F.col("o.comp"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+    finally:
+        labels.unpersist()
+    return labels.select(F.col("nid").alias(id_col), F.col("comp").alias("component"))
+
+
+PACK_BUDGET = 2048
+
+
+def sequence_pack(
+    df: DataFrame,
+    token_count_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    budget: int = PACK_BUDGET,
+) -> DataFrame:
+    """Contiguous sequence packing: documents in deterministic id order
+    fill context windows of ``budget`` tokens; pack_id = which window a
+    document STARTS in. Packing runs independently per ``group_col``
+    partition (one window shuffle, parallel across groups) — the global
+    single-sequence variant would serialize on one task, which is
+    exactly what to avoid at 100 TB."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_count_col).over(w)
+    return df.select(
+        id_col,
+        group_col,
+        F.col(token_count_col),
+        F.floor((cum - F.col(token_count_col)) / float(budget))
+        .cast("long")
+        .alias("pack_id"),
+    )

@@ -136,3 +136,93 @@ def corpus_sample(spark, sf_dir):
 )
 def length_histogram_q(spark, sf_dir):
     return C.length_histogram(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "inverted_index",
+    """
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+           list_slice(list_sort(list(doc_id)), 1, 100) AS postings
+    FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+          FROM documents)
+    GROUP BY tok
+    """,
+)
+def inverted_index_q(spark, sf_dir):
+    return C.inverted_index(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "tfidf_topk",
+    """
+    WITH pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM pairs GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT doc_id, tok, tf,
+             round(tf * ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df), 8)
+               AS tfidf
+      FROM tf JOIN dfreq USING (tok)
+    )
+    SELECT doc_id, tok, tf, tfidf, rnk FROM (
+      SELECT doc_id, tok, tf, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, tok) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_topk_q(spark, sf_dir):
+    return C.tfidf_topk(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_clusters",
+    """
+    SELECT doc_id,
+           CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS component
+    FROM documents
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Near-dup clustering end-to-end: pair edges → connected
+    components → one keeper per component. Edges here come from the
+    exact-dup groups so DuckDB can state the ground truth (component =
+    min doc id of the identical-text group); tests/test_operators.py
+    drives the same operator over planted multi-hop LSH-style pair
+    graphs where no SQL oracle exists."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    root = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    edges = (
+        d.select(root.alias("src"), F.col("doc_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return C.connected_components(edges, d.select("doc_id"), id_col="doc_id")
+
+
+@register(
+    "sequence_pack",
+    """
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens,
+             SUM(len(string_split(text, ' ')))
+               OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    """,
+)
+def sequence_pack_q(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return C.sequence_pack(d)
