@@ -13,6 +13,7 @@ ROWS_ONLY = sorted(n for n in Q.QUERIES if n not in Q.ORACLE)
 
 def test_rows_only_set_is_expected():
     assert ROWS_ONLY == [
+        "approx_distinct",     # HLL sketch estimate is engine-specific
         "dedup_minhash_lsh",   # xxhash64 signatures — DuckDB lacks the hash
         "dedup_simhash",       # xxhash64-based
         "knn_cosine_ivf",      # iterative k-means training

@@ -31,6 +31,21 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     # physical type as the driver parquet
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw.repartitionByRange(N_FILES, "ts").write.mode("overwrite").parquet(str(out))
+    # FileStreamSource processes files in (mtime, path) order; parallel
+    # writes leave mtimes arbitrary, so a later time-range could be
+    # listed first and advance the watermark over earlier files (their
+    # rows then drop as late). Stamp increasing mtimes in range order —
+    # part-0000i is range i under repartitionByRange — so arrival order
+    # matches event order deterministically.
+    import os
+    import time
+
+    base = time.time() - 3600
+    parts = sorted(
+        f for f in os.listdir(out) if f.endswith(".parquet") and f.startswith("part-")
+    )
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(out, f), (base + i * 10, base + i * 10))
     return str(out)
 
 

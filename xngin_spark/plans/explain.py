@@ -28,6 +28,21 @@ def pushed_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Every PartitionFilters entry across the plan's scans — the
+    directory-pruning twin of ``pushed_filters`` (the reference's
+    zone-map block skipping, at partition granularity). Entries
+    containing ``dynamicpruning`` prove a runtime DPP subquery was
+    planted by the optimizer."""
+    out: list[str] = []
+    for line in formatted_plan(df).splitlines():
+        line = line.strip()
+        if line.startswith("PartitionFilters:"):
+            inner = line.split(":", 1)[1].strip().strip("[]")
+            out.extend(s.strip() for s in inner.split(",") if s.strip())
+    return out
+
+
 def read_schemas(df: DataFrame) -> list[str]:
     """ReadSchema line per scan — what column pruning actually reached
     the parquet reader (the reference's ``TableScan.cols``)."""
