@@ -79,6 +79,26 @@ def main() -> None:
             print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # regression axis across rounds: subtotal over the previous round's
+    # query set, so a growing corpus doesn't read as a slowdown
+    prev_subtotal = None
+    prev = next(
+        (p for p in ("BENCH_r01.json",) if os.path.exists(p)),
+        None,
+    )
+    if prev:
+        try:
+            with open(prev) as f:
+                doc = json.load(f)
+            # the driver wraps the bench line under "parsed"
+            prev_queries = set(
+                (doc.get("parsed") or doc).get("queries", {})
+            )
+            prev_subtotal = round(
+                sum(v for k, v in timings.items() if k in prev_queries and v >= 0), 3
+            )
+        except (OSError, ValueError, AttributeError):
+            pass
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -90,6 +110,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "startup_sec": round(startup, 3),
                 "empty_results": empty,
+                "n_queries": len(timings),
+                "r01_subset_total": prev_subtotal,
             }
         )
     )

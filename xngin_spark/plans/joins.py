@@ -274,3 +274,31 @@ def salted_join(
     )
     out = b.join(s, on=keys + ["__salt"], how=how)
     return out.drop("__salt")
+
+
+def natural_join(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+    """NATURAL JOIN expanded to a USING equi-join on the common column
+    names — the same build-time expansion the reference applies
+    (SURVEY §2.7: natural joins expanded during plan build,
+    doradb-sql/src/ast.rs:1314-1405). Expanding eagerly (instead of
+    trusting a SQL-level NATURAL) keeps the join keys explicit in the
+    plan, so broadcast hints and bucketing reasoning still apply."""
+    common = [c for c in left.columns if c in set(right.columns)]
+    if not common:
+        raise ValueError(
+            f"natural join has no common columns: {left.columns} vs {right.columns}"
+        )
+    return left.join(right, on=common, how=how)
+
+
+def right_join(
+    left: DataFrame, right: DataFrame, cond: Column | list[Column]
+) -> DataFrame:
+    """RIGHT JOIN normalized to a LEFT join with sides swapped — the
+    reference's normalization (SURVEY §2.7: right joins normalized to
+    left during build). Column order follows the original
+    (left-then-right) signature so the caller sees RIGHT JOIN output."""
+    if isinstance(cond, list):
+        cond = _conj(cond)
+    out_cols = [*left.columns, *[c for c in right.columns if c not in left.columns]]
+    return right.join(left, on=cond, how="left").select(*out_cols)

@@ -705,3 +705,52 @@ def quantified_cmp(spark, sf_dir):
     return out.select(
         "p_partkey", "p_retailprice", "gt_all", "gt_all_empty", "gt_all_null", "eq_any"
     )
+
+
+# --- Right / natural joins (SURVEY §2.7: right normalized to left,
+# natural expanded to USING during build) ----------------------------------
+
+
+@register(
+    "right_join_q",
+    """
+    SELECT n_name, c_custkey
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9900) c
+    RIGHT JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def right_join_q(spark, sf_dir):
+    # preserved-right probe: most nations have no customer above the
+    # cutoff, so the null-extended side actually materializes
+    from xngin_spark.plans.joins import right_join
+
+    c = T(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9900)
+    n = T(spark, sf_dir, "nation")
+    return right_join(
+        c.select("c_custkey", "c_nationkey"), n, F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("n_name", "c_custkey")
+
+
+@register(
+    "natural_join_q",
+    """
+    SELECT k, c_cnt, s_cnt
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS c_cnt FROM customer GROUP BY 1)
+    NATURAL JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS s_cnt FROM supplier GROUP BY 1)
+    """,
+)
+def natural_join_q(spark, sf_dir):
+    from xngin_spark.plans.joins import natural_join
+
+    c = (
+        T(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c_cnt"))
+    )
+    s = (
+        T(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("s_cnt"))
+    )
+    return natural_join(c, s)

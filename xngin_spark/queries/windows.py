@@ -222,7 +222,7 @@ def events_stream_tumbling(spark, sf_dir):
         events_stream(spark, os.path.join(sf_dir, "events.parquet")), delay="2 hours"
     )
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
-    return run_available_now(sdf, name, output_mode="complete")
+    return run_available_now(sdf, name, output_mode="complete", shuffle_partitions=8)
 
 
 @register(
@@ -353,7 +353,7 @@ def events_stream_dedup(spark, sf_dir):
     doubled = events_stream(spark, path).unionAll(events_stream(spark, path))
     sdf = stream_dedup(doubled, keys=("event_id",), delay="2 hours")
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    out = run_available_now(sdf, name, output_mode="append")
+    out = run_available_now(sdf, name, output_mode="append", shuffle_partitions=8)
     return out.select("event_id", "user_id", "event_type")
 
 
@@ -383,4 +383,4 @@ def events_stream_join(spark, sf_dir):
     purchases = events_stream(spark, path).filter(F.col("event_type") == "purchase")
     sdf = stream_stream_join(clicks, purchases)
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    return run_available_now(sdf, name, output_mode="append")
+    return run_available_now(sdf, name, output_mode="append", shuffle_partitions=8)

@@ -68,17 +68,37 @@ def to_memory_sink(
 
 
 def run_available_now(
-    sdf: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    timeout_s: int = 120,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run the stream to exhaustion and return the sink table.
 
     Raises TimeoutError if the availableNow run doesn't finish in
     ``timeout_s`` — returning a partially-populated sink while the query
     keeps running in the background would silently truncate results.
+
+    ``shuffle_partitions`` right-sizes the state store for this run:
+    each stateful-operator partition carries fixed store overhead, so a
+    small stream on a 32-way default pays 4-10x in pure bookkeeping
+    (measured ~10s → ~3s on the stream-stream join at sf0.1). The conf
+    is read at query START and baked into the checkpoint, so setting it
+    around ``start()`` is exact; it is restored afterwards. Size it up
+    with state volume on a real cluster — it is a knob, not a shape.
     """
-    q = to_memory_sink(sdf, name, output_mode)
-    if not q.awaitTermination(timeout_s):
-        q.stop()
-        raise TimeoutError(f"stream {name!r} did not finish in {timeout_s}s")
     spark = sdf.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key) if shuffle_partitions is not None else None
+    if shuffle_partitions is not None:
+        spark.conf.set(key, str(shuffle_partitions))
+    try:
+        q = to_memory_sink(sdf, name, output_mode)
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"stream {name!r} did not finish in {timeout_s}s")
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
     return spark.table(name)
