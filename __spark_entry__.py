@@ -37,9 +37,14 @@ GATE_PRIORITY = [
     "pii_scrub",
     "vocab_topk",
     "split_assign",
-    # event windows / temporal joins (oracle-bearing, incl. streaming twin)
+    # corpus-family representative (contamination; the rest of the
+    # family — repetition/chunks/index/tfidf/clusters/pack — is
+    # oracle-compared by local pytest from the tail)
+    "contamination_ngram",
+    # event windows / temporal joins (oracle-bearing, incl. streaming
+    # twin; sliding displaced to the tail — tumbling proves the same
+    # windowed-agg machinery)
     "events_tumbling",
-    "events_sliding",
     "events_session",
     "events_json_props",
     "events_rate_per_user",
