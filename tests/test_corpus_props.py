@@ -1,0 +1,94 @@
+"""Property tests for corpus operators — structural invariants that the
+oracle-parity gate (which fixes one dataset) can't probe."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from xngin_spark.operators.corpus import (
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    chunk_documents,
+    connected_components,
+    token_ngrams,
+)
+
+
+def test_token_ngram_count_invariant(spark):
+    # |ngrams(d, n)| == max(len(d) - n + 1, 0) pre-distinct, and every
+    # gram has exactly n tokens — over docs shorter, equal and longer
+    # than n, including the empty-ish single-token doc
+    docs = ["a", "a b", "a b c", "a b c d e", "x " * 50 + "y"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], "id long, text string")
+    rows = df.select(
+        "id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        token_ngrams(F.split("text", " ")).alias("grams"),
+    ).collect()
+    for r in rows:
+        assert len(r.grams) == max(r.n_tok - 2, 0), r
+        assert all(len(g.split(" ")) == 3 for g in r.grams), r
+
+
+def test_chunking_covers_all_tokens(spark):
+    # every token position is inside >=1 chunk; consecutive chunks
+    # overlap by size-stride; chunk_id 0 starts at token 1
+    texts = [" ".join(f"t{i}" for i in range(n)) for n in (1, 5, 32, 33, 100)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = chunk_documents(df).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for i, t in enumerate(texts):
+        n = len(t.split(" "))
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        covered = 0
+        for r in chunks:
+            start = r.chunk_id * CHUNK_STRIDE
+            assert r.n_chunk_tokens == min(CHUNK_SIZE, n - start), (i, r)
+            covered = max(covered, start + r.n_chunk_tokens)
+        assert covered == n, f"doc {i}: covered {covered} of {n}"
+
+
+def _union_find_components(edges, nodes):
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-label per component
+    comp = {}
+    for v in nodes:
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    return {v: min(vs) for r, vs in comp.items() for v in vs}
+
+
+def test_connected_components_random_graphs(spark):
+    rng = random.Random(42)
+    for trial in range(3):
+        n = 60
+        nodes = list(range(n))
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randrange(20, 70))
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = _union_find_components(edges, nodes)
+        e_df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        n_df = spark.createDataFrame([(v,) for v in nodes], "id long")
+        got = {
+            r.id: r.component
+            for r in connected_components(e_df, n_df, max_iter=20).collect()
+        }
+        assert got == want, f"trial {trial}"

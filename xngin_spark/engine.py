@@ -44,6 +44,27 @@ class Engine:
     def table(self, name: str) -> DataFrame:
         return self.catalog.table(name)
 
+    def register_udf(self, name: str, fn, return_type) -> None:
+        """Scalar UDF registration — executes the hook the reference only
+        parses (``FuncExpr.fname``, doradb-sql/src/ast.rs:976-983: any
+        unknown function name parses into a UDF call that nothing ever
+        resolves). Registered UDFs are callable from ``sql()``.
+
+        Policy: UDFs are the slow path (per-row Python, breaks
+        whole-stage codegen — SCALE.md Python-boundary policy). Every
+        built-in operator in this engine avoids them; this hook exists
+        for user extensions, and heavy numeric UDFs should be
+        ``pandas_udf`` (Arrow-batched) instead.
+        """
+        self.spark.udf.register(name, fn, return_type)
+
+    def register_pandas_udf(self, name: str, fn) -> None:
+        """Register an Arrow-batched ``pandas_udf`` (built with
+        ``pyspark.sql.functions.pandas_udf``) under ``name`` for use in
+        ``sql()`` — the vectorized UDF path (10-100x the row-at-a-time
+        form)."""
+        self.spark.udf.register(name, fn)
+
     def explain(self, query: str) -> str:
         """Formatted physical plan — the analog of the reference's EXPLAIN
         renderer (doradb-plan/src/explain.rs:38-41)."""

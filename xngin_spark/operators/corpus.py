@@ -286,37 +286,40 @@ def connected_components(
     component = min node id reachable.
     """
     sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
-    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("comp"))
-    labels.persist()
-    try:
-        for _ in range(max_iter):
-            nbr_min = (
-                sym.join(labels, sym.src == labels.nid)
-                .groupBy("dst")
-                .agg(F.min("comp").alias("nbr_comp"))
+    # localCheckpoint (eager) per iteration: an iterative join's lineage
+    # otherwise doubles every round and the analyzed plan tree blows the
+    # driver/codegen heap near ~10 iterations. Checkpointing stores the
+    # partitions and truncates the plan to a scan — on a real cluster
+    # swap in reliable `checkpoint()` with a checkpoint dir so executor
+    # loss can't kill a long convergence.
+    labels = nodes.select(
+        F.col(id_col).alias("nid"), F.col(id_col).alias("comp")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.src == labels.nid)
+            .groupBy("dst")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.nid == nbr_min.dst, "left")
+            .select(
+                "nid",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
             )
-            new_labels = (
-                labels.join(nbr_min, labels.nid == nbr_min.dst, "left")
-                .select(
-                    "nid",
-                    F.least(
-                        F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                    ).alias("comp"),
-                )
-            )
-            new_labels.persist()
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
-                .filter(F.col("n.comp") != F.col("o.comp"))
-                .count()
-            )
-            labels.unpersist()
-            labels = new_labels
-            if changed == 0:
-                break
-    finally:
-        labels.unpersist()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels.select(F.col("nid").alias(id_col), F.col("comp").alias("component"))
 
 

@@ -754,3 +754,42 @@ def natural_join_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("s_cnt"))
     )
     return natural_join(c, s)
+
+
+@register(
+    "salted_join_q",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def salted_join_q(spark, sf_dir):
+    """Skew-salted fact-fact join — the salt must be invisible in the
+    result (oracle = the plain join). Left keys get a random salt in
+    [0,8); the right side explodes to all 8 salt twins, so a hot key's
+    rows spread over 8 reducers instead of one straggler. The unsalted
+    plan is what Catalyst/AQE would run; this probes the manual fallback
+    for engines/configs where AQE skew-split can't fire (e.g. a
+    broadcast-disabled shuffle join with one mega-key)."""
+    from xngin_spark.plans.joins import salted_join
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    j = salted_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+        o,
+        ["o_orderkey"],
+        salt=8,
+    )
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            count_star().alias("n_lines"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
