@@ -793,3 +793,177 @@ def salted_join_q(spark, sf_dir):
         )
         .orderBy("o_orderstatus")
     )
+
+
+# --- Null ordering & conditional functions --------------------------------
+
+
+@register(
+    "null_ordering",
+    """
+    SELECT o_orderkey, v
+    FROM (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                  ELSE o_totalprice END AS v
+      FROM orders WHERE o_orderkey < 300
+    )
+    ORDER BY v ASC NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+)
+def null_ordering(spark, sf_dir):
+    """Explicit NULLS FIRST ordering — the engines DISAGREE by default
+    (Spark: nulls first on ASC; DuckDB: nulls last), so portable sorts
+    must always spell it out. The reference's Sort carries no null
+    placement at all (lgc/op.rs:186-190) — this pins the semantics our
+    engine exports."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    v = F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        o.select("o_orderkey", v.alias("v"))
+        .orderBy(F.col("v").asc_nulls_first(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "conditional_funcs",
+    """
+    SELECT c_custkey,
+           greatest(c_acctbal, 0.0) AS bal_floor,
+           least(c_acctbal, 5000.0) AS bal_cap,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS bal_band,
+           ifnull(nullif(CAST(c_nationkey AS BIGINT), 0), -1) AS nation_or_neg
+    FROM customer WHERE c_custkey < 400
+    """,
+)
+def conditional_funcs(spark, sf_dir):
+    """greatest/least/coalesce/nullif/ifnull + searched CASE — the
+    conditional scalar family (reference FuncKind has Case only;
+    doradb-expr/src/func.rs)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_custkey") < 400)
+    return c.select(
+        "c_custkey",
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+        F.least(F.col("c_acctbal"), F.lit(5000.0)).alias("bal_cap"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_masked"
+        ),
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("bal_band"),
+        F.ifnull(F.nullif(F.col("c_nationkey").cast("long"), F.lit(0)), F.lit(-1)).alias(
+            "nation_or_neg"
+        ),
+    )
+
+
+@register(
+    "agg_filter",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS total_open
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_filter(spark, sf_dir):
+    """FILTER-clause aggregates (conditional aggregation without
+    self-joins or CASE-NULL tricks) — one pass, still map-side
+    combinable."""
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            count_star().alias("n_all"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).cast("long").alias("n_f"),
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O",
+                    F.col("o_totalprice").cast(DEC),
+                )
+            )
+            .cast("double")
+            .alias("total_open"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "datetime_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS DATE)
+             AS month_start,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                AS INTEGER) AS days_since_95,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(isodow(CAST(o_orderdate AS DATE)) - 1 AS INTEGER) AS weekday_mon0,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m
+    FROM orders WHERE o_orderkey < 300
+    """,
+)
+def datetime_funcs(spark, sf_dir):
+    """Date/time function family beyond Extract (the reference's only
+    temporal function, func.rs Extract): truncation, day/month
+    arithmetic with end-of-month clamping, diffs, ISO weekday."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate").cast("timestamp"))
+        .cast("date")
+        .alias("month_start"),
+        F.date_add(d, 30).alias("plus30"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.last_day(d).alias("eom"),
+        F.weekday(d).alias("weekday_mon0"),
+        F.add_months(d, 2).alias("plus2m"),
+    )
+
+
+@register(
+    "cast_matrix",
+    """
+    SELECT s,
+           TRY_CAST(s AS INTEGER) AS as_int,
+           TRY_CAST(s AS DOUBLE) AS as_double,
+           TRY_CAST(s AS DATE) AS as_date,
+           CAST(TRY_CAST(s AS BOOLEAN) AS VARCHAR) AS as_bool
+    FROM (SELECT unnest(['42', '-7', '  8 ', 'abc', '', '2024-02-29',
+                         '2023-02-29', 'true', 'false', '99999999999']) AS s)
+    """,
+)
+def cast_matrix(spark, sf_dir):
+    """Permissive-cast semantics matrix: the session runs ANSI mode
+    (Spark 4 default — strict CAST errors on malformed input, matching
+    the reference's error-on-bad-cast posture), so the permissive path
+    is try_cast, which is exactly DuckDB's TRY_CAST: NULL on malformed
+    numeric, date (incl. an invalid leap day), boolean and
+    scientific-notation inputs."""
+    # '3.5'/'1e3' deliberately absent: DuckDB TRY_CAST rounds decimal
+    # strings to int and accepts exponents where Spark yields NULL —
+    # documented divergence, not probed. Overflow + whitespace are.
+    rows = [("42",), ("-7",), ("  8 ",), ("abc",), ("",), ("2024-02-29",),
+            ("2023-02-29",), ("true",), ("false",), ("99999999999",)]
+    df = spark.createDataFrame(rows, "s string")
+    return df.select(
+        "s",
+        F.col("s").try_cast("int").alias("as_int"),
+        F.col("s").try_cast("double").alias("as_double"),
+        F.col("s").try_cast("date").alias("as_date"),
+        F.col("s").try_cast("boolean").cast("string").alias("as_bool"),
+    )
