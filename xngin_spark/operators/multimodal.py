@@ -123,3 +123,48 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
             F.col("payload"), F.col("frame_no") * every_n_bytes + 1, every_n_bytes
         ).alias("frame_bytes"),
     )
+
+
+RESIZE_TARGET = 64
+
+MEDIA_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("resized_len", T.LongType()),
+        T.StructField("resized_md5", T.StringType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """'Resize' pass: deterministic strided downsample of the payload to
+    at most ``target`` bytes — the image-resize shape (full blob in,
+    small fixed-size representation out) with the same mapInPandas
+    plumbing a real `PIL.Image.resize` would use. Downstream stages
+    shuffle ``target``-byte rows instead of blobs, which is the entire
+    point of resizing early at 100 TB."""
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        import pandas as pd
+
+        def shrink(b: bytes) -> bytes:
+            step = max(len(b) // target, 1)
+            return b[::step][:target]
+
+        for pdf in batches:
+            small = pdf["payload"].map(shrink)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized_len": small.map(len),
+                    "resized_md5": small.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    from xngin_spark.operators.util import fan_out
+
+    return fan_out(media.select("doc_id", "payload")).mapInPandas(
+        process, MEDIA_RESIZE_SCHEMA
+    )

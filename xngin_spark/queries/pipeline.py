@@ -486,3 +486,35 @@ def split_assign(spark, sf_dir):
         .otherwise("val")
         .alias("split"),
     )
+
+
+@register(
+    "media_resize",
+    """
+    WITH m AS (
+      SELECT doc_id, text, length(text) AS n,
+             greatest(CAST(floor(length(text) / 64.0) AS BIGINT), 1) AS step
+      FROM documents
+    ),
+    idxd AS (
+      SELECT doc_id, text,
+             list_filter(list_transform(range(0, 64), i -> i * step + 1),
+                         p -> p <= n) AS idx
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(len(idx) AS BIGINT) AS resized_len,
+           md5(array_to_string(
+                 list_transform(idx, i -> substr(text, CAST(i AS INTEGER), 1)),
+                 '')) AS resized_md5
+    FROM idxd
+    """,
+)
+def media_resize(spark, sf_dir):
+    """Resize-shaped mapInPandas pass with a REAL oracle: the fake
+    resize is a strided byte downsample, which DuckDB reproduces
+    byte-for-byte over the ASCII payloads (payload = utf-8 text), so
+    unlike the decode stub this pandas path is value-checked, not just
+    rows-checked."""
+    d = T(spark, sf_dir, "documents")
+    return M.resize_media(M.as_media_table(d))
