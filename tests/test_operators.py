@@ -426,3 +426,36 @@ def test_sequence_pack_fills_budget(spark):
     # start-offset binning: doc i starts at offset 1000*i, so its pack
     # is floor(1000*i / 2048) — three docs start inside window 0
     assert got == {i: (1000 * i) // 2048 for i in range(10)}
+
+
+def test_dedup_pipeline_keeper_semantics(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from xngin_spark.queries import QUERIES
+
+    out = QUERIES["dedup_pipeline"](spark, sf_dir)
+    out.cache()
+    try:
+        # exactly one keeper per component, and it is the min doc_id
+        per_comp = out.groupBy("component").agg(
+            F2.sum(F2.col("is_keeper").cast("int")).alias("n_keep"),
+            F2.min("doc_id").alias("lo"),
+        )
+        assert per_comp.filter(F2.col("n_keep") != 1).count() == 0
+        bad = (
+            out.filter(F2.col("is_keeper"))
+            .join(per_comp, "component")
+            .filter(F2.col("doc_id") != F2.col("lo"))
+        )
+        assert bad.count() == 0
+        # identical-text docs always share a component
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        j = d.select(F2.md5("text").alias("fp"), "doc_id").join(out, "doc_id")
+        assert (
+            j.groupBy("fp").agg(F2.countDistinct("component").alias("nc"))
+            .filter(F2.col("nc") > 1)
+            .count()
+            == 0
+        )
+    finally:
+        out.unpersist()

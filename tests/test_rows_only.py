@@ -15,6 +15,7 @@ def test_rows_only_set_is_expected():
     assert ROWS_ONLY == [
         "approx_distinct",     # HLL sketch estimate is engine-specific
         "dedup_minhash_lsh",   # xxhash64 signatures — DuckDB lacks the hash
+        "dedup_pipeline",      # composes the minhash stage (xxhash64)
         "dedup_simhash",       # xxhash64-based
         "knn_cosine_ivf",      # iterative k-means training
         "knn_cosine_lsh",      # approximate by design

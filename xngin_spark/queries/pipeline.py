@@ -518,3 +518,38 @@ def media_resize(spark, sf_dir):
     rows-checked."""
     d = T(spark, sf_dir, "documents")
     return M.resize_media(M.as_media_table(d))
+
+
+@register("dedup_pipeline")  # no oracle: minhash stage uses xxhash64
+def dedup_pipeline(spark, sf_dir):
+    """END-TO-END dedup: exact-dup edges ∪ minhash near-dup pairs →
+    connected components → one keeper per component. The complete
+    production shape — pair generation alone is not dedup; this closes
+    the loop to a keep/drop verdict per document. Rows-only in the gate
+    (minhash signatures are xxhash64-based); component semantics are
+    oracle-proven on the exact-edge subset by `dedup_clusters` and on
+    planted multi-hop graphs in tests/test_operators.py."""
+    from pyspark.sql import Window
+
+    from xngin_spark.operators.corpus import connected_components
+    from xngin_spark.operators.dedup import minhash_lsh_pairs, release_persisted
+
+    d = T(spark, sf_dir, "documents")
+    root = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    exact_edges = (
+        d.select(root.alias("src"), F.col("doc_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    near_edges = minhash_lsh_pairs(d, max_bucket_size=200).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comps = connected_components(
+        exact_edges.union(near_edges), d.select("doc_id"), id_col="doc_id"
+    )
+    release_persisted()
+    w = Window.partitionBy("component")
+    return comps.select(
+        "doc_id",
+        "component",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
+    )
