@@ -459,3 +459,31 @@ def test_dedup_pipeline_keeper_semantics(spark, sf_dir):
         )
     finally:
         out.unpersist()
+
+
+def test_pq_recall_against_exact(spark, sf_dir):
+    # ADC top-20 must substantially overlap the exact L2 top-20 — PQ is
+    # lossy, but m=4/k=16 on 64-dim clustered embeddings should keep
+    # most true neighbors
+    from xngin_spark.operators.clustering import pq_encode, pq_fit, pq_search
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    probe = [0.25 if i % 3 == 0 else -0.125 for i in range(64)]
+    books = pq_fit(e.filter(F.col("vec_id") % 7 == 0), dim=64, m=4, k=16, max_iter=3)
+    approx = {r.vec_id for r in pq_search(pq_encode(e, books), books, probe, k=20).collect()}
+
+    q = F.array(*[F.lit(float(x)) for x in probe])
+    l2 = F.aggregate(
+        F.zip_with(F.col("embedding"), q, lambda a, b: (a.cast("double") - b) ** 2),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = {
+        r.vec_id
+        for r in e.select("vec_id", l2.alias("d"))
+        .orderBy(F.col("d").asc(), "vec_id")
+        .limit(20)
+        .collect()
+    }
+    recall = len(approx & exact) / 20.0
+    assert recall >= 0.3, f"PQ recall {recall} too low"

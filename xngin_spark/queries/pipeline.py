@@ -553,3 +553,24 @@ def dedup_pipeline(spark, sf_dir):
         "component",
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_keeper"),
     )
+
+
+@register("knn_l2_pq")  # no oracle: trained codebooks (iterative k-means)
+def knn_l2_pq(spark, sf_dir):
+    """Product-quantization ANN: codebooks fit per subspace on a
+    deterministic sample, corpus encoded to m=4 byte codes, one probe
+    vector searched via ADC lookups. 16x compression of every
+    downstream shuffle; recall vs exact search is bounded in
+    tests/test_operators.py. Rows-only: codebooks come from iterative
+    k-means."""
+    from xngin_spark.operators.clustering import pq_encode, pq_fit, pq_search
+
+    e = T(spark, sf_dir, "embeddings")
+    # k=8 per subspace: the embeddings fixture is small (2k rows at
+    # sf0.1), so codebook size here is a codegen-cost knob, not a
+    # recall knob; the recall test fits k=16 on its own
+    sample = e.filter(F.col("vec_id") % 13 == 0)
+    books = pq_fit(sample, dim=64, m=4, k=8, max_iter=2)
+    codes = pq_encode(e, books)
+    probe = [0.25 if i % 3 == 0 else -0.125 for i in range(64)]
+    return pq_search(codes, books, probe, k=20)

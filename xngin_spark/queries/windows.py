@@ -384,3 +384,90 @@ def events_stream_join(spark, sf_dir):
     sdf = stream_stream_join(clicks, purchases)
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
     return run_available_now(sdf, name, output_mode="append", shuffle_partitions=8)
+
+
+@register(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_buy
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'view>click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'view>click>purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase, each stage
+    strictly after the previous): the canonical product-analytics
+    sequence query. Three per-user MIN aggregations chained by joins —
+    every shuffle is on the 8-byte user id, each stage's table shrinks,
+    and the final stage counts are scalar. No window over the full
+    event stream, no per-user sort."""
+    e = events_df(spark, sf_dir)
+
+    def first_after(etype, prev, prev_col, out_col):
+        src = e.filter(F.col("event_type") == etype)
+        if prev is not None:
+            src = src.join(prev, "user_id").filter(F.col("ts") > F.col(prev_col))
+        return src.groupBy("user_id").agg(F.min("ts").alias(out_col))
+
+    v = first_after("view", None, None, "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_buy")
+    counts = [
+        v.select(F.lit("view").alias("stage"), F.lit(1).alias("one")),
+        c.select(F.lit("view>click").alias("stage"), F.lit(1).alias("one")),
+        p.select(F.lit("view>click>purchase").alias("stage"), F.lit(1).alias("one")),
+    ]
+    un = counts[0].unionAll(counts[1]).unionAll(counts[2])
+    return un.groupBy("stage").agg(count_star().alias("n_users"))
+
+
+@register(
+    "events_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, CAST(CAST(e.ts AS TIMESTAMP) AS DATE))
+                AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM events e JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention triangle: users grouped by first-seen day,
+    counted distinct on each later activity day. Two user-id shuffles
+    (first-day agg + the fact-side join) and one (cohort, offset)
+    count-distinct — the cohort table is per-user-small and broadcast.
+    """
+    e = events_df(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    return (
+        e.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
