@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xngin_spark.operators import corpus as C
+from xngin_spark.operators.util import fan_out
 from xngin_spark.queries import register
 from xngin_spark.queries.tpch import T
 
@@ -226,3 +227,53 @@ def sequence_pack_q(spark, sf_dir):
         F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
     )
     return C.sequence_pack(d)
+
+
+@register(
+    "vocab_coverage",
+    """
+    WITH counts AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, CAST(c AS BIGINT) AS c,
+             CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rnk,
+             CAST(SUM(c) OVER (ORDER BY c DESC, tok
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM counts
+    )
+    SELECT rnk, tok, c,
+           CAST(cum AS DOUBLE) / (SELECT CAST(SUM(c) AS DOUBLE) FROM counts)
+             AS coverage
+    FROM ranked WHERE rnk <= 10
+    """,
+)
+def vocab_coverage(spark, sf_dir):
+    """Cumulative vocabulary coverage: what fraction of all token
+    occurrences the top-k tokens account for — the tokenizer-budget
+    question. The global window runs over the POST-AGGREGATION counts
+    table (vocabulary-sized, not corpus-sized), so the single-partition
+    rank is bounded by |vocab| at any corpus scale."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    counts = (
+        fan_out(d)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("double").alias("t"))
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = counts.select(
+        F.row_number().over(w).cast("long").alias("rnk"),
+        "tok",
+        F.col("c").cast("long").alias("c"),
+        F.sum("c").over(wc).cast("long").alias("cum"),
+    ).filter(F.col("rnk") <= 10)
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "rnk", "tok", "c", (F.col("cum").cast("double") / F.col("t")).alias("coverage")
+    )

@@ -471,3 +471,52 @@ def events_retention(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "events_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events WHERE user_id < 50
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_start
+      FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             COUNT(*) AS n
+      FROM events WHERE user_id < 50 GROUP BY 1
+    )
+    SELECT g.hour_start,
+           CAST(coalesce(a.n, 0) AS BIGINT) AS n_events,
+           a.n IS NULL AS is_gap
+    FROM grid g LEFT JOIN actual a ON g.hour_start = a.hour_start
+    """,
+)
+def events_gap_fill(spark, sf_dir):
+    """Time-series gap filling: a dense hour grid generated with
+    ``sequence`` (JVM-side, no driver loop) left-joined to the sparse
+    hourly counts, so silent-hour gaps surface as explicit zero rows —
+    the step every downstream moving-average or anomaly check needs.
+    The grid is one row per hour (driver-free, scale-constant); the
+    count side is the usual windowed shuffle."""
+    e = events_df(spark, sf_dir).filter(F.col("user_id") < 50)
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour_start")
+    )
+    actual = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(count_star().alias("n"))
+    )
+    return grid.join(actual, "hour_start", "left").select(
+        "hour_start",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.col("n").isNull().alias("is_gap"),
+    )
