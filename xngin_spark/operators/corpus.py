@@ -292,6 +292,13 @@ def connected_components(
     # partitions and truncates the plan to a scan — on a real cluster
     # swap in reliable `checkpoint()` with a checkpoint dir so executor
     # loss can't kill a long convergence.
+    #
+    # At extreme scale (edges touching only a sliver of a huge corpus),
+    # restrict the iteration to edge-connected nodes and union the
+    # untouched ones back as their own components afterwards; measured
+    # HERE the extra distinct + anti-join costs more than it saves
+    # (compile-dominated at test scale), so the simple full-node loop
+    # is the default.
     labels = nodes.select(
         F.col(id_col).alias("nid"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)

@@ -1,0 +1,66 @@
+"""Z-order data layout: multi-column clustering for row-group skipping.
+
+Sorting by a single column gives parquet min/max pruning on that column
+only; interleaving the bits of several key columns (Morton order) keeps
+rows that are close in ANY key dimension physically close, so
+row-group statistics stay narrow for every interleaved column at once
+and selective filters on any of them skip most of the file.
+
+This is the open-format analog of the reference's zone-map block
+skipping (SURVEY §2.6 — its storage engine keeps per-block min/max),
+generalized to multiple dimensions, and the same layout trick Delta's
+OPTIMIZE ZORDER applies. All JVM bit arithmetic — the z-value is one
+codegen'd expression, the write is an ordinary range-partitioned sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Z_BITS = 16
+
+
+def _clamped(col: Column) -> Column:
+    """Clamp to [0, 2^Z_BITS) — z-ordering needs a bounded non-negative
+    key; callers pre-scale real domains (e.g. epoch-hour, id mod)."""
+    return F.greatest(F.lit(0), F.least(col.cast("long"), F.lit((1 << Z_BITS) - 1)))
+
+
+def zorder_value(cols: Sequence[Column]) -> Column:
+    """Morton z-value: interleave the low Z_BITS bits of each column.
+    For m columns, bit i of column j lands at position i*m + j."""
+    m = len(cols)
+    clamped = [_clamped(c) for c in cols]
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        for j, c in enumerate(clamped):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * m + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[Column],
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet clustered by the z-value of ``cols``:
+    range-partition on z (each output file owns a contiguous z-range,
+    cluster-parallel), sort within partitions, drop the helper column.
+    Readers filtering on ANY of the interleaved columns then skip
+    files/row-groups via ordinary parquet min/max stats."""
+    z = zorder_value(cols).alias("__z")
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
