@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xngin_spark.catalog import events_df
-from xngin_spark.functions.aggregates import count_star, dsum, dsum_expr
+from xngin_spark.functions.aggregates import DEC, count_star, dsum, dsum_expr
 from xngin_spark.queries import register
 
 
@@ -519,4 +519,74 @@ def events_gap_fill(spark, sf_dir):
         "hour_start",
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         F.col("n").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "events_anomaly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1
+    ),
+    scored AS (
+      SELECT hour_start, CAST(n AS BIGINT) AS n_events,
+             CAST(SUM(CAST(n AS DECIMAL(25,6)))
+                  OVER (ORDER BY hour_start
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+               AS win_sum,
+             CAST(SUM(CAST(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS DECIMAL(25,6)))
+                  OVER (ORDER BY hour_start
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+               AS win_sumsq,
+             CAST(COUNT(*)
+                  OVER (ORDER BY hour_start
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+               AS win_n
+      FROM hourly
+    )
+    SELECT hour_start, n_events,
+           round((n_events - win_sum / win_n)
+                 / sqrt(greatest((win_sumsq - win_sum * win_sum / win_n)
+                                 / (win_n - 1), 1e-12)), 6) AS zscore
+    FROM scored
+    WHERE win_n >= 12
+    """,
+)
+def events_anomaly(spark, sf_dir):
+    """Trailing-window anomaly score: each hour's count against the
+    mean/stddev of the PRECEDING 24 hours (excluding itself — no
+    self-contamination), via the same exact decimal moment sums as
+    agg_stats so both engines do identical IEEE math. The global
+    time-ordered window runs over the post-aggregation hourly table
+    (bounded by the time span, not the event count); on a cluster,
+    partition the window by series key — per-metric streams make this
+    embarrassingly parallel."""
+    from pyspark.sql import Window
+
+    e = events_df(spark, sf_dir)
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(count_star().alias("n"))
+    )
+    w = Window.orderBy("hour_start").rowsBetween(-24, -1)
+    nd = F.col("n").cast("double")
+    scored = hourly.select(
+        "hour_start",
+        F.col("n").cast("long").alias("n_events"),
+        F.sum(F.col("n").cast(DEC)).over(w).cast("double").alias("win_sum"),
+        F.sum((nd * nd).cast(DEC)).over(w).cast("double").alias("win_sumsq"),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+    )
+    mean = F.col("win_sum") / F.col("win_n")
+    var = F.greatest(
+        (F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum") / F.col("win_n"))
+        / (F.col("win_n") - 1),
+        F.lit(1e-12),
+    )
+    return scored.filter(F.col("win_n") >= 12).select(
+        "hour_start",
+        "n_events",
+        F.round((F.col("n_events") - mean) / F.sqrt(var), 6).alias("zscore"),
     )
