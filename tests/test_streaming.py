@@ -27,8 +27,8 @@ def events_dir(spark, sf_dir, tmp_path_factory):
     """Events split into N_FILES time-ordered parquet files (arrival
     order ≈ event order, so watermarks advance monotonically)."""
     out = tmp_path_factory.mktemp("events_stream_src")
-    # keep raw nanos-long ts so the stream source sees the same
-    # physical type as the driver parquet
+    # session-read ts is TIMESTAMP_NTZ (micros), so the rewrite keeps
+    # the same physical type as the driver parquet
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw.repartitionByRange(N_FILES, "ts").write.mode("overwrite").parquet(str(out))
     # FileStreamSource processes files in (mtime, path) order; parallel

@@ -1,0 +1,90 @@
+"""Gate rehearsal on a DEFAULT-CONF SparkSession.
+
+The driver's correctness gate runs `__spark_entry__.queries()` in a
+vanilla session — no xngin conf, whatever timezone/parquet settings
+Spark ships with. Rounds 2 and 3 each lost gate rows to skew between
+the builder's tuned session (xngin_spark.session.get_spark) and that
+vanilla one (nanos-timestamp conf, NTZ event time, array gate outputs).
+This module makes that class of failure impossible to ship: one
+representative query per gate family runs through the real entry point
+on a stock session in a SUBPROCESS (full isolation — getOrCreate in
+this process would hand back the tuned suite session) and must
+hash-match its DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+# one representative per family that has historically broken on session
+# skew, plus one per major gate family
+REPRESENTATIVES = [
+    "q1",                      # TPC-H agg
+    "q4",                      # semi join
+    "events_tumbling",         # batch event time (NTZ read)
+    "events_range_join",       # epoch extraction on NTZ
+    "events_stream_tumbling",  # streaming watermark (needs TIMESTAMP)
+    "embedding_quantize",      # array-free gate output
+    "media_features",          # mapInPandas plumbing
+    "contamination_ngram",     # broadcast-join corpus op
+]
+
+_RUNNER = """
+import json, sys
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .appName("xngin_vanilla_rehearsal")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as E
+from xngin_spark.oracle import compare, duckdb_connect
+queries, oracles = E.queries(), E.oracle_sql()
+sf_dir, names = sys.argv[1], sys.argv[2].split(",")
+con = duckdb_connect(sf_dir)
+out = {}
+for name in names:
+    try:
+        sdf = queries[name](spark, sf_dir)
+        bad = [f.name for f in sdf.schema.fields
+               if f.dataType.typeName() in ("array", "map", "struct")]
+        if bad:
+            out[name] = f"gate output has non-scalar columns {bad}"
+            continue
+        res = compare(name, sdf, con, oracles[name])
+        out[name] = ("ok" if res.ok else
+                     f"rows {res.spark_rows}/{res.oracle_rows} "
+                     f"hash {res.spark_hash}/{res.oracle_hash}")
+    except Exception as e:  # noqa: BLE001 — report, don't die mid-list
+        out[name] = f"ERR {type(e).__name__}: {e}"
+print("RESULT:" + json.dumps(out))
+"""
+
+
+@pytest.fixture(scope="module")
+def rehearsal(sf_dir):
+    """One subprocess run over all representatives (one JVM boot)."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _RUNNER, sf_dir, ",".join(REPRESENTATIVES)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            import json
+
+            return json.loads(line[len("RESULT:"):])
+    pytest.fail(
+        f"vanilla rehearsal subprocess produced no result "
+        f"(rc={proc.returncode}):\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVES)
+def test_gate_query_on_vanilla_session(name, rehearsal):
+    assert rehearsal[name] == "ok", f"{name} diverges on a vanilla session: {rehearsal[name]}"

@@ -148,14 +148,16 @@ class Catalog:
 
 
 def events_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Load the events table with ``ts`` as a proper microsecond
-    TimestampType.
+    """Load the events table with ``ts`` as an event-time timestamp.
 
-    The parquet stores TIMESTAMP(NANOS), which Spark has no vector type
-    for — with ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as
-    raw nanos (long); convert by integer floor-division to micros, which
-    matches DuckDB's TIMESTAMP_NS → TIMESTAMP truncation so oracle
-    comparisons agree.
+    The driver parquet stores TIMESTAMP(MICROS, isAdjustedToUTC=false),
+    which Spark surfaces natively as TIMESTAMP_NTZ — zoneless, exactly
+    the reference's Datetime semantics (doradb-datatype/src/lib.rs:49)
+    and DuckDB's naive TIMESTAMP, so oracle comparisons agree with no
+    conversion. Legacy fallbacks keep older layouts working: raw
+    nanos-as-long (``spark.sql.legacy.parquet.nanosAsLong`` sessions)
+    are floor-divided to micros, matching DuckDB's TIMESTAMP_NS →
+    TIMESTAMP truncation.
     """
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     if dict(df.dtypes)["ts"] == "bigint":

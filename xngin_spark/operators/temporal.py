@@ -24,6 +24,19 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_micros(dtype: str, col: str) -> Column:
+    """Exact integer microseconds since epoch for either timestamp
+    flavor. ``unix_micros`` only accepts TIMESTAMP (tz-adjusted); for
+    TIMESTAMP_NTZ (zoneless — what TIMESTAMP(MICROS, utc=false) parquet
+    surfaces as) take a naive micro diff from the NTZ epoch, which is
+    timezone-free and matches DuckDB's naive arithmetic exactly."""
+    if dtype == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', `{col}`)"
+        )
+    return F.unix_micros(F.col(col))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -84,8 +97,8 @@ def range_join(
     # representation is inexact and can flip a boundary comparison);
     # plain doubles for numeric axes
     if dict(left.dtypes)[on].startswith("timestamp"):
-        lsec = F.unix_micros(F.col(on))
-        rsec = F.unix_micros(F.col(on))
+        lsec = _epoch_micros(dict(left.dtypes)[on], on)
+        rsec = _epoch_micros(dict(right.dtypes)[on], on)
         lo: object = int(float(lower) * 1_000_000)
         hi: object = int(float(upper) * 1_000_000)
         width: object = max(hi - lo, 1)

@@ -368,7 +368,7 @@ def knn_cosine_ivf(spark, sf_dir):
 @register(
     "embedding_quantize",
     """
-    SELECT vec_id, scale, qvec, max_abs_err
+    SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv, max_abs_err
     FROM (
       SELECT vec_id,
              greatest(list_max(list_transform(embedding,
@@ -393,10 +393,17 @@ def knn_cosine_ivf(spark, sf_dir):
 def embedding_quantize(spark, sf_dir):
     # symmetric int8: 4x the bytes of every downstream shuffle back;
     # floor(x+0.5) rounding keeps the oracle bit-exact (see
-    # operators/quantize.py)
+    # operators/quantize.py). Gate policy: no bare array columns in
+    # gate outputs (the driver's canonicalizer sorts values and can't
+    # hash a list) — serialize qvec to CSV for the compare.
     from xngin_spark.operators.quantize import quantize_int8
 
-    return quantize_int8(T(spark, sf_dir, "embeddings"))
+    return quantize_int8(T(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "scale",
+        F.array_join(F.col("qvec").cast("array<string>"), ",").alias("qvec_csv"),
+        "max_abs_err",
+    )
 
 
 @register(

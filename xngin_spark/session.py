@@ -59,9 +59,6 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
-        # events.parquet carries TIMESTAMP(NANOS) which the vectorized
-        # reader rejects; read as long and convert (catalog.events_df)
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- quieter driver ---
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "false")

@@ -23,19 +23,29 @@ from pyspark.sql import functions as F
 Z_BITS = 16
 
 
-def _clamped(col: Column) -> Column:
-    """Clamp to [0, 2^Z_BITS) — z-ordering needs a bounded non-negative
+def _clamped(col: Column, bits: int) -> Column:
+    """Clamp to [0, 2^bits) — z-ordering needs a bounded non-negative
     key; callers pre-scale real domains (e.g. epoch-hour, id mod)."""
-    return F.greatest(F.lit(0), F.least(col.cast("long"), F.lit((1 << Z_BITS) - 1)))
+    return F.greatest(F.lit(0), F.least(col.cast("long"), F.lit((1 << bits) - 1)))
 
 
 def zorder_value(cols: Sequence[Column]) -> Column:
-    """Morton z-value: interleave the low Z_BITS bits of each column.
-    For m columns, bit i of column j lands at position i*m + j."""
+    """Morton z-value: interleave the low bits of each column. For m
+    columns, bit i of column j lands at position i*m + j.
+
+    Bits per column shrink as columns grow — ``min(Z_BITS, 63 // m)`` —
+    so the top interleaved bit never reaches position 63 (the long sign
+    bit: affected rows would sort FIRST) and never wraps past 64 (JVM
+    shiftleft is mod-64: bits would silently interleave wrong). At m=4
+    that is 15 bits/col; clustering quality degrades gracefully instead
+    of the ordering invariant breaking."""
     m = len(cols)
-    clamped = [_clamped(c) for c in cols]
+    if m == 0:
+        raise ValueError("zorder_value needs at least one column")
+    bits = min(Z_BITS, 63 // m)
+    clamped = [_clamped(c, bits) for c in cols]
     z = F.lit(0).cast("long")
-    for i in range(Z_BITS):
+    for i in range(bits):
         for j, c in enumerate(clamped):
             z = z.bitwiseOR(
                 F.shiftleft(F.shiftright(c, i).bitwiseAND(F.lit(1)), i * m + j)

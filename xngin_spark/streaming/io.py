@@ -4,22 +4,41 @@ File-stream source over the driver's events parquet. Streaming reads
 REQUIRE an explicit schema (no inference mid-stream) — consistent with
 the engine-wide schema-pinned policy (sources/readers.py).
 
-The events parquet stores TIMESTAMP(NANOS); with the session conf
-``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that we
-convert to a microsecond timestamp — same rule as the batch loader
-(xngin_spark.catalog.events_df) so streaming and batch agree.
+The events parquet stores TIMESTAMP(MICROS, isAdjustedToUTC=false),
+which maps to TimestampNTZType — zoneless event time, same as the
+batch loader (xngin_spark.catalog.events_df). Spark's watermark
+operator requires tz-adjusted TIMESTAMP event time
+(EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ), so the source reinterprets
+NTZ as UTC on ingest (``to_event_time``) and windowed emitters convert
+bounds back to naive NTZ (``to_naive``) — both pure integer-micros
+reinterpretations, independent of ``spark.sql.session.timeZone``, so
+collected values match the zoneless batch/oracle answer in ANY session.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_NTZ_EPOCH = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
+
+
+def to_event_time(col: str) -> Column:
+    """TIMESTAMP_NTZ → TIMESTAMP by UTC reinterpretation (not the
+    session-tz cast): epoch micros := naive micros. Tz-independent."""
+    return F.expr(f"timestamp_micros(timestampdiff(MICROSECOND, {_NTZ_EPOCH}, {col}))")
+
+
+def to_naive(col: str) -> Column:
+    """TIMESTAMP → TIMESTAMP_NTZ by UTC reinterpretation — inverse of
+    ``to_event_time``; emitted window bounds become zoneless again."""
+    return F.expr(f"timestampadd(MICROSECOND, unix_micros({col}), {_NTZ_EPOCH})")
 
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) via nanosAsLong
+        T.StructField("ts", T.TimestampNTZType()),  # TIMESTAMP(MICROS), zoneless
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -48,8 +67,7 @@ def events_stream(
         # FileStreamSource only lists directories; narrow with a glob
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    df = reader.parquet(path)
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return reader.parquet(path).withColumn("ts", to_event_time("ts"))
 
 
 def to_memory_sink(

@@ -44,6 +44,11 @@ def incremental_window_counts(
             "n_events",
         )
     )
+    # zoneless bounds out (see streaming/io.to_naive) so the parquet MV
+    # carries the same naive values as the batch twin in any session tz
+    from xngin_spark.streaming.io import to_naive
+
+    agg = agg.withColumn("window_start", to_naive("window_start"))
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         (

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xngin_spark.functions.aggregates import count_star, dsum
+from xngin_spark.streaming.io import to_naive
 
 
 def _windowed(sdf: DataFrame, window_col, delay: str) -> DataFrame:
@@ -26,7 +27,7 @@ def _windowed(sdf: DataFrame, window_col, delay: str) -> DataFrame:
         .groupBy(window_col.alias("w"), "event_type")
         .agg(count_star().alias("n_events"), dsum(F.col("value"), "total_value"))
         .select(
-            F.col("w.start").alias("window_start"),
+            to_naive("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -71,5 +72,11 @@ def stream_session(
             count_star().alias("n_events"),
             dsum(F.col("value"), "total_value"),
         )
-        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+        .select(
+            "user_id",
+            to_naive("session_start").alias("session_start"),
+            to_naive("session_end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
     )
