@@ -416,6 +416,37 @@ def test_connected_components_multihop(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 99: 99}
 
 
+def test_connected_components_path_graph_converges(spark):
+    # 20-node path: worst-case diameter for min-label propagation (the
+    # crawl-dup chain shape). Label 0 must walk the whole chain.
+    from xngin_spark.operators.corpus import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, nodes, max_iter=25).collect()
+    }
+    assert got == {i: 0 for i in range(20)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # same path graph with too few iterations: silent exit would return
+    # wrong components — must raise instead
+    import pytest as _pytest
+
+    from xngin_spark.operators.corpus import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(19)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, nodes, max_iter=2)
+
+
 def test_sequence_pack_fills_budget(spark):
     from xngin_spark.operators.corpus import sequence_pack
 
@@ -487,3 +518,30 @@ def test_pq_recall_against_exact(spark, sf_dir):
     }
     recall = len(approx & exact) / 20.0
     assert recall >= 0.3, f"PQ recall {recall} too low"
+
+
+def test_pq_fit_tiny_sample_clamps_k(spark):
+    # fewer training rows than k: codebooks clamp instead of indexing
+    # empty slots (ANSI element_at error) — r2 advice item
+    from xngin_spark.operators.clustering import pq_encode, pq_fit
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(-i), 1.0, 2.0]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_fit(df, dim=4, m=2, k=16, max_iter=1)
+    assert all(1 <= len(bk) <= 3 for bk in books)
+    assert pq_encode(df, books).count() == 3
+
+
+def test_pq_fit_deterministic_codebooks(spark):
+    # collect() row order must not leak into codebook slot order
+    from xngin_spark.operators.clustering import pq_fit
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 5), float(i % 3), float(i % 7), 1.0]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    b1 = pq_fit(df, dim=4, m=2, k=4, max_iter=2)
+    b2 = pq_fit(df.repartition(7), dim=4, m=2, k=4, max_iter=2)
+    assert b1 == b2

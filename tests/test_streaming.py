@@ -197,6 +197,23 @@ def test_stream_stream_join_matches_batch(spark, events_dir):
     assert got_set == want_set and len(want_set) > 0
 
 
+def test_run_available_now_timeout_stops_query(spark, events_dir):
+    # a timeout must RAISE and stop the query — returning the partially
+    # populated sink would silently truncate results into a hash
+    # mismatch with no diagnosable error (r2 advice item)
+    before = {q.id for q in spark.streams.active}
+    sdf = stream_tumbling(events_stream(spark, events_dir, max_files_per_trigger=1))
+    with pytest.raises(TimeoutError, match="did not finish"):
+        # 0.5s: four stateful micro-batches cannot finish that fast, but
+        # awaitTermination requires a strictly positive timeout
+        run_available_now(sdf, "t_timeout", output_mode="append", timeout_s=0.5)
+    # the overrunning query was stopped, not left running in the background
+    deadline = __import__("time").time() + 30
+    while {q.id for q in spark.streams.active} - before:
+        assert __import__("time").time() < deadline, "query still active after timeout"
+        __import__("time").sleep(0.5)
+
+
 def test_incremental_window_counts_sink(spark, events_dir, tmp_path):
     from xngin_spark.streaming.sinks import incremental_window_counts
 

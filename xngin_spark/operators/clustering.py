@@ -222,9 +222,18 @@ def pq_fit(
         .filter(F.col("rn") <= k)
         .collect()
     )
+    # collect() row order is not deterministic across runs — rebuild the
+    # (s, rn) order explicitly so codebook slot assignment is stable
     books: list[list[list[float]]] = [[] for _ in range(m)]
-    for r in init:
+    for r in sorted(init, key=lambda r: (r.s, r.rn)):
         books[r.s].append([float(x) for x in r.v])
+    # fewer distinct training rows than k in some subspace: clamp k so
+    # assign_expr never indexes an empty codebook slot (element_at past
+    # the end errors under ANSI mode)
+    k = min([k] + [len(bk) for bk in books])
+    if k == 0:
+        raise ValueError("pq_fit: empty training sample")
+    books = [bk[:k] for bk in books]
 
     def assign_expr(bks):
         # nearest centroid within the row's own subspace: index the

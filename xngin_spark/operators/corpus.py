@@ -281,9 +281,15 @@ def connected_components(
     graph-diameter iterations (dup clusters are near-star-shaped, so
     2-3 in practice; large-star/small-star contraction is the
     published upgrade if diameters grow). The only driver traffic is a
-    scalar changed-count per iteration. Labels persist between
-    iterations and unpersist after; returns (id, component) where
-    component = min node id reachable.
+    scalar changed-count per iteration. Each iteration's checkpointed
+    labels are released once the next materializes; returns
+    (id, component) where component = min node id reachable.
+
+    Raises RuntimeError if labels are still changing after ``max_iter``
+    rounds — a silent exit there would return WRONG components (a long
+    chain cluster, e.g. crawl-dup chains, needs diameter iterations).
+    Callers with genuinely deep graphs raise ``max_iter`` (cost is
+    linear per round) or switch to star-contraction.
     """
     sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
     # localCheckpoint (eager) per iteration: an iterative join's lineage
@@ -302,6 +308,7 @@ def connected_components(
     labels = nodes.select(
         F.col(id_col).alias("nid"), F.col(id_col).alias("comp")
     ).localCheckpoint(eager=True)
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.src == labels.nid)
@@ -324,9 +331,22 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        # the new checkpoint is materialized (count above consumed it) —
+        # release the previous iteration's stored partitions now instead
+        # of accumulating one checkpoint per iteration per call
+        try:
+            labels.rdd.unpersist()
+        except Exception:
+            pass
         labels = new_labels
         if changed == 0:
             break
+    if changed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter for "
+            "deep/chain-shaped graphs"
+        )
     return labels.select(F.col("nid").alias(id_col), F.col("comp").alias("component"))
 
 

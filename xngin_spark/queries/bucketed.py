@@ -34,45 +34,98 @@ def _tag(sf_dir: str) -> str:
     return sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_").replace("-", "_")
 
 
+# once per (application, sf_dir): the three bucketed bench queries each
+# call ensure_bucketed, and catalog round-trips per query add up
+_ENSURED: dict[tuple[str, str], dict[str, str]] = {}
+
+
+def _src_fingerprint(path: str) -> str:
+    """Identity of the source parquet (file or directory of parts) —
+    the staleness guard: the driver regenerates testdata between
+    rounds, and serving bucketed twins built from a previous round's
+    files would silently return wrong results."""
+    import os
+
+    if os.path.isfile(path):
+        st = os.stat(path)
+        return f"{st.st_mtime_ns}:{st.st_size}"
+    parts = []
+    for root, _, files in os.walk(path):
+        for f in sorted(files):
+            if f.endswith(".parquet") or f.startswith("part-"):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(parts)
+
+
 def ensure_bucketed(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     """Write bucketed twins of orders/lineitem for ``sf_dir`` once per
-    warehouse; return {logical name -> managed table name}."""
+    warehouse; return {logical name -> managed table name}.
+
+    Orders and lineitem build CONCURRENTLY (two threads → two Spark
+    jobs; the scheduler interleaves their stages across cores), and a
+    source fingerprint marker invalidates twins whose source parquet
+    changed. Results are memoized per (application, sf_dir)."""
     import os
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    if memo_key in _ENSURED:
+        return _ENSURED[memo_key]
 
     tag = _tag(sf_dir)
-    mapping = {}
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+
+    def build(name: str, key: str) -> tuple[str, str]:
         table = f"{name}_bkt_{tag}"
-        if not spark.catalog.tableExists(table):
-            loc = os.path.join(wh, table)
-            if os.path.isdir(loc):
-                # catalog metadata is session-scoped but the warehouse
-                # persists: re-register the existing bucketed files
-                # (bucket ids live in the file names) instead of paying
-                # the layout write again — this keeps bench startup flat
-                # across sessions
-                schema = tpch.T(spark, sf_dir, name).schema
-                cols = ", ".join(
-                    f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
-                )
-                try:
-                    spark.sql(
-                        f"CREATE TABLE `{table}` ({cols}) USING parquet "
-                        f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
-                        f"INTO {_BUCKETS} BUCKETS LOCATION '{loc}'"
-                    )
-                    mapping[name] = table
-                    continue
-                except Exception:
-                    # unreadable leftovers (partial write) — rebuild
-                    shutil.rmtree(loc, ignore_errors=True)
-            df = tpch.T(spark, sf_dir, name)
-            write_bucketed_table(
-                df, table, [key], _BUCKETS, sort_cols=[key], mode="overwrite"
+        loc = os.path.join(wh, table)
+        marker = os.path.join(loc, "_xngin_src")
+        src_fp = _src_fingerprint(os.path.join(sf_dir, f"{name}.parquet"))
+        fresh = False
+        try:
+            with open(marker) as fh:
+                fresh = fh.read() == src_fp
+        except OSError:
+            pass
+        if spark.catalog.tableExists(table) and fresh:
+            return name, table
+        if os.path.isdir(loc) and fresh:
+            # catalog metadata is session-scoped but the warehouse
+            # persists: re-register the existing bucketed files (bucket
+            # ids live in the file names) instead of paying the layout
+            # write again — keeps bench startup flat across sessions
+            schema = tpch.T(spark, sf_dir, name).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
             )
-        mapping[name] = table
+            try:
+                spark.sql(
+                    f"CREATE TABLE `{table}` ({cols}) USING parquet "
+                    f"CLUSTERED BY (`{key}`) SORTED BY (`{key}`) "
+                    f"INTO {_BUCKETS} BUCKETS LOCATION '{loc}'"
+                )
+                return name, table
+            except Exception:
+                pass  # unreadable leftovers — fall through to rebuild
+        spark.sql(f"DROP TABLE IF EXISTS `{table}`")
+        shutil.rmtree(loc, ignore_errors=True)
+        df = tpch.T(spark, sf_dir, name)
+        write_bucketed_table(
+            df, table, [key], _BUCKETS, sort_cols=[key], mode="overwrite"
+        )
+        with open(marker, "w") as fh:
+            fh.write(src_fp)
+        return name, table
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        mapping = dict(
+            ex.map(
+                lambda nk: build(*nk),
+                (("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
+            )
+        )
+    _ENSURED[memo_key] = mapping
     return mapping
 
 

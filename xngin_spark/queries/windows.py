@@ -430,13 +430,21 @@ def events_funnel(spark, sf_dir):
     v = first_after("view", None, None, "t_view")
     c = first_after("click", v, "t_view", "t_click")
     p = first_after("purchase", c, "t_click", "t_buy")
+    # global (ungrouped) aggregates: exactly one row per stage even when
+    # a stage is empty — matching the oracle's COUNT(*) which emits 0,
+    # where a groupBy over unioned per-user rows would drop the stage
     counts = [
-        v.select(F.lit("view").alias("stage"), F.lit(1).alias("one")),
-        c.select(F.lit("view>click").alias("stage"), F.lit(1).alias("one")),
-        p.select(F.lit("view>click>purchase").alias("stage"), F.lit(1).alias("one")),
+        v.agg(count_star().alias("n_users")).select(
+            F.lit("view").alias("stage"), "n_users"
+        ),
+        c.agg(count_star().alias("n_users")).select(
+            F.lit("view>click").alias("stage"), "n_users"
+        ),
+        p.agg(count_star().alias("n_users")).select(
+            F.lit("view>click>purchase").alias("stage"), "n_users"
+        ),
     ]
-    un = counts[0].unionAll(counts[1]).unionAll(counts[2])
-    return un.groupBy("stage").agg(count_star().alias("n_users"))
+    return counts[0].unionAll(counts[1]).unionAll(counts[2])
 
 
 @register(
