@@ -25,6 +25,26 @@ from pyspark.sql import functions as F
 from xngin_spark.operators.util import fan_out
 
 
+def _lit_vec(vals) -> F.Column:
+    """array<double> literal as ONE parsed SQL expression. Building it
+    element-wise (F.array(*[F.lit(x) ...])) costs one py4j round-trip
+    per element — a k×d centroid matrix is k·d driver→JVM calls and
+    dominated kmeans wall-clock (~1s/iteration at k=8, d=64). repr()
+    round-trips doubles exactly and CAST(string AS DOUBLE) parses
+    correctly-rounded, so values are bit-identical to F.lit."""
+    inner = ",".join(f"CAST('{repr(float(x))}' AS DOUBLE)" for x in vals)
+    return F.expr(f"array({inner})")
+
+
+def _lit_matrix(rows) -> F.Column:
+    """array<array<double>> literal as one parsed expression."""
+    inner = ",".join(
+        "array(" + ",".join(f"CAST('{repr(float(x))}' AS DOUBLE)" for x in row) + ")"
+        for row in rows
+    )
+    return F.expr(f"array({inner})")
+
+
 def _sq_dist(a, b):
     """Squared L2 distance of two array columns, plain double (k-means
     needs no cross-engine determinism — the tie-break on cluster id
@@ -39,7 +59,7 @@ def _sq_dist(a, b):
 def _nearest(vec_col, centroids: list[list[float]]):
     """(cluster_id, sq_dist) struct of the nearest centroid — map-side
     argmin over a centroid array literal."""
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    carr = _lit_matrix(centroids)
     scored = F.transform(
         F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
         lambda i: F.struct(
@@ -56,6 +76,7 @@ def kmeans_fit(
     max_iter: int = 8,
     sample_fraction: float | None = None,
     seed: int = 42,
+    tol: float = 1e-4,
 ) -> list[list[float]]:
     """Lloyd's k-means; returns centroids as plain lists (driver-side
     k×d floats — broadcastable by literal).
@@ -63,42 +84,57 @@ def kmeans_fit(
     Init: deterministic sample of k rows. Each iteration: one broadcast
     (centroids as literals), one groupBy(cluster) shuffle of
     per-dimension decimal-free sums. Empty clusters keep their previous
-    centroid. The training set may be a sample — at 100 TB you fit on
-    ~1M sampled rows and index the full corpus with the frozen
-    centroids.
+    centroid. The training set is localCheckpointed once, so each
+    iteration scans stored partitions instead of re-reading and
+    re-partitioning the source. Converged when the max per-coordinate
+    centroid shift drops below ``tol`` (exact float equality almost
+    never happens, so without a tolerance every fit pays all
+    ``max_iter`` rounds). The training set may be a sample — at 100 TB
+    you fit on ~1M sampled rows and index the full corpus with the
+    frozen centroids.
     """
     vecs = df.select(F.col(vec_col).alias("v"))
     if sample_fraction:
         vecs = vecs.sample(fraction=sample_fraction, seed=seed)
-    vecs = fan_out(vecs)
+    vecs = fan_out(vecs).localCheckpoint(eager=True)
     centroids = [
         [float(x) for x in r.v]
         for r in vecs.toDF("v").orderBy(F.xxhash64(F.col("v").cast("string"))).limit(k).collect()
     ]
     dim = len(centroids[0])
-    for _ in range(max_iter):
-        assigned = vecs.withColumn("cl", _nearest(F.col("v"), centroids)["c"])
-        # update step: explode to (cl, dim, x) and aggregate narrow —
-        # one small fixed-shape plan per iteration (a dim-wide column
-        # aggregate recompiles dim sum expressions every iteration and
-        # dominates wall-clock)
-        sums = (
-            assigned.select("cl", F.posexplode("v").alias("i", "x"))
-            .groupBy("cl", "i")
-            .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        acc: dict[int, list[float]] = {}
-        cnt: dict[int, int] = {}
-        for r in sums:
-            acc.setdefault(r.cl, [0.0] * dim)[r.i] = r.s
-            cnt[r.cl] = r.n
-        new = list(centroids)
-        for cl, vec in acc.items():
-            new[cl] = [x / cnt[cl] for x in vec]
-        if new == centroids:
-            break
-        centroids = new
+    try:
+        for _ in range(max_iter):
+            assigned = vecs.withColumn("cl", _nearest(F.col("v"), centroids)["c"])
+            # update step: explode to (cl, dim, x) and aggregate narrow —
+            # one small fixed-shape plan per iteration (a dim-wide column
+            # aggregate recompiles dim sum expressions every iteration and
+            # dominates wall-clock)
+            sums = (
+                assigned.select("cl", F.posexplode("v").alias("i", "x"))
+                .groupBy("cl", "i")
+                .agg(F.sum(F.col("x").cast("double")).alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            acc: dict[int, list[float]] = {}
+            cnt: dict[int, int] = {}
+            for r in sums:
+                acc.setdefault(r.cl, [0.0] * dim)[r.i] = r.s
+                cnt[r.cl] = r.n
+            new = list(centroids)
+            for cl, vec in acc.items():
+                new[cl] = [x / cnt[cl] for x in vec]
+            shift = max(
+                (abs(a - b) for nc, oc in zip(new, centroids) for a, b in zip(nc, oc)),
+                default=0.0,
+            )
+            centroids = new
+            if shift < tol:
+                break
+    finally:
+        try:
+            vecs.rdd.unpersist()
+        except Exception:
+            pass
     return centroids
 
 
@@ -134,7 +170,7 @@ def cosine_topk_ivf(
         centroids = kmeans_fit(corpus, nlist, vec_col, max_iter=max_iter)
     indexed = ivf_index(corpus, centroids, vec_col)
 
-    carr = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    carr = _lit_matrix(centroids)
     probe_lists = F.slice(
         F.transform(
             F.array_sort(
@@ -238,12 +274,7 @@ def pq_fit(
     def assign_expr(bks):
         # nearest centroid within the row's own subspace: index the
         # m×k×sub literal into the s'th codebook, argmin over k
-        ball = F.array(
-            *[
-                F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in bk])
-                for bk in bks
-            ]
-        )
+        ball = F.array(*[_lit_matrix(bk) for bk in bks])
         my_book = F.element_at(ball, F.col("s") + 1)
         scored = F.transform(
             F.sequence(F.lit(0), F.lit(k - 1)),
@@ -314,7 +345,7 @@ def pq_search(
         )
     dist = None
     for s in range(m):
-        lut = F.array(*[F.lit(float(x)) for x in tables[s]])
+        lut = _lit_vec(tables[s])
         term = F.element_at(lut, F.element_at(F.col("pq_code"), s + 1) + 1)
         dist = term if dist is None else dist + term
     return (
