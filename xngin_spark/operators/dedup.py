@@ -361,3 +361,103 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# --- winnowing (MOSS) fingerprints ----------------------------------------
+
+# Rabin-Karp polynomial rolling-hash parameters, shared with the DuckDB
+# oracle: base/mod small enough that every intermediate term fits a
+# 64-bit signed integer ((127 * mod) << 2^63), so both engines compute
+# identical exact integer arithmetic.
+WINNOW_BASE = 31
+WINNOW_MOD = (1 << 31) - 1
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every ``k``-gram with a
+    polynomial rolling hash, slide a ``w``-wide window over the hash
+    sequence, keep each window's minimum. Guarantees any shared
+    substring of length ≥ k+w-1 yields a shared fingerprint, so it
+    catches partial overlap (plagiarism / quote / crawl-boilerplate
+    reuse) that whole-document hashing misses.
+
+    Scale shape: the ENTIRE selection runs as nested array expressions
+    inside one codegen'd projection — grams, window minima, and
+    distinct fingerprints never leave the row, so there is NO shuffle
+    and no row explosion until the final per-fingerprint explode of the
+    (few) distinct minima. Returns (id, fp) rows.
+
+    Docs shorter than k+w-1 produce no full window and are dropped —
+    same rule as the oracle.
+    """
+    # char codes extracted ONCE per row; each gram is then a Horner
+    # fold over a k-slice — ((c0·B + c1)·B + …) mod M equals the
+    # power-weighted sum mod M, so the oracle's explicit-powers
+    # formulation produces identical integers while the Spark side does
+    # k multiplies per position instead of k substring+ascii calls
+    codes = (
+        f"transform(sequence(1, length({text_col})), i -> "
+        f"CAST(ascii(substring({text_col}, i, 1)) AS BIGINT))"
+    )
+    grams = (
+        f"transform(sequence(1, size(__c) - {k} + 1), i -> "
+        f"aggregate(slice(__c, i, {k}), 0L, "
+        f"(a, x) -> (a * {WINNOW_BASE} + x) % {WINNOW_MOD}))"
+    )
+    fps = (
+        f"array_distinct(transform(sequence(1, size(__grams) - {w} + 1), "
+        f"i -> array_min(slice(__grams, i, {w}))))"
+    )
+    return (
+        fan_out(df)
+        .filter(F.length(text_col) >= k + w - 1)
+        .withColumn("__c", F.expr(codes))
+        .withColumn("__grams", F.expr(grams))
+        .select(F.col(id_col).alias("id"), F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def winnow_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    w: int = 4,
+    max_fp_docs: int = 16,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    (doc_a, doc_b, n_shared) for pairs sharing ≥ ``min_shared``
+    fingerprints.
+
+    Fingerprints carried by more than ``max_fp_docs`` documents are
+    dropped before the self-join — they are boilerplate (non-
+    discriminative) AND they are exactly the skewed keys that would
+    blow the join up quadratically; the cap bounds every fp bucket so
+    candidate work is ≤ cap²/2 pairs per fingerprint, the same
+    discipline as minhash_lsh_pairs' max_bucket_size.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_fp_docs)
+        .select("fp")
+    )
+    kept = fps.join(keep, "fp")
+    a = kept.select(F.col("id").alias("doc_a"), "fp")
+    b = kept.select(F.col("id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

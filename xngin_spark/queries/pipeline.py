@@ -161,6 +161,58 @@ def ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, threshold=0.5)
 
 
+def _winnow_oracle(k: int = 12, w: int = 4, cap: int = 16, t: int = 5) -> str:
+    from xngin_spark.operators.dedup import WINNOW_BASE, WINNOW_MOD
+
+    pows = "[" + ",".join(
+        str(pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD)) for j in range(k)
+    ) + "]"
+    return f"""
+    WITH g AS (
+      SELECT doc_id, text, unnest(range(1, length(text)-{k}+2)) AS i
+      FROM documents WHERE length(text) >= {k + w - 1}
+    ),
+    h AS (
+      SELECT doc_id, i,
+        list_aggregate(list_transform(range(0,{k}), j ->
+          (CAST(ascii(substring(text, CAST(i+j AS INT), 1)) AS BIGINT)
+           * {pows}[CAST(j+1 AS INT)]) % {WINNOW_MOD}), 'sum')
+        % {WINNOW_MOD} AS hh
+      FROM g
+    ),
+    wnd AS (
+      SELECT doc_id,
+        MIN(hh) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp,
+        COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS cnt
+      FROM h
+    ),
+    fps AS (SELECT DISTINCT doc_id, fp FROM wnd WHERE cnt = {w}),
+    keep AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {cap})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM (SELECT * FROM fps WHERE fp IN (SELECT fp FROM keep)) a
+    JOIN (SELECT * FROM fps WHERE fp IN (SELECT fp FROM keep)) b
+      ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= {t}
+    """
+
+
+@register("dedup_winnow", _winnow_oracle())
+def dedup_winnow(spark, sf_dir):
+    """Winnowing (MOSS) fingerprint near-dup candidates: any shared
+    substring of length >= k+w-1 guarantees a shared fingerprint, so
+    partial overlap (boilerplate, quoted passages) surfaces even when
+    whole-document similarity is low. The Spark side computes grams,
+    window minima, and distinct fingerprints as ONE nested array
+    projection (no shuffle before the capped pair join); the oracle
+    reproduces the identical exact-integer rolling hash in window-SQL
+    form. Operator: operators/dedup.py winnow_candidate_pairs."""
+    d = T(spark, sf_dir, "documents")
+    return D.winnow_candidate_pairs(d, k=12, w=4, max_fp_docs=16, min_shared=5)
+
+
 @register("dedup_minhash_lsh")  # no oracle: xxhash64 signatures (rows-only gate)
 def dedup_minhash_lsh(spark, sf_dir):
     d = T(spark, sf_dir, "documents")

@@ -448,6 +448,94 @@ def events_funnel(spark, sf_dir):
 
 
 @register(
+    "events_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences (the session-path analysis shape): lead() within each
+    user's time-ordered stream, then a (type, next_type) count and a
+    per-source-type probability. Scale: the lead window shuffles once
+    on user_id (same key as any sessionization), the count matrix is
+    |types|² rows, and the probability window runs over that tiny
+    matrix — no global sort anywhere. Ties in ts are broken by the
+    unique event_id so LEAD is deterministic in both engines."""
+    from pyspark.sql import Window as W
+
+    e = events_df(spark, sf_dir)
+    seq = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = e.select(
+        "event_type", F.lead("event_type").over(seq).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = nxt.groupBy("event_type", "next_type").agg(count_star().alias("n"))
+    tot = W.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double")
+        ).alias("p"),
+    )
+
+
+@register(
+    "events_active_users_cume",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS first_hour
+      FROM events GROUP BY user_id
+    )
+    SELECT first_hour, CAST(COUNT(*) AS BIGINT) AS new_users,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY first_hour
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cume_users
+    FROM firsts GROUP BY first_hour
+    """,
+)
+def events_active_users_cume(spark, sf_dir):
+    """Cumulative distinct users by first-seen hour — the growth-curve
+    query. A naive running COUNT(DISTINCT) over an expanding window
+    rescans per period; instead each user collapses to their first-seen
+    hour (one user_id shuffle), and the running sum of new-user counts
+    IS the cumulative distinct count. The only ordered window runs over
+    |hours| rows — period cardinality, not event volume — so the global
+    orderBy never touches data size."""
+    from pyspark.sql import Window as W
+
+    e = events_df(spark, sf_dir)
+    # min of the trunc, not trunc of the min, so the agg stays a plain
+    # min over already-truncated values in both engines
+    firsts = e.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz").alias("h")
+    ).groupBy("user_id").agg(F.min("h").alias("first_hour"))
+    daily = firsts.groupBy("first_hour").agg(count_star().alias("new_users"))
+    w = W.orderBy("first_hour").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "first_hour",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cume_users"),
+    )
+
+
+@register(
     "events_retention",
     """
     WITH firsts AS (
