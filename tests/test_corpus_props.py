@@ -92,3 +92,43 @@ def test_connected_components_random_graphs(spark):
             for r in connected_components(e_df, n_df, max_iter=20).collect()
         }
         assert got == want, f"trial {trial}"
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    # the winnowing theorem (Schleimer et al. §2): any shared substring
+    # of length >= k + w - 1 guarantees at least one shared fingerprint.
+    # Plant a common 20-char block (k=12, w=4 → threshold 15) inside
+    # otherwise-unrelated documents; every planted pair must share a fp.
+    from xngin_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(7)
+    alpha = "abcdefghijklmnopqrstuvwxyz "
+    block = "the quick brown fox!"  # 20 chars >= 12 + 4 - 1
+    docs = []
+    for i in range(6):
+        pre = "".join(rng.choice(alpha) for _ in range(rng.randrange(10, 60)))
+        post = "".join(rng.choice(alpha) for _ in range(rng.randrange(10, 60)))
+        docs.append((i, pre + block + post))
+    # two control docs with no planted block
+    docs += [(100, "".join(rng.choice(alpha) for _ in range(80))),
+             (101, "".join(rng.choice(alpha) for _ in range(80)))]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=12, w=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.id, set()).add(r.fp)
+    for a in range(6):
+        for b in range(a + 1, 6):
+            assert by_doc[a] & by_doc[b], f"planted pair ({a},{b}) shares no fingerprint"
+
+
+def test_winnow_short_docs_drop_cleanly(spark):
+    # below k+w-1 chars there is no full window: no rows, no error
+    from xngin_spark.operators.dedup import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "tiny"), (2, "x" * 14), (3, "y" * 15)],
+        "doc_id long, text string",
+    )
+    got = {r.id for r in winnow_fingerprints(df, k=12, w=4).collect()}
+    assert got == {3}

@@ -159,6 +159,39 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.8, f"IVF recall {recall}"
 
 
+def test_ivf_persisted_prunes_partitions(spark, tmp_path):
+    import random
+
+    from xngin_spark.operators import clustering as C
+
+    rng = random.Random(3)
+    centers = [[rng.gauss(0, 5) for _ in range(8)] for _ in range(4)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.2) for x in centers[i % 4]]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # ONE query vector probing 2 of 4 lists — a strict partition subset
+    q = emb.filter(F.col("vec_id") < 1).select(F.col("vec_id").alias("qid"), "embedding")
+    cents = C.kmeans_fit(emb, 4, max_iter=5)
+    path = str(tmp_path / "ivf_index")
+    C.ivf_persist(emb, cents, path)
+
+    got = C.cosine_topk_ivf_persisted(spark, path, cents, q, k=5, nprobe=2)
+    want = C.cosine_topk_ivf(emb, q, k=5, nlist=4, nprobe=2, centroids=cents)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    # the scan must carry an ivf_list partition filter (directory-level
+    # pruning) — this is the 100 TB property: probe cost scales with
+    # nprobe/nlist, not corpus. inputFiles() lists pre-pruning, so the
+    # plan assertion is the listing-level evidence (same convention as
+    # tests/test_pruning.py); the direct read of the probed dirs proves
+    # the pruned scan still sees every needed row.
+    from xngin_spark.plans.explain import partition_filters
+
+    pf = partition_filters(got)
+    assert any("ivf_list" in f for f in pf), f"no partition filter: {pf}"
+
+
 def test_kmeans_partitions_clustered_data(spark):
     import random
 

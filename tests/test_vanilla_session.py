@@ -54,6 +54,9 @@ for name in names:
         if bad:
             out[name] = f"gate output has non-scalar columns {bad}"
             continue
+        if name not in oracles:  # rows-only gate entry
+            out[name] = "ok" if sdf.count() > 0 else "0 rows"
+            continue
         res = compare(name, sdf, con, oracles[name])
         out[name] = ("ok" if res.ok else
                      f"rows {res.spark_rows}/{res.oracle_rows} "
@@ -88,3 +91,33 @@ def rehearsal(sf_dir):
 @pytest.mark.parametrize("name", REPRESENTATIVES)
 def test_gate_query_on_vanilla_session(name, rehearsal):
     assert rehearsal[name] == "ok", f"{name} diverges on a vanilla session: {rehearsal[name]}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("XNGIN_FULL_REHEARSAL"),
+    reason="full 50-entry gate rehearsal is opt-in (~4 min): "
+    "XNGIN_FULL_REHEARSAL=1, ideally with "
+    "XNGIN_TEST_SF_DIR=/root/testdata/sf0.01 (gate scale)",
+)
+def test_full_gate_window_on_vanilla_session(sf_dir):
+    """The exact driver run: the first 50 queries() entries on a stock
+    session, hash-compared to DuckDB. Run before every round hand-off."""
+    import __spark_entry__ as E
+
+    names = list(E.queries())[:50]
+    proc = subprocess.run(
+        [sys.executable, "-c", _RUNNER, sf_dir, ",".join(names)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    results = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            import json
+
+            results = json.loads(line[len("RESULT:"):])
+    assert results is not None, f"no result (rc={proc.returncode}): {proc.stderr[-2000:]}"
+    bad = {n: r for n, r in results.items() if r != "ok"}
+    assert not bad, f"{len(bad)} gate rows diverge on a vanilla session: {bad}"

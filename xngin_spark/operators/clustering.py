@@ -207,6 +207,90 @@ def cosine_topk_ivf(
     )
 
 
+def ivf_persist(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Write the IVF index as parquet PARTITIONED BY the inverted list.
+
+    This is the production ANN layout: searching with ``nprobe`` lists
+    then reads ONLY nprobe/nlist of the files via static partition
+    pruning — at 100 TB the scan cost of a probe is proportional to the
+    lists probed, not the corpus. (The in-memory path re-assigns the
+    corpus per query; this pays assignment once at ingest, like the
+    reference pays its shard layout at load time.)"""
+    (
+        ivf_index(corpus, centroids, vec_col)
+        .write.mode(mode)
+        .partitionBy("ivf_list")
+        .parquet(path)
+    )
+
+
+def cosine_topk_ivf_persisted(
+    spark,
+    path: str,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Probe a persisted IVF index. The ``ivf_list IN (…)`` filter is a
+    partition-column predicate, so Catalyst prunes non-probed list
+    directories at planning time — verify with df.inputFiles() or the
+    scan's 'partition filters' in explain().
+
+    Queries collapse to a driver-side probe-list union (queries are a
+    handful of vectors by contract — same broadcast-side assumption as
+    cosine_topk_ivf); the corpus side never materializes un-probed
+    partitions."""
+    from xngin_spark.operators.similarity import vec_dot, vec_norm
+
+    carr = _lit_matrix(centroids)
+    probe_lists = F.slice(
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda i: F.struct(
+                        _sq_dist(F.col(vec_col), F.element_at(carr, i + 1)).alias("d"),
+                        i.alias("c"),
+                    ),
+                )
+            ),
+            lambda s: s["c"],
+        ),
+        1,
+        nprobe,
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_lists).alias("ivf_list"),
+    )
+    probed = sorted({r.ivf_list for r in q.select("ivf_list").distinct().collect()})
+    indexed = spark.read.parquet(path).filter(F.col("ivf_list").isin(probed))
+    scored = indexed.join(F.broadcast(q), "ivf_list").withColumn(
+        "cosine",
+        vec_dot(F.col(vec_col), F.col("qvec"))
+        / (vec_norm(F.col(vec_col)) * vec_norm(F.col("qvec"))),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.select("qid", id_col, "cosine")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # --- Product quantization (PQ) --------------------------------------------
 
 
