@@ -35,7 +35,12 @@ SNAP_PATH = Path(__file__).parent / "plan_snapshots.json"
 # the events_stream_* queries run a Structured Streaming query during
 # plan construction; their incremental plans aren't comparable here
 # (covered by tests/test_streaming.py batch-as-oracle instead).
-SKIP = {"events_stream_tumbling", "events_stream_dedup", "events_stream_join"}
+SKIP = {
+    "events_stream_tumbling",
+    "events_stream_dedup",
+    "events_stream_join",
+    "events_stream_transitions",
+}
 NAMES = sorted(n for n in Q.QUERIES if n not in SKIP)
 
 

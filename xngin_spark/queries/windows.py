@@ -496,6 +496,54 @@ def events_transitions(spark, sf_dir):
 
 
 @register(
+    "events_stream_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT event_type, next_type, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE)
+           / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def events_stream_transitions(spark, sf_dir):
+    """STREAMING transition matrix via a custom stateful operator
+    (value state = each user's last event type, bridging micro-batches),
+    run to exhaustion against the identical oracle as the batch twin:
+    incremental stateful execution must reproduce the batch lead-window
+    answer exactly."""
+    import os
+    import uuid
+
+    from xngin_spark.streaming import events_stream, run_available_now, stream_transitions
+
+    sdf = stream_transitions(
+        events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    name = f"stream_transitions_{uuid.uuid4().hex[:8]}"
+    pairs = run_available_now(sdf, name, output_mode="append", shuffle_partitions=8)
+    counts = pairs.groupBy("event_type", "next_type").agg(count_star().alias("n"))
+    from pyspark.sql import Window as W
+
+    tot = W.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(tot).cast("double")).alias("p"),
+    )
+
+
+@register(
     "events_active_users_cume",
     """
     WITH firsts AS (

@@ -28,7 +28,7 @@ from xngin_spark.streaming.windows import (
     stream_sliding,
     stream_tumbling,
 )
-from xngin_spark.streaming.stateful import running_totals
+from xngin_spark.streaming.stateful import running_totals, stream_transitions
 
 __all__ = [
     "events_stream",
@@ -38,6 +38,7 @@ __all__ = [
     "stream_sliding",
     "stream_session",
     "running_totals",
+    "stream_transitions",
     "stream_dedup",
     "stream_stream_join",
 ]

@@ -67,3 +67,62 @@ def running_totals(sdf: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- per-user transition tracking (cross-batch value state) ---------------
+
+TRANSITIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+    ]
+)
+
+_LAST_TYPE_SCHEMA = T.StructType([T.StructField("t", T.StringType())])
+
+
+def _update_transitions(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit consecutive event-type pairs per user. State holds the
+    user's LAST event type so the first row of batch N pairs with the
+    last row of batch N-1 — the cross-batch bridge a window function
+    over one batch cannot produce. Rows sort by (ts, event_id) inside
+    the batch, the identical tie-break to the batch lead() window;
+    event-time order ACROSS batches is the file-source arrival order,
+    the same assumption as every watermarked operator here.
+
+    (Authored against the Spark 4 transformWithStateInPandas API first;
+    this container's python worker lacks a working google.protobuf, so
+    the processor runs on applyInPandasWithState — semantics are
+    identical for a single value state with no timers.)
+    """
+    if state.hasTimedOut:
+        state.remove()
+        return
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    types = pdf["event_type"].tolist()
+    prev = ([state.get[0]] if state.exists else []) + types
+    state.update((types[-1],))
+    pairs = list(zip(prev[:-1], prev[1:]))
+    if pairs:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(pairs),
+                "event_type": [a for a, _ in pairs],
+                "next_type": [b for _, b in pairs],
+            }
+        )
+
+
+def stream_transitions(sdf: DataFrame) -> DataFrame:
+    """(user_id, event_type, next_type) append-mode rows — each
+    transition emitted exactly once, state = one string per user."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANSITIONS_SCHEMA,
+        stateStructType=_LAST_TYPE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
