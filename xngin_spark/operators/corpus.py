@@ -291,7 +291,15 @@ def connected_components(
     Callers with genuinely deep graphs raise ``max_iter`` (cost is
     linear per round) or switch to star-contraction.
     """
-    sym = edges.selectExpr("src", "dst").union(edges.selectExpr("dst AS src", "src AS dst"))
+    # pin the symmetrized edge list ONCE: every iteration joins against
+    # it, and without materialization each round re-executes the whole
+    # upstream edge pipeline (for dedup_pipeline that is minhash LSH +
+    # winnowing per iteration — measured ~2x the total query cost)
+    sym = (
+        edges.selectExpr("src", "dst")
+        .union(edges.selectExpr("dst AS src", "src AS dst"))
+        .localCheckpoint(eager=True)
+    )
     # localCheckpoint (eager) per iteration: an iterative join's lineage
     # otherwise doubles every round and the analyzed plan tree blows the
     # driver/codegen heap near ~10 iterations. Checkpointing stores the
@@ -341,6 +349,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    try:
+        sym.rdd.unpersist()
+    except Exception:
+        pass
     if changed:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "

@@ -581,17 +581,25 @@ def media_resize(spark, sf_dir):
 
 @register("dedup_pipeline")  # no oracle: minhash stage uses xxhash64
 def dedup_pipeline(spark, sf_dir):
-    """END-TO-END dedup: exact-dup edges ∪ minhash near-dup pairs →
-    connected components → one keeper per component. The complete
-    production shape — pair generation alone is not dedup; this closes
-    the loop to a keep/drop verdict per document. Rows-only in the gate
-    (minhash signatures are xxhash64-based); component semantics are
-    oracle-proven on the exact-edge subset by `dedup_clusters` and on
-    planted multi-hop graphs in tests/test_operators.py."""
+    """END-TO-END dedup: exact-dup edges ∪ minhash near-dup pairs ∪
+    winnowing partial-overlap pairs → connected components → one keeper
+    per component. The complete production shape — pair generation
+    alone is not dedup; this closes the loop to a keep/drop verdict per
+    document, with all three evidence families (identical content,
+    whole-doc similarity, shared passages) feeding one component graph.
+    Rows-only in the gate (minhash signatures are xxhash64-based);
+    component semantics are oracle-proven on the exact-edge subset by
+    `dedup_clusters` and on planted multi-hop graphs in
+    tests/test_operators.py; the winnow stage alone is oracle-proven by
+    `dedup_winnow`."""
     from pyspark.sql import Window
 
     from xngin_spark.operators.corpus import connected_components
-    from xngin_spark.operators.dedup import minhash_lsh_pairs, release_persisted
+    from xngin_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        release_persisted,
+        winnow_candidate_pairs,
+    )
 
     d = T(spark, sf_dir, "documents")
     root = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
@@ -602,8 +610,15 @@ def dedup_pipeline(spark, sf_dir):
     near_edges = minhash_lsh_pairs(d, max_bucket_size=200).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
+    # high bar (>= 8 shared fingerprints) so passage reuse links docs
+    # without collapsing the corpus through incidental phrase overlap
+    winnow_edges = winnow_candidate_pairs(d, min_shared=8).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
     comps = connected_components(
-        exact_edges.union(near_edges), d.select("doc_id"), id_col="doc_id"
+        exact_edges.union(near_edges).union(winnow_edges),
+        d.select("doc_id"),
+        id_col="doc_id",
     )
     release_persisted()
     w = Window.partitionBy("component")
