@@ -120,3 +120,44 @@ def test_bucketed_tpch_drops_fact_shuffles(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # The skew answer must actually FIRE, not just be configured: build
+    # a join where one key owns ~half the fact rows, force sort-merge
+    # (broadcast off), lower the skew thresholds to local scale, and
+    # assert the final adaptive plan marks the join skew-handled.
+    from pyspark.sql import functions as F2
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(200_000).select(
+            F2.when(F2.col("id") % 2 == 0, F2.lit(7))
+            .otherwise(F2.col("id") % 1000)
+            .alias("k"),
+            F2.col("id").alias("payload"),
+        )
+        dim = spark.range(1000).select(
+            F2.col("id").alias("k"), (F2.col("id") * 2).alias("dval")
+        )
+        # downstream must not REQUIRE the join's hash distribution (a
+        # groupBy on the key would: splitting the skewed partition then
+        # needs a re-shuffle, and AQE declines unless forced) — a global
+        # aggregate is distribution-free, the common fact-join → metric
+        # shape
+        joined = fact.join(dim, "k").agg(F2.sum("payload").alias("s"))
+        joined.collect()  # AQE re-plans at runtime — inspect AFTER execution
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, f"AQE skew-join did not fire:\n{final[:2000]}"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

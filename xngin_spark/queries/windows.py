@@ -448,6 +448,58 @@ def events_funnel(spark, sf_dir):
 
 
 @register(
+    "events_sessionize",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_no
+    FROM seq
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Gap-based session-ID assignment: a >30-min silence starts a new
+    session; session_no = running count of session starts per user.
+    This labels every EVENT with its session (the input to per-session
+    feature extraction), where events_session only aggregates them.
+    One user_id shuffle feeds both windows (lag + running sum share the
+    same partitioning and sort, so Catalyst plans a single Window node
+    chain with no extra exchange). Ties break on the unique event_id —
+    deterministic in both engines."""
+    from pyspark.sql import Window as W
+
+    e = events_df(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # interval arithmetic works uniformly on TIMESTAMP and NTZ; an
+    # epoch cast would need tz adjustment on one of them
+    is_start = (
+        prev.isNull() | (F.col("ts") > prev + F.expr("INTERVAL 30 MINUTES"))
+    ).cast("int")
+    cume = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        e.select("user_id", "event_id", "ts", is_start.alias("is_start"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("is_start").over(cume).cast("long").alias("session_no"),
+        )
+    )
+
+
+@register(
     "events_transitions",
     """
     WITH seq AS (
