@@ -283,3 +283,47 @@ def test_incremental_window_counts_sink(spark, events_dir, tmp_path):
     incremental_window_counts(src, out, str(tmp_path / "ckpt2"), delay="45 days")
     again = spark.read.parquet(out).select(*cols)
     assert rows_set(again, cols) == rows_set(want, cols)
+
+
+def test_incremental_ivf_index_stream(spark, sf_dir, tmp_path):
+    # stream embeddings in 2 paced files into a partitioned IVF index;
+    # the streamed index must equal the batch assignment, a probe must
+    # prune to the probed lists, and a replay must not duplicate rows
+    import pyspark.sql.types as T
+
+    from xngin_spark.operators import clustering as C
+    from xngin_spark.streaming.sinks import incremental_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = C.kmeans_fit(emb, 4, max_iter=3)
+
+    src = str(tmp_path / "emb_src")
+    emb.repartitionByRange(2, "vec_id").write.mode("overwrite").parquet(src)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+            T.StructField("label", T.IntegerType()),
+        ]
+    )
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+
+    idx = str(tmp_path / "ivf_idx")
+    incremental_ivf_index(sdf, cents, idx, str(tmp_path / "ckpt"))
+
+    got = spark.read.parquet(idx)
+    want = C.ivf_index(emb, cents)
+    got_assign = {(r.vec_id, r.ivf_list) for r in got.select("vec_id", "ivf_list").collect()}
+    want_assign = {(r.vec_id, r.ivf_list) for r in want.select("vec_id", "ivf_list").collect()}
+    assert got_assign == want_assign
+
+    # probe prunes on ivf_list across batch dirs
+    from xngin_spark.plans.explain import partition_filters
+
+    probe = got.filter(F.col("ivf_list").isin([0, 1]))
+    assert any("ivf_list" in f for f in partition_filters(probe))
+
+    # replay with a FRESH checkpoint rewrites the same batch dirs —
+    # exactly-once by construction, no duplicate rows
+    incremental_ivf_index(sdf, cents, idx, str(tmp_path / "ckpt2"))
+    assert spark.read.parquet(idx).count() == len(want_assign)

@@ -71,3 +71,49 @@ def incremental_window_counts(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"incremental sink did not finish in {timeout_s}s")
+
+
+def incremental_ivf_index(
+    sdf: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    checkpoint_dir: str,
+    vec_col: str = "embedding",
+    timeout_s: int = 120,
+) -> None:
+    """Maintain a partition-pruned IVF ANN index from a STREAM of
+    embeddings: each micro-batch assigns its vectors to their nearest
+    (frozen) centroid map-side — no shuffle, centroids are plan
+    literals — and lands under ``path/batch=<id>/ivf_list=<l>/``.
+
+    Exactly-once: a batch overwrites ITS OWN batch directory, so a
+    replayed micro-batch rewrites identical files instead of appending
+    duplicates. Readers discover (batch, ivf_list) as partition columns;
+    probes filter on ivf_list, so directory pruning skips un-probed
+    lists across every batch — the streaming twin of
+    operators/clustering.ivf_persist, and the shape that keeps a
+    continuously-ingesting 100 TB corpus searchable without rebuilds.
+    Compact old batch dirs offline when small files accumulate (same
+    discipline as any streaming parquet sink).
+    """
+    from xngin_spark.operators.clustering import _nearest
+
+    assigned = sdf.withColumn("ivf_list", _nearest(F.col(vec_col), centroids)["c"])
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy("ivf_list")
+            .parquet(f"{path}/batch={batch_id}")
+        )
+
+    q = (
+        assigned.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"ivf index sink did not finish in {timeout_s}s")
