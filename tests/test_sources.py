@@ -231,3 +231,59 @@ def test_delete_from_table(spark, cow_table):
         "files_rewritten": 0,
         "rows_deleted": 0,
     }
+
+
+def test_ensure_bucketed_rebuilds_on_source_change(spark, tmp_path):
+    # the staleness guard protects CORRECTNESS: regenerated testdata
+    # must invalidate persisted bucketed twins, or bucketed queries
+    # silently serve a previous round's rows
+    import os
+    import shutil
+
+    from xngin_spark.queries import bucketed as B
+
+    sf = str(tmp_path / "sf_mini")
+    os.makedirs(sf)
+    src = spark.range(100).selectExpr(
+        "id AS o_orderkey", "CAST(id % 7 AS LONG) AS o_custkey"
+    )
+    src.coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    # lineitem twin builds too — give it a minimal source
+    spark.range(100).selectExpr(
+        "id AS l_orderkey", "CAST(id AS LONG) AS l_partkey"
+    ).coalesce(1).write.parquet(f"{sf}/lineitem.parquet")
+
+    mapping = B.ensure_bucketed(spark, sf)
+    t = mapping["orders"]
+    assert spark.table(t).count() == 100
+
+    # regenerate the source with DIFFERENT content (as the driver does)
+    shutil.rmtree(f"{sf}/orders.parquet")
+    spark.range(250).selectExpr(
+        "id AS o_orderkey", "CAST(id % 7 AS LONG) AS o_custkey"
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    B._ENSURED.clear()  # new driver session analog
+    mapping2 = B.ensure_bucketed(spark, sf)
+    assert spark.table(mapping2["orders"]).count() == 250, (
+        "stale bucketed twin served after source regeneration"
+    )
+
+    # unchanged source re-registers WITHOUT rebuilding (marker matches):
+    # capture the data-file inode set and assert it survives
+    loc = os.path.join(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+        mapping2["orders"],
+    )
+    inodes_before = {
+        os.stat(os.path.join(loc, f)).st_ino
+        for f in os.listdir(loc)
+        if f.endswith(".parquet") or f.startswith("part-")
+    }
+    B._ENSURED.clear()
+    B.ensure_bucketed(spark, sf)
+    inodes_after = {
+        os.stat(os.path.join(loc, f)).st_ino
+        for f in os.listdir(loc)
+        if f.endswith(".parquet") or f.startswith("part-")
+    }
+    assert inodes_before == inodes_after, "unchanged source was rebuilt"

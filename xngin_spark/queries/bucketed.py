@@ -110,6 +110,13 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str) -> dict[str, str]:
                 pass  # unreadable leftovers — fall through to rebuild
         spark.sql(f"DROP TABLE IF EXISTS `{table}`")
         shutil.rmtree(loc, ignore_errors=True)
+        # a regenerated source (same path, new files) may still be
+        # cached twice over: the session's file-listing cache AND
+        # tpch.T's memoized DataFrame, whose plan pins the old file
+        # list — drop both before re-reading or the rebuild scan dies
+        # on missing files
+        spark.catalog.refreshByPath(os.path.join(sf_dir, f"{name}.parquet"))
+        tpch._SCAN_CACHE.pop((id(spark), sf_dir, name), None)
         df = tpch.T(spark, sf_dir, name)
         write_bucketed_table(
             df, table, [key], _BUCKETS, sort_cols=[key], mode="overwrite"
