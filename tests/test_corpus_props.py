@@ -132,3 +132,55 @@ def test_winnow_short_docs_drop_cleanly(spark):
     )
     got = {r.id for r in winnow_fingerprints(df, k=12, w=4).collect()}
     assert got == {3}
+
+
+def test_range_join_equals_theta_join_random(spark):
+    # the binned rewrite must equal the naive theta join on random
+    # timestamps, including bin-boundary and negative-lower cases
+    from xngin_spark.operators.temporal import range_join
+
+    rng = random.Random(11)
+    left = [(i, float(rng.randrange(0, 2000)), rng.randrange(3)) for i in range(120)]
+    right = [(1000 + i, float(rng.randrange(0, 2000)), rng.randrange(3)) for i in range(120)]
+    l = spark.createDataFrame(left, "lid long, ts double, k long")
+    r = spark.createDataFrame(right, "rid long, ts double, k long")
+    for lo, hi in ((0.0, 300.0), (-150.0, 150.0), (50.0, 60.0)):
+        got = {
+            (x.lid, x.rid_r)
+            for x in range_join(l, r, on="ts", by="k", lower=lo, upper=hi).collect()
+        }
+        want = {
+            (a, c)
+            for (a, t1, k1) in left
+            for (c, t2, k2) in right
+            if k1 == k2 and t1 + lo <= t2 <= t1 + hi
+        }
+        assert got == want, f"bounds ({lo},{hi}): {len(got)} vs {len(want)}"
+
+
+def test_asof_join_equals_bruteforce_random(spark):
+    # union + window forward-fill must pick exactly the latest right row
+    # with ts <= left.ts per key (ties: right value visible at equal ts)
+    from xngin_spark.operators.temporal import asof_join
+
+    rng = random.Random(13)
+    left = [(i, float(rng.randrange(0, 500)), rng.randrange(4)) for i in range(100)]
+    # distinct (k, ts) on the right so "the" latest row is well-defined
+    seen = set()
+    right = []
+    for i in range(100):
+        k, t = rng.randrange(4), float(rng.randrange(0, 500))
+        if (k, t) not in seen:
+            seen.add((k, t))
+            right.append((t, k, float(i)))
+    l = spark.createDataFrame(left, "lid long, ts double, k long")
+    r = spark.createDataFrame(right, "ts double, k long, v double")
+    got = {
+        (x.lid, x.v_r)
+        for x in asof_join(l, r, on="ts", by="k", value_cols=["v"]).collect()
+    }
+    want = set()
+    for lid, lts, lk in left:
+        cands = [(t, v) for (t, k, v) in right if k == lk and t <= lts]
+        want.add((lid, max(cands)[1] if cands else None))
+    assert got == want
