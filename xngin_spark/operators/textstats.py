@@ -148,3 +148,33 @@ def pii_hits(text: Column) -> Column:
     for pat, _ in PII_PATTERNS:
         total = total + F.size(F.regexp_extract_all(text, F.lit(pat), 0))
     return total.cast("long")
+
+
+# Markup-stripping chain, RE2-compatible so the DuckDB oracle runs the
+# identical patterns. Entities first would corrupt tags containing
+# escaped text; tags strip first, then entities decode, then whitespace
+# collapses — order matters and is part of the contract.
+MARKUP_STEPS: tuple[tuple[str, str], ...] = (
+    (r"<[^>]*>", " "),            # tags (incl. attributes) → space
+    (r"&nbsp;", " "),
+    (r"&amp;", "&"),
+    (r"&lt;", "<"),
+    (r"&gt;", ">"),
+    (r"\s+", " "),                # collapse runs of whitespace
+)
+
+
+def strip_markup(text: Column) -> Column:
+    """HTML/markup → clean text: drop tags, decode common entities,
+    collapse whitespace, trim. The boilerplate-removal step every
+    web-crawl pretraining pipeline runs before tokenization. All JVM
+    regexp_replace — map-side, no shuffle, a pure scan at 100 TB."""
+    out = text
+    for pat, repl in MARKUP_STEPS:
+        out = F.regexp_replace(out, pat, repl)
+    return F.trim(out)
+
+
+def markup_tag_count(text: Column) -> Column:
+    """Number of markup tags present (pre-strip audit column)."""
+    return F.size(F.regexp_extract_all(text, F.lit(r"<[^>]*>"), 0)).cast("long")

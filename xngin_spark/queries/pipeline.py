@@ -459,6 +459,67 @@ def embedding_quantize(spark, sf_dir):
 
 
 @register(
+    "markup_strip",
+    r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             '<div id="' || doc_id || '" class="post"><p>'
+             || regexp_replace(text, 'fast', '<b>fast</b>', 'g')
+             || '</p></div> &amp; tail &nbsp;end'
+               AS raw
+      FROM documents WHERE doc_id < 300
+    )
+    SELECT doc_id,
+           CAST(length(raw) AS BIGINT) AS len_raw,
+           CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags,
+           trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(raw,
+                  '<[^>]*>', ' ', 'g'),
+                  '&nbsp;', ' ', 'g'),
+                  '&amp;', '&', 'g'),
+                  '&lt;', '<', 'g'),
+                  '&gt;', '>', 'g'),
+                  '\s+', ' ', 'g')) AS clean,
+           CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(raw,
+                  '<[^>]*>', ' ', 'g'),
+                  '&nbsp;', ' ', 'g'),
+                  '&amp;', '&', 'g'),
+                  '&lt;', '<', 'g'),
+                  '&gt;', '>', 'g'),
+                  '\s+', ' ', 'g'))) AS BIGINT) AS len_clean
+    FROM enriched
+    """,
+)
+def markup_strip(spark, sf_dir):
+    """Boilerplate/markup removal — the web-crawl cleanup step before
+    tokenization. The synthetic corpus is plain text, so the probe
+    plants a typed specimen per row (wrapper div/p, a mid-text <b> tag,
+    escaped entities, forced whitespace runs), then proves the strip
+    chain removes tags, decodes entities, and collapses whitespace —
+    identical RE2 chain in both engines (operators/textstats.py
+    MARKUP_STEPS; order is part of the contract). Map-side regex, no
+    shuffle."""
+    from xngin_spark.operators.textstats import markup_tag_count, strip_markup
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    raw = F.concat(
+        F.lit('<div id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('" class="post"><p>'),
+        F.regexp_replace(F.col("text"), "fast", "<b>fast</b>"),
+        F.lit("</p></div> &amp; tail &nbsp;end"),
+    )
+    return d.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("len_raw"),
+        markup_tag_count(raw).alias("n_tags"),
+        strip_markup(raw).alias("clean"),
+        F.length(strip_markup(raw)).cast("long").alias("len_clean"),
+    )
+
+
+@register(
     "pii_scrub",
     r"""
     WITH enriched AS (
