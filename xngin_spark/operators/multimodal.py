@@ -168,3 +168,53 @@ def resize_media(media: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
     return fan_out(media.select("doc_id", "payload")).mapInPandas(
         process, MEDIA_RESIZE_SCHEMA
     )
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_no", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+AUDIO_WINDOW = 64  # fake-PCM samples (bytes) per analysis window
+
+
+def audio_window_energy(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    """Audio-shaped pass: windowed energy over the decoded sample
+    stream — the VAD / silence-trim / loudness-normalization primitive.
+    Bytes stand in for PCM samples under the fake decode (sum of
+    squared sample values per fixed window, exact integers so the
+    DuckDB oracle matches bit-for-bit); swap the byte view for a real
+    ``audioop``/ffmpeg decode in production — the Spark side (schema,
+    Arrow batching, per-window explode) does not change.
+
+    Trailing partial windows are emitted with their true n_samples —
+    dropping them silently would bias energy statistics.
+    """
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            ids: list[int] = []
+            wins: list[int] = []
+            ns: list[int] = []
+            es: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = bytes(payload)
+                if not XNGIN_FAKE_DECODE:  # pragma: no cover
+                    raise NotImplementedError("real audio decode needs codec libs")
+                for w in range(0, max(len(samples), 1), window):
+                    chunk = samples[w : w + window]
+                    ids.append(int(doc_id))
+                    wins.append(w // window)
+                    ns.append(len(chunk))
+                    es.append(sum(b * b for b in chunk))
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_no": wins, "n_samples": ns, "energy": es}
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(process, AUDIO_ENERGY_SCHEMA)

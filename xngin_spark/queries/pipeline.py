@@ -368,6 +368,36 @@ def frame_sample_q(spark, sf_dir):
 
 
 @register(
+    "audio_energy",
+    """
+    SELECT doc_id, w AS window_no,
+           CAST(least(64, length(text) - w*64) AS BIGINT) AS n_samples,
+           CAST(list_aggregate(list_transform(
+                  range(1, least(64, length(text) - w*64) + 1),
+                  j -> CAST(ascii(text[CAST(w*64 + j AS INT)]) AS BIGINT)
+                       * CAST(ascii(text[CAST(w*64 + j AS INT)]) AS BIGINT)),
+                'sum') AS BIGINT) AS energy
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(0, greatest(CAST(ceil(length(text)/64.0) AS BIGINT), 1)))
+               AS w
+      FROM documents WHERE doc_id < 400
+    )
+    """,
+)
+def audio_energy(spark, sf_dir):
+    """Audio-shaped multimodal pass: windowed energy over the decoded
+    sample stream (VAD / silence-trim primitive), bytes standing in for
+    PCM under the fake decode. mapInPandas plumbing is real (Arrow
+    batches, explicit schema, per-window fan-out in the worker); the
+    byte-exact DuckDB oracle reproduces sum-of-squares per 64-sample
+    window including the trailing partial window. Operator:
+    operators/multimodal.py audio_window_energy."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return M.audio_window_energy(M.as_media_table(d))
+
+
+@register(
     "dedup_embedding_cosine",
     """
     WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
