@@ -18,6 +18,7 @@ def test_rows_only_set_is_expected():
         "dedup_pipeline",      # composes the minhash stage (xxhash64)
         "dedup_simhash",       # xxhash64-based
         "knn_cosine_ivf",      # iterative k-means training
+        "knn_cosine_ivf_persisted",  # trained index build + probe
         "knn_cosine_lsh",      # approximate by design
         "knn_l2_pq",           # trained PQ codebooks (iterative k-means)
     ]

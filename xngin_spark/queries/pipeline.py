@@ -720,6 +720,30 @@ def dedup_pipeline(spark, sf_dir):
     )
 
 
+@register("knn_cosine_ivf_persisted")  # no oracle: trained index (rows-only)
+def knn_cosine_ivf_persisted(spark, sf_dir):
+    """The PRODUCTION ANN shape as a first-class query: fit centroids,
+    write the corpus partitioned by inverted list, then probe the
+    persisted index — the scan prunes to nprobe/nlist of the files
+    (partition-filter plan-asserted in tests/test_operators.py). The
+    index build is part of this query's cost on purpose: paid once at
+    ingest in production, amortized over every subsequent probe."""
+    import os
+    import tempfile
+    import uuid
+
+    from xngin_spark.operators import clustering as C
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    cents = C.kmeans_fit(emb, 8, max_iter=2)
+    path = os.path.join(tempfile.gettempdir(), f"xngin_ivf_{uuid.uuid4().hex[:8]}")
+    C.ivf_persist(emb, cents, path)
+    return C.cosine_topk_ivf_persisted(spark, path, cents, queries, k=10, nprobe=3)
+
+
 @register("knn_l2_pq")  # no oracle: trained codebooks (iterative k-means)
 def knn_l2_pq(spark, sf_dir):
     """Product-quantization ANN: codebooks fit per subspace on a
