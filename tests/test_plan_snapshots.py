@@ -83,3 +83,16 @@ def test_harness_catches_broadcast_regression(spark, sf_dir):
         spark.conf.set(key, old)
     assert sig != snaps["q3"], "harness failed to detect an injected regression"
     assert sig.get("BroadcastHashJoin", 0) < snaps["q3"].get("BroadcastHashJoin", 0)
+
+
+def test_explain_analyze_reports_actual_metrics(spark, sf_dir):
+    from xngin_spark.plans.explain import explain_analyze
+
+    from xngin_spark import queries as Q2
+
+    out = explain_analyze(Q2.QUERIES["q6"](spark, sf_dir))
+    assert "== Actual metrics ==" in out
+    assert "numOutputRows" in out
+    # q1 aggregates through an exchange — shuffle bytes must be reported
+    out1 = explain_analyze(Q2.QUERIES["q1"](spark, sf_dir))
+    assert "shuffleBytesWritten" in out1

@@ -72,5 +72,13 @@ class Engine:
             self.sql(query)._jdf.queryExecution(), "formatted"
         )
 
+    def explain_analyze(self, query: str) -> str:
+        """EXPLAIN ANALYZE: run the query and render the plan annotated
+        with actual per-node metrics (rows, shuffle bytes) — beyond the
+        reference, which renders plans without executing."""
+        from xngin_spark.plans.explain import explain_analyze
+
+        return explain_analyze(self.sql(query))
+
     def stop(self) -> None:
         self.spark.stop()

@@ -97,3 +97,30 @@ def node_names(df: DataFrame) -> list[str]:
                                             "Subquery:", "Format")):
             names.append(m.group(1))
     return names
+
+
+def explain_analyze(df: DataFrame) -> str:
+    """EXPLAIN ANALYZE: execute the plan, then render the simple plan
+    text followed by per-node ACTUAL metrics (output rows, shuffle
+    bytes) from the executed plan — what ran, not what was planned.
+    The reference renders plans only (explain.rs); runtime metrics are
+    the Spark upgrade. Execution drives the plan via count(), so only a
+    scalar ships to the driver regardless of result size."""
+    from xngin_spark.plans.metrics import executed_node_metrics
+
+    df.count()
+    lines = [
+        df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "simple"
+        ).rstrip(),
+        "== Actual metrics ==",
+    ]
+    for name, mets in executed_node_metrics(df):
+        interesting = {
+            k: v
+            for k, v in mets.items()
+            if k in ("numOutputRows", "shuffleBytesWritten", "numFiles", "filesSize")
+        }
+        if interesting:
+            lines.append(f"{name}: " + ", ".join(f"{k}={v}" for k, v in sorted(interesting.items())))
+    return "\n".join(lines)
