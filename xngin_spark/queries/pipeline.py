@@ -489,6 +489,56 @@ def embedding_quantize(spark, sf_dir):
 
 
 @register(
+    "corpus_select",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOP_SQL}, x))) AS n_stop
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, n_tokens,
+             0.4 * least(n_chars_d / 200.0, 1.0)
+             + 0.3 * (CASE WHEN (n_chars_d - (CAST(n_tokens AS DOUBLE) - 1))
+                                / CAST(n_tokens AS DOUBLE) >= 3.0
+                            AND (n_chars_d - (CAST(n_tokens AS DOUBLE) - 1))
+                                / CAST(n_tokens AS DOUBLE) <= 10.0
+                       THEN 1.0 ELSE 0.5 END)
+             + 0.3 * least(CAST(n_stop AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE) * 10.0, 1.0) AS quality
+      FROM t
+    )
+    SELECT lang, source,
+           (quality >= 0.75 AND n_tokens BETWEEN 10 AND 200) AS keep,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+)
+def corpus_select(spark, sf_dir):
+    """The end-goal of the text-stats family: the SELECTION REPORT a
+    training-data pipeline signs off on — per (lang, source) counts and
+    token budgets split by the keep/drop verdict (quality >= 0.75 and a
+    token-length band). Composition of existing JVM stat projections +
+    one small groupBy; at 100 TB this is a scan plus a tiny-key
+    aggregate, and the keep filter is the exact predicate the writer
+    applies when materializing the training split."""
+    d = X.with_text_stats(T(spark, sf_dir, "documents"))
+    keep = (F.col("quality") >= 0.75) & F.col("n_tokens").between(10, 200)
+    return (
+        d.groupBy("lang", "source", keep.alias("keep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )
+
+
+@register(
     "markup_strip",
     r"""
     WITH enriched AS (
