@@ -90,9 +90,16 @@ def test_explain_analyze_reports_actual_metrics(spark, sf_dir):
 
     from xngin_spark import queries as Q2
 
+    import re
+
+    def metric_values(text: str, metric: str) -> list[int]:
+        return [int(v) for v in re.findall(rf"{metric}=(\d+)", text)]
+
     out = explain_analyze(Q2.QUERIES["q6"](spark, sf_dir))
     assert "== Actual metrics ==" in out
-    assert "numOutputRows" in out
-    # q1 aggregates through an exchange — shuffle bytes must be reported
+    # the metrics must come from THIS plan's execution, not a derived
+    # count() job — the scan really read rows, so some node reports > 0
+    assert any(v > 0 for v in metric_values(out, "numOutputRows"))
+    # q1 aggregates through an exchange — real bytes must have moved
     out1 = explain_analyze(Q2.QUERIES["q1"](spark, sf_dir))
-    assert "shuffleBytesWritten" in out1
+    assert any(v > 0 for v in metric_values(out1, "shuffleBytesWritten"))

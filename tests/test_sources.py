@@ -287,3 +287,15 @@ def test_ensure_bucketed_rebuilds_on_source_change(spark, tmp_path):
         if f.endswith(".parquet") or f.startswith("part-")
     }
     assert inodes_before == inodes_after, "unchanged source was rebuilt"
+
+    # a memo HIT must still notice a regenerated source: same live
+    # application, NO _ENSURED.clear() — the fingerprint check on the
+    # hit path is what protects a long-lived session
+    shutil.rmtree(f"{sf}/orders.parquet")
+    spark.range(300).selectExpr(
+        "id AS o_orderkey", "CAST(id % 7 AS LONG) AS o_custkey"
+    ).coalesce(1).write.parquet(f"{sf}/orders.parquet")
+    mapping3 = B.ensure_bucketed(spark, sf)
+    assert spark.table(mapping3["orders"]).count() == 300, (
+        "memoized ensure_bucketed served stale twins after source regeneration"
+    )

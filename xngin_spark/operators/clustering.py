@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from xngin_spark.operators.util import fan_out
+from xngin_spark.operators.util import fan_out, release_checkpoint
 
 
 def _lit_vec(vals) -> F.Column:
@@ -131,10 +131,7 @@ def kmeans_fit(
             if shift < tol:
                 break
     finally:
-        try:
-            vecs.rdd.unpersist()
-        except Exception:
-            pass
+        release_checkpoint(vecs)
     return centroids
 
 
@@ -222,8 +219,14 @@ def ivf_persist(
     lists probed, not the corpus. (The in-memory path re-assigns the
     corpus per query; this pays assignment once at ingest, like the
     reference pays its shard layout at load time.)"""
+    # cluster by the partition column BEFORE the partitioned write:
+    # without it every task writes a file into every list directory
+    # (tasks × nlist tiny files + a parquet writer per open partition —
+    # the classic partitioned-write anti-pattern); with it each list is
+    # written by exactly one task as one file
     (
         ivf_index(corpus, centroids, vec_col)
+        .repartition(len(centroids), F.col("ivf_list"))
         .write.mode(mode)
         .partitionBy("ivf_list")
         .parquet(path)
@@ -387,6 +390,7 @@ def pq_fit(
         if new == books:
             break
         books = new
+    release_checkpoint(subs)
     return books
 
 

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xngin_spark.operators.textstats import TOKEN_SEP, tokens
-from xngin_spark.operators.util import fan_out
+from xngin_spark.operators.util import fan_out, release_checkpoint
 
 
 def token_ngrams(toks: Column, n: int = 3) -> Column:
@@ -342,17 +342,11 @@ def connected_components(
         # the new checkpoint is materialized (count above consumed it) —
         # release the previous iteration's stored partitions now instead
         # of accumulating one checkpoint per iteration per call
-        try:
-            labels.rdd.unpersist()
-        except Exception:
-            pass
+        release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
-    try:
-        sym.rdd.unpersist()
-    except Exception:
-        pass
+    release_checkpoint(sym)
     if changed:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "

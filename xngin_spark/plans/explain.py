@@ -104,11 +104,14 @@ def explain_analyze(df: DataFrame) -> str:
     text followed by per-node ACTUAL metrics (output rows, shuffle
     bytes) from the executed plan — what ran, not what was planned.
     The reference renders plans only (explain.rs); runtime metrics are
-    the Spark upgrade. Execution drives the plan via count(), so only a
-    scalar ships to the driver regardless of result size."""
+    the Spark upgrade. Execution drives df's OWN queryExecution (via its
+    internal-row RDD), not a derived plan: ``df.count()`` would plan a
+    separate ``groupBy().count()`` job and leave every metric on this
+    plan's nodes at zero. Only a per-partition count ships to the
+    driver regardless of result size."""
     from xngin_spark.plans.metrics import executed_node_metrics
 
-    df.count()
+    df._jdf.queryExecution().toRdd().count()
     lines = [
         df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
             df._jdf.queryExecution(), "simple"

@@ -35,8 +35,12 @@ def _tag(sf_dir: str) -> str:
 
 
 # once per (application, sf_dir): the three bucketed bench queries each
-# call ensure_bucketed, and catalog round-trips per query add up
-_ENSURED: dict[tuple[str, str], dict[str, str]] = {}
+# call ensure_bucketed, and catalog round-trips per query add up.
+# Memo value carries the source fingerprints it was built from — a hit
+# only short-circuits when the (cheap, os.stat-walk) fingerprints still
+# match, so a source regenerated mid-application invalidates the memo
+# instead of being served stale twins.
+_ENSURED: dict[tuple[str, str], tuple[dict[str, str], dict[str, str]]] = {}
 
 
 def _src_fingerprint(path: str) -> str:
@@ -72,7 +76,13 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key in _ENSURED:
-        return _ENSURED[memo_key]
+        mapping, fps = _ENSURED[memo_key]
+        if all(
+            _src_fingerprint(os.path.join(sf_dir, f"{name}.parquet")) == fp
+            for name, fp in fps.items()
+        ):
+            return mapping
+        del _ENSURED[memo_key]  # source regenerated under us — rebuild
 
     tag = _tag(sf_dir)
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
@@ -132,7 +142,13 @@ def ensure_bucketed(spark: SparkSession, sf_dir: str) -> dict[str, str]:
                 (("orders", "o_orderkey"), ("lineitem", "l_orderkey")),
             )
         )
-    _ENSURED[memo_key] = mapping
+    _ENSURED[memo_key] = (
+        mapping,
+        {
+            name: _src_fingerprint(os.path.join(sf_dir, f"{name}.parquet"))
+            for name in mapping
+        },
+    )
     return mapping
 
 

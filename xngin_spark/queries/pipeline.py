@@ -372,11 +372,11 @@ def frame_sample_q(spark, sf_dir):
     """
     SELECT doc_id, w AS window_no,
            CAST(least(64, length(text) - w*64) AS BIGINT) AS n_samples,
-           CAST(list_aggregate(list_transform(
+           CAST(COALESCE(list_aggregate(list_transform(
                   range(1, least(64, length(text) - w*64) + 1),
                   j -> CAST(ascii(text[CAST(w*64 + j AS INT)]) AS BIGINT)
                        * CAST(ascii(text[CAST(w*64 + j AS INT)]) AS BIGINT)),
-                'sum') AS BIGINT) AS energy
+                'sum'), 0) AS BIGINT) AS energy
     FROM (
       SELECT doc_id, text,
              unnest(range(0, greatest(CAST(ceil(length(text)/64.0) AS BIGINT), 1)))
@@ -780,7 +780,6 @@ def knn_cosine_ivf_persisted(spark, sf_dir):
     ingest in production, amortized over every subsequent probe."""
     import os
     import tempfile
-    import uuid
 
     from xngin_spark.operators import clustering as C
 
@@ -789,7 +788,13 @@ def knn_cosine_ivf_persisted(spark, sf_dir):
         F.col("vec_id").alias("qid"), "embedding"
     )
     cents = C.kmeans_fit(emb, 8, max_iter=2)
-    path = os.path.join(tempfile.gettempdir(), f"xngin_ivf_{uuid.uuid4().hex[:8]}")
+    # deterministic per-sf path + overwrite: repeated invocations (bench,
+    # plan snapshots, gate — and repeated applications across rounds)
+    # reuse ONE index directory instead of leaking a fresh uuid-named
+    # copy of the embeddings table per call, the same keying the
+    # bucketed twins use
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"xngin_ivf_{tag}")
     C.ivf_persist(emb, cents, path)
     return C.cosine_topk_ivf_persisted(spark, path, cents, queries, k=10, nprobe=3)
 

@@ -541,13 +541,26 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
         "p_partkey", (F.col("l_quantity") * F.col("p_retailprice")).alias("v")
     )
-    per_part = joined.groupBy("p_partkey").agg(dsum(F.col("v"), "inv_value"))
-    n_parts = p.count()
-    threshold = joined.agg(F.sum(F.col("v").cast(DEC)).cast("double")).collect()[0][0] * (
-        1.3 / n_parts
+    # ONE lineitem scan: the per-part decimal sums (|part| rows, tiny)
+    # are pinned and serve BOTH the HAVING threshold and the result —
+    # the naive shape re-runs the fact join for the scalar subquery.
+    # Decimal addition is exact and associative, so summing the per-part
+    # sums equals the oracle's grand sum bit-for-bit before the double
+    # cast.
+    per_part_dec = (
+        joined.groupBy("p_partkey")
+        .agg(F.sum(F.col("v").cast(DEC)).alias("inv_dec"))
+        .localCheckpoint(eager=True)
     )
+    n_parts = p.count()
+    threshold = per_part_dec.agg(
+        F.sum("inv_dec").cast("double")
+    ).collect()[0][0] * (1.3 / n_parts)
     return (
-        per_part.filter(F.col("inv_value") > F.lit(threshold))
+        per_part_dec.select(
+            "p_partkey", F.col("inv_dec").cast("double").alias("inv_value")
+        )
+        .filter(F.col("inv_value") > F.lit(threshold))
         .orderBy(F.col("inv_value").desc(), "p_partkey")
     )
 
