@@ -97,3 +97,47 @@ def test_zorder_value_locality(spark):
         (F.max(z) - F.min(z)).alias("span")
     ).collect()[0].span
     assert tile < stripe / 100, (tile, stripe)
+
+
+def test_compact_small_files_binpacks_and_keeps_big(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xngin_spark.sources.layout import compact_small_files
+
+    path = str(tmp_path / "accreted")
+    # one healthy big file + a spray of small ones (the post-streaming /
+    # post-merge shape)
+    spark.range(0, 200_000).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("v")
+    ).coalesce(1).write.parquet(path)
+    big = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(big) == 1
+    big_inode = os.stat(os.path.join(path, big[0])).st_ino
+    for i in range(6):
+        spark.range(i * 10, i * 10 + 10).select(
+            F.col("id"), F.concat(F.lit("s"), F.col("id")).alias("v")
+        ).coalesce(1).write.mode("append").parquet(path)
+    n0 = spark.read.parquet(path).count()
+    files0 = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files0) == 7
+
+    big_size = os.stat(os.path.join(path, big[0])).st_size
+    stats = compact_small_files(spark, path, target_bytes=2 * big_size)
+    assert stats["files_before"] == 7
+    assert stats["files_compacted"] == 6
+    assert stats["files_written"] == 1
+    files1 = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files1) == 2
+    # the healthy file is byte-identical on disk
+    assert big[0] in files1
+    assert os.stat(os.path.join(path, big[0])).st_ino == big_inode
+    # no rows lost or duplicated
+    got = spark.read.parquet(path)
+    assert got.count() == n0
+    assert got.filter(F.col("v").startswith("s")).count() == 60
+
+    # idempotent: a second pass finds nothing to do
+    stats2 = compact_small_files(spark, path, target_bytes=2 * big_size)
+    assert stats2["files_compacted"] == 0

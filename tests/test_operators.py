@@ -613,3 +613,110 @@ def test_pq_fit_deterministic_codebooks(spark):
     b1 = pq_fit(df, dim=4, m=2, k=4, max_iter=2)
     b2 = pq_fit(df.repartition(7), dim=4, m=2, k=4, max_iter=2)
     assert b1 == b2
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    # the Bloom contract: every member must test positive (the screen
+    # may over-flag but can NEVER miss); FP rate near the sized target
+    from pyspark.sql import functions as F
+
+    from xngin_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        optimal_params,
+    )
+
+    members = spark.range(0, 2000).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("k")
+    )
+    m, k = optimal_params(2000, 0.01)
+    bloom = bloom_build(members, "k", m, k).localCheckpoint(eager=True)
+    missed = (
+        bloom_might_contain(members, "k", bloom, m, k)
+        .filter(~F.col("might_contain"))
+        .count()
+    )
+    assert missed == 0, "Bloom filter produced false negatives"
+    others = spark.range(0, 10000).select(
+        F.concat(F.lit("other_"), F.col("id")).alias("k")
+    )
+    fp = (
+        bloom_might_contain(others, "k", bloom, m, k)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert fp / 10000 < 0.03, f"FP rate {fp/10000} far above the 1% sizing"
+
+
+def test_bloom_probe_plan_is_shuffle_free(spark):
+    # the probe side must stay map-side: k broadcast joins, and with a
+    # pinned filter there is no hash exchange anywhere in the plan
+    from pyspark.sql import functions as F
+
+    from xngin_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    members = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    bloom = bloom_build(members, "k", 1 << 14, 5).localCheckpoint(eager=True)
+    probe = bloom_might_contain(members, "k", bloom, 1 << 14, 5)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_bloom_seen_filter_flags_planted_duplicates(spark, sf_dir):
+    # plant exact cross-snapshot duplicates and require the query's
+    # no-false-negative guarantee to hold end-to-end
+    from pyspark.sql import functions as F
+
+    from xngin_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        optimal_params,
+    )
+    from xngin_spark.queries.tpch import T
+
+    d = T(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 3 == 0).select("text")
+    # current snapshot re-crawls some previous pages verbatim
+    planted = prev.limit(20)
+    cur = d.filter(F.col("doc_id") % 3 != 0).select("text").union(planted)
+    n = max(prev.count(), 1)
+    m, k = optimal_params(n, 0.01)
+    bloom = bloom_build(prev, "text", m, k).localCheckpoint(eager=True)
+    flagged = bloom_might_contain(cur, "text", bloom, m, k)
+    missed = (
+        flagged.join(planted, "text", "leftsemi")
+        .filter(~F.col("might_contain"))
+        .count()
+    )
+    assert missed == 0
+
+
+def test_temperature_mix_rebalances_toward_tail(spark):
+    # one head domain (900 docs) vs two tail domains (50 each): under
+    # alpha=0.5 the tail keeps a much larger FRACTION than the head —
+    # the whole point of temperature resampling
+    from pyspark.sql import functions as F
+
+    from xngin_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "head", f"head doc {i} {i*i}") for i in range(900)]
+    rows += [(1000 + i, "tail_a", f"tail a doc {i} {i*i}") for i in range(50)]
+    rows += [(2000 + i, "tail_b", f"tail b doc {i} {i*i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kept = temperature_mix(df, domain_col="source", target_total=200.0)
+    frac = {
+        r.source: r.k / r.n
+        for r in kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .join(
+            df.groupBy("source").agg(F.count(F.lit(1)).alias("n")), "source"
+        )
+        .collect()
+    }
+    assert frac["tail_a"] > 2 * frac["head"]
+    assert frac["tail_b"] > 2 * frac["head"]
+    # rates are capped at 1: a tiny domain can be kept whole, never
+    # duplicated, and every kept row is an input row
+    assert kept.count() <= df.count()
+    assert kept.join(df, ["doc_id"], "left_anti").count() == 0

@@ -299,3 +299,67 @@ def test_ensure_bucketed_rebuilds_on_source_change(spark, tmp_path):
     assert spark.table(mapping3["orders"]).count() == 300, (
         "memoized ensure_bucketed served stale twins after source regeneration"
     )
+
+
+def test_merge_into_upsert(spark, cow_table):
+    from xngin_spark.sources.dml import merge_into
+
+    t0 = spark.read.parquet(cow_table)
+    n0 = t0.count()
+    lo, hi = t0.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    before = {f: os.stat(os.path.join(cow_table, f)).st_ino
+              for f in os.listdir(cow_table) if f.endswith(".parquet")}
+    # source: replace the lowest key's row, insert one brand-new key
+    src = spark.createDataFrame(
+        [(int(lo),), (int(hi) + 1000,)], "o_orderkey long"
+    ).join(t0.filter(F.col("o_orderkey") == lo).drop("o_orderkey").limit(1).crossJoin(
+        spark.range(1).select(F.lit(1).alias("_one"))).drop("_one"), how="cross"
+    ) if False else spark.createDataFrame(
+        [tuple([int(lo) if c == "o_orderkey" else
+                ("MERGED" if c == "o_orderstatus" else r[c])
+                for c in t0.columns])
+         for r in t0.filter(F.col("o_orderkey") == lo).collect()]
+        + [tuple([int(hi) + 1000 if c == "o_orderkey" else
+                  ("NEW" if c == "o_orderstatus" else r[c])
+                  for c in t0.columns])
+           for r in t0.filter(F.col("o_orderkey") == hi).collect()],
+        t0.schema,
+    )
+    stats = merge_into(spark, cow_table, src, on="o_orderkey")
+    assert stats["rows_updated"] == 1 and stats["rows_inserted"] == 1
+    assert stats["files_rewritten"] == 1  # range-partitioned: lo lives in 1 file
+    after = {f: os.stat(os.path.join(cow_table, f)).st_ino
+             for f in os.listdir(cow_table) if f.endswith(".parquet")}
+    untouched = set(before) & set(after)
+    assert len(untouched) == 3 and all(before[f] == after[f] for f in untouched)
+    got = spark.read.parquet(cow_table)
+    assert got.count() == n0 + 1
+    assert got.filter(F.col("o_orderkey") == lo).collect()[0].o_orderstatus == "MERGED"
+    assert got.filter(F.col("o_orderkey") == int(hi) + 1000).count() == 1
+
+
+def test_merge_into_skip_and_dup_guard(spark, cow_table):
+    import pytest as _pytest
+
+    from xngin_spark.sources.dml import merge_into
+
+    t0 = spark.read.parquet(cow_table)
+    n0 = t0.count()
+    lo = t0.agg(F.min("o_orderkey")).first()[0]
+    status0 = t0.filter(F.col("o_orderkey") == lo).collect()[0].o_orderstatus
+    src = spark.createDataFrame(
+        [tuple([int(lo) if c == "o_orderkey" else
+                ("SHOULD_NOT_LAND" if c == "o_orderstatus" else r[c])
+                for c in t0.columns])
+         for r in t0.filter(F.col("o_orderkey") == lo).collect()],
+        t0.schema,
+    )
+    stats = merge_into(spark, cow_table, src, on="o_orderkey", when_matched="skip")
+    assert stats == {"files_rewritten": 0, "rows_updated": 0, "rows_inserted": 0}
+    got = spark.read.parquet(cow_table)
+    assert got.count() == n0
+    assert got.filter(F.col("o_orderkey") == lo).collect()[0].o_orderstatus == status0
+
+    dup_src = src.union(src)
+    with _pytest.raises(ValueError, match="duplicate keys"):
+        merge_into(spark, cow_table, dup_src, on="o_orderkey")

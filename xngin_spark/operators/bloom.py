@@ -68,9 +68,11 @@ def bloom_build(
         keys.select(F.explode(bits).alias("bit"))
         .select(
             (F.col("bit") / _WORD_BITS).cast("long").alias("word"),
-            F.shiftleft(F.lit(1).cast("long"), (F.col("bit") % _WORD_BITS).cast("int")).alias(
-                "mask"
-            ),
+            # shiftleft's python binding takes a literal count; the SQL
+            # form accepts an expression
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(pmod(bit, {_WORD_BITS}) AS INT))"
+            ).alias("mask"),
         )
         .groupBy("word")
         .agg(F.bit_or("mask").alias("bits"))
@@ -94,16 +96,20 @@ def bloom_might_contain(
     positions = _bit_positions(F.col(key_col), m_bits, k)
     hit_cols = []
     for i, pos in enumerate(positions):
-        w, b = f"_bw{i}", f"_bb{i}"
+        w, b, p = f"_bw{i}", f"_bb{i}", f"_bp{i}"
         probe = bloom.select(
             F.col("word").alias(w), F.col("bits").alias(b)
         )
-        out = out.withColumn(w, (pos / _WORD_BITS).cast("long")).join(
-            F.broadcast(probe), on=w, how="left"
+        out = (
+            out.withColumn(p, pos)
+            .withColumn(w, (F.col(p) / _WORD_BITS).cast("long"))
+            .join(F.broadcast(probe), on=w, how="left")
         )
         hit = (
             F.coalesce(F.col(b), F.lit(0).cast("long")).bitwiseAND(
-                F.shiftleft(F.lit(1).cast("long"), (pos % _WORD_BITS).cast("int"))
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), CAST(pmod({p}, {_WORD_BITS}) AS INT))"
+                )
             )
             != 0
         )

@@ -388,3 +388,56 @@ def sequence_pack(
         .cast("long")
         .alias("pack_id"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    domain_col: str = "source",
+    target_total: float = 400.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-based domain mixing (alpha = 0.5): resample so a
+    domain's expected share is proportional to sqrt(n_d) instead of
+    n_d — the standard multilingual/multi-source rebalancing move
+    (upsamples the tail, downsamples the head; alpha from the
+    multilingual-pretraining literature).
+
+    Per-domain keep rate: min(1, target_total * w_d / n_d) with
+    w_d = sqrt(n_d) / sum_d sqrt(n_d). Selection is content-hash
+    deterministic like stratified_sample: keep iff
+    uniform(md5(text)) < rate_d, where the uniform is the first 8 md5
+    hex digits scaled to [0, 1) — stable across runs, engines and
+    partitioning, reproducible at any scale.
+
+    Scale shape: one tiny groupBy(domain) for the counts, the sqrt-sum
+    as a 1-row broadcast (decimal-accumulated so the float total is
+    order-independent and matches the oracle bit-for-bit), one
+    broadcast join of |domains| rate rows, then a pure map-side filter
+    over the corpus — the full pass never shuffles data rows.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(
+        F.sum(F.sqrt(F.col("n").cast("double")).cast("decimal(25,9)"))
+        .cast("double")
+        .alias("tot")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0),
+            (
+                F.lit(target_total)
+                * (F.sqrt(F.col("n").cast("double")) / F.col("tot"))
+            )
+            / F.col("n").cast("double"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(u < F.col("rate"))
+        .drop("rate")
+    )

@@ -277,3 +277,72 @@ def vocab_coverage(spark, sf_dir):
     return ranked.crossJoin(F.broadcast(total)).select(
         "rnk", "tok", "c", (F.col("cum").cast("double") / F.col("t")).alias("coverage")
     )
+
+
+@register("bloom_seen_filter")  # no oracle: xxhash64 bit positions (rows-only)
+def bloom_seen_filter(spark, sf_dir):
+    """Cross-snapshot "seen before" screen — the Bloom-filter shape of
+    benchmark contamination / crawl dedup: build a filter over the
+    previous snapshot's content fingerprints (docs with doc_id % 3 = 0),
+    probe the current snapshot map-side. Build is one narrow (word,
+    mask) aggregation of at most m/64 rows; the probe is k broadcast
+    joins — the probe side never shuffles, so screening a 100 TB crawl
+    is a pure scan (operators/bloom.py). Guaranteed no false negatives
+    (property-tested); FP rate sized by optimal_params. Rows-only:
+    xxhash64 bit positions have no DuckDB twin; planted-membership
+    tests in tests/test_operators.py carry the correctness claim."""
+    from xngin_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+        optimal_params,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 3 == 0).select("text")
+    cur = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    n_prev = max(prev.count(), 1)
+    m, k = optimal_params(n_prev, 0.01)
+    # pin the tiny filter once: each of the k probe joins broadcasts it,
+    # and without materialization each branch re-runs the build agg
+    bloom = bloom_build(prev, "text", m, k).localCheckpoint(eager=True)
+    return bloom_might_contain(cur, "text", bloom, m, k).select(
+        "doc_id", "might_contain"
+    )
+
+
+@register(
+    "domain_mix_sample",
+    """
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    t AS (
+      SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(25,9))) AS DOUBLE)
+               AS tot
+      FROM c
+    ),
+    r AS (
+      SELECT source,
+             least(1.0, 400.0 * (sqrt(CAST(n AS DOUBLE)) / tot)
+                        / CAST(n AS DOUBLE)) AS rate
+      FROM c, t
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT) / 4294967296.0
+          < r.rate
+    """,
+)
+def domain_mix_sample(spark, sf_dir):
+    """Temperature-based domain mixing (alpha = 0.5): per-source keep
+    rates proportional to sqrt(n)/n rebalance the corpus toward the
+    tail sources — the standard multilingual/multi-source resampling
+    step before training. Deterministic md5-uniform selection; the
+    decimal-accumulated sqrt-sum makes the rates bit-identical across
+    engines, so the row set (not just counts) hash-matches the oracle.
+    Operator: operators/corpus.py temperature_mix (counts agg + 1-row
+    broadcast + |domains| broadcast rates; corpus rows never shuffle)."""
+    d = T(spark, sf_dir, "documents")
+    return C.temperature_mix(d, domain_col="source", target_total=400.0).select(
+        "doc_id", "source"
+    )

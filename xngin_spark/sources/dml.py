@@ -109,6 +109,113 @@ def update_table(
     return {"files_rewritten": len(files), "rows_updated": rows_updated}
 
 
+def merge_into(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str] | str,
+    when_matched: str = "update",
+) -> dict[str, int]:
+    """MERGE INTO <path> USING <source> ON <keys> — the upsert that
+    completes the DML family (the reference's parser stops at
+    UPDATE/DELETE, doradb-sql/src/parser/dml.rs; lakehouse MERGE is the
+    natural next step for incremental corpus refreshes).
+
+    Semantics (Delta-style upsert):
+    - ``when_matched="update"``: a target row whose key appears in
+      ``source`` is REPLACED by the source row;
+      ``when_matched="skip"``: matched target rows are kept and the
+      matching source rows are dropped (insert-only / WHEN NOT MATCHED
+      THEN INSERT).
+    - source rows with no matching target key are appended.
+    - duplicate keys in ``source`` raise (a row matched by two source
+      rows is ambiguous — same error Delta gives).
+
+    Copy-on-write at file granularity: only files holding a matched key
+    are rewritten (matched rows dropped there; the whole source is then
+    appended as new files), so cost is proportional to affected bytes +
+    source size, never table size. Matching keys travel as a broadcast
+    — the target is never shuffled.
+
+    Returns {"files_rewritten", "rows_updated", "rows_inserted"}.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    dup = source.groupBy(*keys).count().filter(F.col("count") > 1)
+    if dup.limit(1).count():
+        raise ValueError(
+            f"merge_into: source has duplicate keys on {keys} — "
+            "each target row may match at most one source row"
+        )
+    target = spark.read.parquet(path)
+    missing = set(target.columns) - set(source.columns)
+    if missing:
+        raise ValueError(f"merge_into: source lacks target columns {sorted(missing)}")
+    src = source.select(
+        *[F.col(c).cast(target.schema[c].dataType).alias(c) for c in target.columns]
+    )
+    key_rows = src.select(*keys).distinct()
+    # the hidden _metadata column resolves only against the scan itself —
+    # project it BEFORE the join
+    tgt_keyed = target.select(
+        *keys, F.col("_metadata.file_path").alias("f")
+    )
+    affected = [
+        _local(r.f)
+        for r in tgt_keyed.join(F.broadcast(key_rows), keys, "leftsemi")
+        .select("f")
+        .distinct()
+        .collect()
+    ]
+    if when_matched not in ("update", "skip"):
+        raise ValueError(f"merge_into: unknown when_matched={when_matched!r}")
+    # keys present in BOTH sides — bounded by the source size, so
+    # collect-free and broadcastable (drives the insert-vs-replace split)
+    matched_keys = (
+        spark.read.parquet(*affected).join(F.broadcast(key_rows), keys, "leftsemi")
+        .select(*keys)
+        .distinct()
+        .localCheckpoint(eager=True)
+        if affected
+        else None
+    )
+    rows_matched = 0
+    if affected and when_matched == "update":
+        aff_df = spark.read.parquet(*affected)
+        rows_matched = aff_df.join(F.broadcast(key_rows), keys, "leftsemi").count()
+        # matched rows leave the old files; their replacements ride in
+        # with the appended source
+        _swap_in(
+            spark,
+            aff_df.join(F.broadcast(key_rows), keys, "left_anti"),
+            path,
+            affected,
+        )
+    if when_matched == "update":
+        to_insert = src
+        n_replaced_keys = matched_keys.count() if matched_keys is not None else 0
+        rows_updated = rows_matched
+        rows_inserted = src.count() - n_replaced_keys
+    else:  # skip: only source rows whose key is absent from the target
+        to_insert = (
+            src.join(F.broadcast(matched_keys), keys, "left_anti")
+            if matched_keys is not None
+            else src
+        )
+        rows_updated, rows_inserted = 0, to_insert.count()
+    if to_insert.limit(1).count():
+        to_insert.write.mode("append").parquet(path)
+    spark.catalog.refreshByPath(path)
+    if matched_keys is not None:
+        from xngin_spark.operators.util import release_checkpoint
+
+        release_checkpoint(matched_keys)
+    return {
+        "files_rewritten": len(affected) if when_matched == "update" else 0,
+        "rows_updated": rows_updated,
+        "rows_inserted": rows_inserted,
+    }
+
+
 def delete_from_table(
     spark: SparkSession, path: str, where: Column | str
 ) -> dict[str, int]:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 Z_BITS = 16
@@ -74,3 +74,54 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+    small_threshold: float = 0.5,
+) -> dict[str, int]:
+    """Bin-pack small parquet files into ~``target_bytes`` outputs —
+    the OPTIMIZE/compaction step every long-lived table needs: streaming
+    sinks, frequent MERGEs and partitioned writes all accrete files far
+    below the scan-efficient size, and at 100 TB the resulting
+    per-file open/footer/task overhead dominates scan cost long before
+    data volume does.
+
+    Files >= ``small_threshold * target_bytes`` are already healthy and
+    are left byte-identical on disk (inode-stable, like the CoW DML
+    path rewrites only affected files); the small ones are read in one
+    distributed job and rewritten as ceil(total_small / target) files.
+    Listing is driver-side metadata (one os.stat per file); data moves
+    once, shuffle-free (coalesce, not repartition).
+
+    Returns {"files_before", "files_compacted", "files_written"}.
+    """
+    import math
+    import os
+
+    from xngin_spark.sources.dml import _swap_in
+
+    root = path.removeprefix("file://").removeprefix("file:")
+    all_files = [
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    small = [f for f in all_files if os.stat(f).st_size < small_threshold * target_bytes]
+    if len(small) < 2:
+        return {
+            "files_before": len(all_files),
+            "files_compacted": 0,
+            "files_written": 0,
+        }
+    total = sum(os.stat(f).st_size for f in small)
+    n_out = max(1, math.ceil(total / target_bytes))
+    merged = spark.read.parquet(*small).coalesce(n_out)
+    _swap_in(spark, merged, path, small)
+    return {
+        "files_before": len(all_files),
+        "files_compacted": len(small),
+        "files_written": n_out,
+    }
