@@ -1,0 +1,104 @@
+"""Planted-ground-truth tests for the round-5 operators: corpus-LM
+quality bucketing, deterministic shuffle shards, and the recursive /
+lateral SQL surface (the oracle-parity twin lives in
+tests/test_tpch_parity.py via the registry)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xngin_spark.operators import corpus as C
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestBigramLmQuality:
+    def test_common_vs_gibberish_bucketing(self, spark):
+        # 6 clone docs make every "a b", "b c" bigram corpus-common
+        # (count >= min_count=5); one gibberish doc shares nothing.
+        rows = [(i, "a b c a b c a b c") for i in range(6)]
+        rows.append((99, "zq xw vt rr pq mn"))
+        out = C.bigram_lm_quality(_docs(spark, rows), min_count=5).collect()
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[0].bucket == "head"
+        assert by_id[0].score_bp == 10000
+        assert by_id[99].bucket == "tail"
+        assert by_id[99].n_common == 0
+
+    def test_score_is_occurrence_weighted(self, spark):
+        # doc 50: half its bigram OCCURRENCES are the common "a b"
+        # (clones push "a b" over threshold), half are unique junk.
+        rows = [(i, "a b a b a b") for i in range(6)]
+        rows.append((50, "a b q1 q2 a b q3 q4 a b q5"))
+        out = {r.doc_id: r for r in C.bigram_lm_quality(_docs(spark, rows)).collect()}
+        r = out[50]
+        # 10 bigrams total; "a b" occurs 3x (common); junk bigrams once
+        assert r.n_bigrams == 10
+        assert r.n_common == 3
+        assert r.score_bp == 3000
+
+    def test_threshold_scales_with_corpus(self, spark):
+        # per_occurrences tiny -> threshold rises above min_count and
+        # excludes bigrams that min_count alone would admit
+        rows = [(i, "a b a b a b a b a b a b") for i in range(4)]
+        lo = C.bigram_lm_quality(_docs(spark, rows), min_count=1, per_occurrences=10**9)
+        hi = C.bigram_lm_quality(_docs(spark, rows), min_count=10**6, per_occurrences=10**9)
+        assert all(r.bucket == "head" for r in lo.collect())
+        assert all(r.bucket == "tail" for r in hi.collect())
+
+
+class TestShuffleShards:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return _docs(spark, [(i, f"doc body {i}") for i in range(200)])
+
+    def test_positions_contiguous_per_shard(self, spark, docs):
+        out = C.shuffle_shards(docs, n_shards=4)
+        per = (
+            out.groupBy("shard")
+            .agg(F.count("*").alias("n"), F.min("pos").alias("lo"), F.max("pos").alias("hi"))
+            .collect()
+        )
+        assert {r.shard for r in per} <= {0, 1, 2, 3}
+        for r in per:
+            assert (r.lo, r.hi) == (1, r.n)
+
+    def test_partitioning_invariant(self, spark, docs):
+        a = sorted(map(tuple, C.shuffle_shards(docs, n_shards=4).collect()))
+        b = sorted(map(tuple, C.shuffle_shards(docs.repartition(13), n_shards=4).collect()))
+        assert a == b
+
+    def test_seed_reshuffles(self, spark, docs):
+        a = {r.doc_id: r.shard for r in C.shuffle_shards(docs, seed="xs1").collect()}
+        b = {r.doc_id: r.shard for r in C.shuffle_shards(docs, seed="xs2").collect()}
+        assert any(a[k] != b[k] for k in a)
+
+    def test_roughly_balanced(self, spark, docs):
+        sizes = [r.n for r in C.shuffle_shards(docs, n_shards=4)
+                 .groupBy("shard").agg(F.count("*").alias("n")).collect()]
+        assert len(sizes) == 4
+        assert max(sizes) <= 2 * min(sizes)
+
+
+class TestSqlSurface:
+    def test_month_spine_is_gap_free(self, spark, sf_dir):
+        from xngin_spark.queries.sqlsurface import recursive_month_spine
+
+        rows = recursive_month_spine(spark, sf_dir).orderBy("month").collect()
+        months = [r.month for r in rows]
+        for prev, cur in zip(months, months[1:]):
+            nxt = (prev.replace(day=1).month % 12) + 1
+            assert (cur.month, cur.day) == (nxt, 1)
+
+    def test_lateral_topk_at_most_two_per_customer(self, spark, sf_dir):
+        from xngin_spark.queries.sqlsurface import lateral_topk
+
+        out = lateral_topk(spark, sf_dir)
+        worst = (
+            out.groupBy("c_custkey").agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("m")).collect()[0].m
+        )
+        assert worst <= 2

@@ -441,3 +441,117 @@ def temperature_mix(
         .filter(u < F.col("rate"))
         .drop("rate")
     )
+
+
+def bigram_lm_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    per_occurrences: int = 20000,
+) -> DataFrame:
+    """Corpus-LM quality scoring (the CCNet/KenLM move, integer-exact):
+    score each document by how much of it is made of bigrams the corpus
+    itself considers common, then bucket into head/middle/tail — the
+    standard "train a cheap LM on the corpus, keep the well-modeled
+    third" quality filter, restated in exact integer arithmetic so the
+    result hash-matches a SQL oracle (no float log-probs to drift).
+
+    threshold T = max(min_count, total_bigrams // per_occurrences)
+    scales with the corpus, so "common" means the same corpus share at
+    every SF. score_bp = floor(1e4 * common_occurrences / occurrences).
+
+    Scale shape: one (doc, bigram) partial count (map-side combine),
+    one global bigram count derived from the SAME exchange, a shuffle
+    join back on the bigram key, and a final per-doc agg on the 8-byte
+    doc id. The threshold is a 1-row broadcast. At 100 TB the bigram
+    join key can be xxhash64-compressed to 8 bytes (as the dedup family
+    does); kept as text here for oracle parity.
+    """
+    bg = F.expr(
+        f"transform(slice(split({text_col}, ' '), 1,"
+        f" greatest(size(split({text_col}, ' ')) - 1, 0)),"
+        f" (x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
+    )
+    per_doc = (
+        fan_out(df)
+        .select(F.col(id_col), F.explode(bg).alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    glob = per_doc.groupBy("bg").agg(F.sum("c").alias("cnt"))
+    thresh = glob.agg(
+        F.greatest(
+            F.lit(min_count).cast("long"),
+            (F.sum("cnt") / F.lit(per_occurrences)).cast("long"),
+        ).alias("t")
+    )
+    return (
+        per_doc.join(glob, "bg")
+        .crossJoin(F.broadcast(thresh))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("cnt") >= F.col("t"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("n_common"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_common",
+            F.floor(F.lit(10000) * F.col("n_common") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("score_bp"),
+        )
+        .withColumn(
+            "bucket",
+            F.when(F.col("score_bp") >= 6667, F.lit("head"))
+            .when(F.col("score_bp") >= 3333, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+    )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "xs1",
+) -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets
+    a content-keyed uniform hash, a shard assignment, and a stable
+    position inside its shard — the "shuffle 100 TB once, write N
+    equal shards, stream them in order" step before training. Salting
+    the hash with ``seed`` re-shuffles reproducibly between epochs.
+
+    Determinism: shard and order depend only on (seed, id, text) — not
+    on partitioning, cluster size, or engine — so the exact layout is
+    reproducible and oracle-checkable (md5 exists in both engines).
+
+    Scale shape: one map-side projection computes the hash; the only
+    shuffle is the repartition-by-shard the writer would do anyway.
+    ``pos`` ranks within a shard: with n_shards sized to the target
+    shard bytes (total/shard_size), each rank partition is bounded by
+    design. A real export would follow with
+    ``df.repartition('shard').sortWithinPartitions('h8', id).write``.
+    """
+    h8 = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"), F.col(text_col))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col), h8.alias("h8"), F.pmod(h8, F.lit(n_shards)).cast("int").alias("shard")
+    )
+    w = Window.partitionBy("shard").orderBy("h8", id_col)
+    return base.select(
+        id_col, "shard", "h8", F.row_number().over(w).cast("long").alias("pos")
+    )

@@ -35,7 +35,15 @@ def load_all() -> None:
     """Import all query modules so their registrations run."""
     from xngin_spark.queries import tpch  # noqa: F401
 
-    for mod in ("micro", "pipeline", "windows", "corpus", "analytic", "bucketed"):
+    for mod in (
+        "micro",
+        "pipeline",
+        "windows",
+        "corpus",
+        "analytic",
+        "bucketed",
+        "sqlsurface",
+    ):
         try:
             __import__(f"xngin_spark.queries.{mod}")
         except ImportError:

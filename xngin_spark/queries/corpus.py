@@ -346,3 +346,58 @@ def domain_mix_sample(spark, sf_dir):
     return C.temperature_mix(d, domain_col="source", target_total=400.0).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "bigram_lm_quality",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    bgs AS (
+      SELECT doc_id, concat(toks[i], ' ', toks[i + 1]) AS bg
+      FROM (SELECT doc_id, toks,
+                   unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+            FROM t)
+    ),
+    per_doc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgs GROUP BY doc_id, bg),
+    gcnt AS (SELECT bg, SUM(c) AS cnt FROM per_doc GROUP BY bg),
+    th AS (SELECT greatest(5, CAST(floor(SUM(cnt) / 20000.0) AS BIGINT)) AS t
+           FROM gcnt),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(SUM(p.c) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN g.cnt >= th.t THEN p.c ELSE 0 END) AS BIGINT)
+               AS n_common
+      FROM per_doc p JOIN gcnt g USING (bg), th
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_common,
+           CAST(floor(10000 * n_common / n_bigrams) AS BIGINT) AS score_bp,
+           CASE WHEN floor(10000 * n_common / n_bigrams) >= 6667 THEN 'head'
+                WHEN floor(10000 * n_common / n_bigrams) >= 3333 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored
+    """,
+)
+def bigram_lm_quality_q(spark, sf_dir):
+    return C.bigram_lm_quality(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "shuffle_shards",
+    """
+    SELECT doc_id, shard, h8,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h8, doc_id)
+                AS BIGINT) AS pos
+    FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat('xs1', ':',
+                    CAST(doc_id AS VARCHAR), ':', text)), 1, 8)) AS BIGINT)
+               AS h8,
+             CAST(CAST(concat('0x', substr(md5(concat('xs1', ':',
+                    CAST(doc_id AS VARCHAR), ':', text)), 1, 8)) AS BIGINT) % 8
+                  AS INTEGER) AS shard
+      FROM documents)
+    """,
+)
+def shuffle_shards_q(spark, sf_dir):
+    return C.shuffle_shards(T(spark, sf_dir, "documents"))

@@ -1,0 +1,101 @@
+"""SQL-surface queries beyond the reference's parser: recursive CTEs
+and LATERAL correlated subqueries, both run as literal `spark.sql`
+text (path-based parquet table refs, no temp-view bookkeeping) with
+DuckDB oracles exercising the same native constructs.
+
+The reference parses plain CTEs (doradb-sql/src/ast.rs:1196-1213) but
+has no RECURSIVE or LATERAL anywhere in its grammar; Spark 4 supplies
+both natively, so these rows are capability bonuses a reference user
+gains by switching.
+"""
+
+from __future__ import annotations
+
+from xngin_spark.queries import register
+
+# Spark-side text uses trunc(d,'MM') / add_months; DuckDB uses
+# date_trunc + INTERVAL — same DATE month grid. Revenue uses the
+# decimal-accumulate pattern (functions/aggregates.DEC) on both sides
+# so the double sum is order-independent and hash-stable.
+
+
+@register(
+    "recursive_month_spine",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) FROM orders
+      UNION ALL
+      SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+      WHERE m < (SELECT CAST(date_trunc('month', MAX(o_orderdate)) AS DATE)
+                 FROM orders)
+    ),
+    agg AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT months.m AS month,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+           coalesce(rev, CAST(0 AS DOUBLE)) AS revenue
+    FROM months LEFT JOIN agg ON months.m = agg.m
+    """,
+)
+def recursive_month_spine(spark, sf_dir):
+    """Dense month spine via WITH RECURSIVE + left join: the gap-free
+    time-series frame (months with zero orders appear with zeros).
+    Recursion depth = number of months — bounded by the data's time
+    span, not its volume, so the iterative part is O(spine) on the
+    driver-side plan while the heavy aggregation stays one shuffle."""
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    return spark.sql(f"""
+        WITH RECURSIVE months(m) AS (
+          SELECT trunc(MIN(o_orderdate), 'MM') FROM {orders}
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < (SELECT trunc(MAX(o_orderdate), 'MM') FROM {orders})
+        ),
+        agg AS (
+          SELECT trunc(o_orderdate, 'MM') AS m,
+                 COUNT(*) AS n,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+          FROM {orders} GROUP BY 1
+        )
+        SELECT months.m AS month,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+               coalesce(rev, CAST(0 AS DOUBLE)) AS revenue
+        FROM months LEFT JOIN agg ON months.m = agg.m
+    """)
+
+
+@register(
+    "lateral_topk",
+    """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_nationkey = 1
+    """,
+)
+def lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT —
+    top-2 orders per customer. Catalyst decorrelates this into a
+    windowed join (no per-customer re-execution), so the lateral
+    surface costs one shuffle at any scale, same as the equivalent
+    row_number() formulation."""
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    customer = f"parquet.`{sf_dir}/customer.parquet`"
+    return spark.sql(f"""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM {customer} c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM {orders} o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_nationkey = 1
+    """)
