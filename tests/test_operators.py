@@ -530,9 +530,10 @@ def test_sequence_pack_fills_budget(spark):
 def test_dedup_pipeline_keeper_semantics(spark, sf_dir):
     from pyspark.sql import functions as F2
 
-    from xngin_spark.queries import QUERIES
+    import xngin_spark.queries as Q
 
-    out = QUERIES["dedup_pipeline"](spark, sf_dir)
+    Q.load_all()
+    out = Q.QUERIES["dedup_pipeline"](spark, sf_dir)
     out.cache()
     try:
         # exactly one keeper per component, and it is the min doc_id

@@ -14,6 +14,7 @@ ROWS_ONLY = sorted(n for n in Q.QUERIES if n not in Q.ORACLE)
 def test_rows_only_set_is_expected():
     assert ROWS_ONLY == [
         "approx_distinct",     # HLL sketch estimate is engine-specific
+        "bloom_seen_filter",   # xxhash64 bit positions — no DuckDB twin
         "dedup_minhash_lsh",   # xxhash64 signatures — DuckDB lacks the hash
         "dedup_pipeline",      # composes the minhash stage (xxhash64)
         "dedup_simhash",       # xxhash64-based

@@ -65,7 +65,8 @@ def bloom_build(
     col = F.col(key_col)
     bits = F.array(*_bit_positions(col, m_bits, k))
     return (
-        keys.select(F.explode(bits).alias("bit"))
+        keys.select(F.explode_outer(bits).alias("bit"))
+        .filter(F.col("bit").isNotNull())
         .select(
             (F.col("bit") / _WORD_BITS).cast("long").alias("word"),
             # shiftleft's python binding takes a literal count; the SQL

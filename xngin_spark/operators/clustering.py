@@ -187,8 +187,10 @@ def cosine_topk_ivf(
     q = queries.select(
         F.col(query_id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        F.explode(probe_lists).alias("ivf_list"),
-    )
+        # explode_outer + post-filter: plain explode would re-run the
+        # all-centroid distance scoring inside an inferred size()>0 scan guard
+        F.explode_outer(probe_lists).alias("ivf_list"),
+    ).filter(F.col("ivf_list").isNotNull())
     scored = indexed.join(F.broadcast(q), "ivf_list").withColumn(
         "cosine",
         vec_dot(F.col(vec_col), F.col("qvec"))
@@ -275,8 +277,10 @@ def cosine_topk_ivf_persisted(
     q = queries.select(
         F.col(query_id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),
-        F.explode(probe_lists).alias("ivf_list"),
-    )
+        # explode_outer + post-filter: plain explode would re-run the
+        # all-centroid distance scoring inside an inferred size()>0 scan guard
+        F.explode_outer(probe_lists).alias("ivf_list"),
+    ).filter(F.col("ivf_list").isNotNull())
     probed = sorted({r.ivf_list for r in q.select("ivf_list").distinct().collect()})
     indexed = spark.read.parquet(path).filter(F.col("ivf_list").isin(probed))
     scored = indexed.join(F.broadcast(q), "ivf_list").withColumn(
@@ -326,7 +330,7 @@ def pq_fit(
     # bench scale iteration count drives plan-compile cost, and on a
     # cluster it halves the number of full passes over the sample.
     subs = fan_out(vecs).select(
-        F.explode(
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
                 lambda s: F.struct(

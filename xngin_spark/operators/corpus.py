@@ -57,23 +57,37 @@ def contamination(
     re-keyed on the 8-byte doc id. One narrow shuffle of
     (doc_id, count) pairs; no corpus-vs-corpus join ever happens.
     """
-    bench_grams = benchmark.select(
-        F.explode(F.array_distinct(token_ngrams(tokens(F.col(text_col)), n))).alias(
-            "gram"
+    # tokenize in a projection of its own: a split() captured inside
+    # token_ngrams' per-position lambda would re-run once per gram
+    bench_grams = (
+        benchmark.select(tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.explode_outer(
+                F.array_distinct(token_ngrams(F.col("__toks"), n))
+            ).alias("gram")
         )
-    ).distinct()
+        .filter(F.col("gram").isNotNull())
+        .distinct()
+    )
     # per-doc gram count is the array length, computed once in the scan
     # stage and carried through the explode as an 8-byte payload — the
     # n-gram transform runs exactly once per document.  fan_out guards
     # the transform against an unsplittable single-row-group input.
     doc_grams = fan_out(corpus).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    ).select(
         F.col(id_col),
-        F.array_distinct(token_ngrams(tokens(F.col(text_col)), n)).alias("grams"),
+        F.array_distinct(token_ngrams(F.col("__toks"), n)).alias("grams"),
     ).select(
         id_col,
         F.size("grams").cast("long").alias("n_grams"),
-        F.explode("grams").alias("gram"),
-    )
+        # explode_outer + post-filter, NOT explode: the plain form makes
+        # InferFiltersFromGenerate push a size()>0 guard to the scan
+        # that re-runs the whole n-gram expression per row (6x slower
+        # measured at sf0.1); the outer form infers nothing, and the
+        # null rows from empty arrays drop right here
+        F.explode_outer("grams").alias("gram"),
+    ).filter(F.col("gram").isNotNull())
     # INNER join so only hit grams flow into the shuffle: at a typical
     # per-gram hit rate the aggregated volume is ~10-20x smaller than
     # left-joining every gram, and the docs-without-hits never shuffle
@@ -106,7 +120,8 @@ def repetition_stats(
     """
     per_tok = (
         fan_out(df)
-        .select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .select(F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -148,7 +163,9 @@ def chunk_documents(
     consumer needs it; here we keep (id, chunk_id, n_tokens, md5) so
     downstream shuffles move fingerprints, not text.
     """
-    toks = tokens(F.col(text_col))
+    # tokenize in its own projection (lambda-captured split would
+    # re-run per chunk)
+    toks = F.col("__toks")
     n = F.size(toks)
     # identical integer ceil in the DuckDB oracle: floor((n-size+stride-1)/stride)
     n_chunks = (
@@ -159,8 +176,10 @@ def chunk_documents(
         lambda i: F.concat_ws(" ", F.slice(toks, i * stride + 1, size)),
     )
     return fan_out(df).select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "chunk_text")
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     ).select(
+        F.col(id_col), F.posexplode_outer(chunks).alias("chunk_id", "chunk_text")
+    ).filter(F.col("chunk_text").isNotNull()).select(
         id_col,
         "chunk_id",
         F.size(F.split(F.col("chunk_text"), TOKEN_SEP)).cast("long").alias(
@@ -221,8 +240,9 @@ def inverted_index(
     a stop-word's postings can't materialize an entire corpus partition
     in one row (df still counts everything)."""
     pairs = fan_out(df).select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
-    )
+        F.col(id_col),
+        F.explode_outer(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
     return pairs.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.slice(F.sort_array(F.collect_list(id_col)), 1, max_postings).alias(
@@ -246,8 +266,8 @@ def tfidf_topk(
     from pyspark.sql import Window
 
     pairs = fan_out(df).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    )
+        F.col(id_col), F.explode_outer(tokens(F.col(text_col))).alias("tok")
+    ).filter(F.col("tok").isNotNull())
     tf = pairs.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = df.select(id_col).distinct().count()
@@ -468,14 +488,21 @@ def bigram_lm_quality(
     join key can be xxhash64-compressed to 8 bytes (as the dedup family
     does); kept as text here for oracle parity.
     """
+    # materialize the token array BEFORE the lambda: split() referenced
+    # inside a higher-order function is re-evaluated per element
+    # (no subexpression elimination across the lambda boundary), which
+    # turns an n-token doc into n full re-tokenizations — measured 5.3s
+    # vs 1.0s at sf0.1
     bg = F.expr(
-        f"transform(slice(split({text_col}, ' '), 1,"
-        f" greatest(size(split({text_col}, ' ')) - 1, 0)),"
-        f" (x, i) -> concat(x, ' ', element_at(split({text_col}, ' '), i + 2)))"
+        "zip_with(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+        " slice(toks, 2, greatest(size(toks) - 1, 0)),"
+        " (a, b) -> concat(a, ' ', b))"
     )
     per_doc = (
         fan_out(df)
-        .select(F.col(id_col), F.explode(bg).alias("bg"))
+        .select(F.col(id_col), F.split(F.col(text_col), " ").alias("toks"))
+        .select(F.col(id_col), F.explode_outer(bg).alias("bg"))
+        .filter(F.col("bg").isNotNull())
         .groupBy(id_col, "bg")
         .agg(F.count(F.lit(1)).alias("c"))
     )

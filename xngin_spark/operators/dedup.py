@@ -60,9 +60,14 @@ def _perm_consts(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return out
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct token n-gram shingles as an array<string>."""
-    toks = tokens(text)
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct token n-gram shingles as an array<string>.
+
+    ``toks`` must be a MATERIALIZED token-array column (an attribute
+    from a prior select), not a raw ``split()`` expression: an
+    expression captured inside the per-position lambda re-evaluates
+    once per shingle — an n-token doc would re-tokenize itself n
+    times (measured 3.4x slower at sf0.1)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.array_join(F.slice(toks, i, n), " "),
@@ -112,7 +117,7 @@ def minhash_signatures(
     A = F.array(*[F.lit(a) for a, _ in consts])
     B = F.array(*[F.lit(b) for _, b in consts])
     xs = F.transform(
-        shingles(F.col(text_col), shingle_n),
+        shingles(F.col("__toks"), shingle_n),
         lambda sh: F.pmod(F.xxhash64(sh), F.lit(_P)),
     )
     sig = F.aggregate(
@@ -129,7 +134,11 @@ def minhash_signatures(
             lambda a, h: F.least(a, h),
         ),
     )
-    return fan_out(df).select(F.col(id_col), sig.alias("sig"))
+    return (
+        fan_out(df)
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), sig.alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -183,7 +192,10 @@ def minhash_lsh_pairs(
     sigs.count()
     banded = sigs.select(
         F.col(id_col),
-        F.explode(
+        # explode_outer + post-filter: plain explode lets
+        # InferFiltersFromGenerate re-run the whole banding transform
+        # inside a pushed-down size()>0 guard
+        F.explode_outer(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
@@ -194,6 +206,9 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
+    ).filter(F.col("bb").isNotNull()).select(
+        id_col,
+        "bb",
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     if max_bucket_size is not None:
@@ -334,8 +349,11 @@ def ngram_jaccard_pairs(
     integer ratio. Quadratic in bucket size — bound the input (e.g. to
     LSH candidates or an id range) at scale.
     """
-    sh = fan_out(df).select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("g")
+    sh = (
+        fan_out(df)
+        .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+        .select("id", F.explode_outer(shingles(F.col("__toks"), n)).alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "g")
@@ -420,7 +438,11 @@ def winnow_fingerprints(
         .filter(F.length(text_col) >= k + w - 1)
         .withColumn("__c", F.expr(codes))
         .withColumn("__grams", F.expr(grams))
-        .select(F.col(id_col).alias("id"), F.explode(F.expr(fps)).alias("fp"))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(F.expr(fps)).alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
     )
 
 

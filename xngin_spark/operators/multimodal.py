@@ -118,11 +118,11 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
     )
     return media.select(
         "doc_id",
-        F.explode(offsets).alias("frame_no"),
+        F.explode_outer(offsets).alias("frame_no"),
         F.substring(
             F.col("payload"), F.col("frame_no") * every_n_bytes + 1, every_n_bytes
         ).alias("frame_bytes"),
-    )
+    ).filter(F.col("frame_no").isNotNull())
 
 
 RESIZE_TARGET = 64

@@ -207,7 +207,9 @@ def cosine_topk_lsh(
     probes = [F.col("sig")] + [
         F.col("sig").bitwiseXOR(F.lit(1 << i).cast("long")) for i in range(n_planes)
     ][: (n_planes if multiprobe else 0)]
-    q = qsig.withColumn("bucket", F.explode(F.array(*probes)))
+    q = qsig.withColumn("bucket", F.explode_outer(F.array(*probes))).filter(
+        F.col("bucket").isNotNull()
+    )
     pairs = c.alias("c").join(
         F.broadcast(q.select(query_id_col, "bucket", F.col(vec_col).alias("qvec"))),
         "bucket",

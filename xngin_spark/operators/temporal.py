@@ -115,8 +115,8 @@ def range_join(
         F.floor((lsec + F.lit(hi)) / F.lit(width)).cast("long"),
     )
     lt = left.select(
-        "*", lsec.alias("__lsec"), F.explode(lbins).alias("__bin")
-    )
+        "*", lsec.alias("__lsec"), F.explode_outer(lbins).alias("__bin")
+    ).filter(F.col("__bin").isNotNull())
     rt = right.select(
         *[F.col(c).alias(f"{c}{suffix}") for c in right.columns],
         rsec.alias("__rsec"),

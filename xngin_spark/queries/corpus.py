@@ -261,7 +261,8 @@ def vocab_coverage(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     counts = (
         fan_out(d)
-        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .select(F.explode_outer(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )

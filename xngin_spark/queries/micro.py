@@ -957,9 +957,12 @@ def cast_matrix(spark, sf_dir):
     # '3.5'/'1e3' deliberately absent: DuckDB TRY_CAST rounds decimal
     # strings to int and accepts exponents where Spark yields NULL —
     # documented divergence, not probed. Overflow + whitespace are.
-    rows = [("42",), ("-7",), ("  8 ",), ("abc",), ("",), ("2024-02-29",),
-            ("2023-02-29",), ("true",), ("false",), ("99999999999",)]
-    df = spark.createDataFrame(rows, "s string")
+    # VALUES literal, not createDataFrame: the local-relation python->
+    # JVM conversion path costs ~3s of py4j/Arrow setup for 10 rows
+    rows = ["42", "-7", "  8 ", "abc", "", "2024-02-29",
+            "2023-02-29", "true", "false", "99999999999"]
+    values = ", ".join(f"('{v}')" for v in rows)
+    df = spark.sql(f"SELECT s FROM VALUES {values} AS t(s)")
     return df.select(
         "s",
         F.col("s").try_cast("int").alias("as_int"),

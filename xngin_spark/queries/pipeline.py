@@ -658,7 +658,8 @@ def vocab_topk(spark, sf_dir):
     # shuffle, of (token, partial count) pairs after map-side combine.
     d = T(spark, sf_dir, "documents")
     return (
-        d.select(F.explode(X.tokens(F.col("text"))).alias("tok"))
+        d.select(F.explode_outer(X.tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isNotNull())
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "tok")

@@ -44,16 +44,24 @@ from xngin_spark.queries import register
 def recursive_month_spine(spark, sf_dir):
     """Dense month spine via WITH RECURSIVE + left join: the gap-free
     time-series frame (months with zero orders appear with zeros).
-    Recursion depth = number of months — bounded by the data's time
-    span, not its volume, so the iterative part is O(spine) on the
-    driver-side plan while the heavy aggregation stays one shuffle."""
+
+    The spine bounds are hoisted into literals first — the reference's
+    Attach semantics for non-correlated scalar subqueries
+    (doradb-expr/src/expr.rs:42-45): a MIN/MAX subquery left inside
+    the recursive step would re-scan orders on EVERY iteration
+    (measured 15s vs 1.6s at sf0.1). Recursion depth = number of
+    months — bounded by the data's time span, not its volume, so the
+    iterative part is O(spine) while the aggregation is one shuffle."""
     orders = f"parquet.`{sf_dir}/orders.parquet`"
+    lo, hi = spark.sql(
+        f"SELECT trunc(MIN(o_orderdate), 'MM'), trunc(MAX(o_orderdate), 'MM')"
+        f" FROM {orders}"
+    ).collect()[0]
     return spark.sql(f"""
         WITH RECURSIVE months(m) AS (
-          SELECT trunc(MIN(o_orderdate), 'MM') FROM {orders}
+          SELECT DATE'{lo}'
           UNION ALL
-          SELECT add_months(m, 1) FROM months
-          WHERE m < (SELECT trunc(MAX(o_orderdate), 'MM') FROM {orders})
+          SELECT add_months(m, 1) FROM months WHERE m < DATE'{hi}'
         ),
         agg AS (
           SELECT trunc(o_orderdate, 'MM') AS m,
