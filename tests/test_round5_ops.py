@@ -102,3 +102,52 @@ class TestSqlSurface:
             .agg(F.max("n").alias("m")).collect()[0].m
         )
         assert worst <= 2
+
+
+class TestQualifyRewrite:
+    def test_basic_rewrite_shape(self):
+        from xngin_spark.dialect import rewrite_qualify
+
+        out = rewrite_qualify(
+            "SELECT a FROM t QUALIFY row_number() OVER (ORDER BY b) = 1"
+        )
+        assert out.startswith("SELECT * EXCEPT(__q) FROM (")
+        assert "(row_number() OVER (ORDER BY b) = 1) AS __q" in out
+
+    def test_tail_and_cte_preserved(self):
+        from xngin_spark.dialect import rewrite_qualify
+
+        out = rewrite_qualify(
+            "WITH c AS (SELECT * FROM t) SELECT a, b FROM c WHERE x > 1 "
+            "QUALIFY rank() OVER (ORDER BY b) <= 2 ORDER BY a LIMIT 3"
+        )
+        assert out.startswith("WITH c AS (SELECT * FROM t) SELECT * EXCEPT")
+        assert out.rstrip().endswith("ORDER BY a LIMIT 3")
+        assert "WHERE x > 1" in out
+
+    def test_untouched_without_qualify(self):
+        from xngin_spark.dialect import rewrite_qualify
+
+        for sql in (
+            "SELECT 'qualify me' AS s FROM t",
+            "SELECT * FROM (SELECT a FROM t) z",
+        ):
+            assert rewrite_qualify(sql) == sql
+
+    def test_rejects_ambiguous_shapes(self):
+        from xngin_spark.dialect import rewrite_qualify
+
+        for bad in (
+            "SELECT DISTINCT a FROM t QUALIFY r() OVER () = 1",
+            "SELECT a FROM t UNION SELECT b FROM u QUALIFY r() OVER () = 1",
+        ):
+            with pytest.raises(ValueError):
+                rewrite_qualify(bad)
+
+    def test_executes_end_to_end(self, spark, sf_dir):
+        from xngin_spark.queries.sqlsurface import dialect_qualify
+
+        out = dialect_qualify(spark, sf_dir)
+        assert out.columns == ["c_custkey", "c_nationkey", "c_acctbal"]
+        per = out.groupBy("c_nationkey").count().collect()
+        assert per and all(r["count"] <= 2 for r in per)

@@ -107,3 +107,26 @@ def lateral_topk(spark, sf_dir):
         ) t
         WHERE c.c_nationkey = 1
     """)
+
+
+# The SAME text runs on both engines: DuckDB executes QUALIFY natively,
+# the Spark side lowers it via dialect.rewrite_qualify — the dialect
+# parity claim is the point of this row.
+_QUALIFY_SQL = """
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer
+    QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC, c_custkey) <= 2
+"""
+
+
+@register("dialect_qualify", _QUALIFY_SQL)
+def dialect_qualify(spark, sf_dir):
+    """QUALIFY surface (DuckDB/Snowflake/BigQuery post-window filter):
+    top-2 customers by balance per nation, written with QUALIFY and
+    executed through the dialect shim's subquery lowering. One window
+    shuffle on the partition key — identical physical shape to the
+    hand-written row_number() subquery."""
+    from xngin_spark.engine import Engine
+
+    return Engine(sf_dir, spark=spark).sql(_QUALIFY_SQL)
