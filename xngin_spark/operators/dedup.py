@@ -466,7 +466,15 @@ def winnow_candidate_pairs(
     candidate work is ≤ cap²/2 pairs per fingerprint, the same
     discipline as minhash_lsh_pairs' max_bucket_size.
     """
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w)
+    # the char-level rolling-hash projection feeds the cap count AND
+    # both self-join sides — persist so the text is hashed exactly once
+    # (n × ~30 fp × 16B, disk-spillable; released via release_persisted)
+    from pyspark.storagelevel import StorageLevel
+
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PERSISTED.append(fps)
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__df"))
