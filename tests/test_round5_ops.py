@@ -151,3 +151,39 @@ class TestQualifyRewrite:
         assert out.columns == ["c_custkey", "c_nationkey", "c_acctbal"]
         per = out.groupBy("c_nationkey").count().collect()
         assert per and all(r["count"] <= 2 for r in per)
+
+
+class TestImportanceResample:
+    def test_target_like_docs_score_high(self, spark):
+        # target (t0..t9): vocab A; corpus docs: one pure-A doc, one
+        # pure-junk doc. A-tokens are target-favored, junk is not.
+        rows = [(i, "alpha beta gamma delta", "tgt") for i in range(10)]
+        # all-distinct target tokens so each stays strictly favored
+        # after this doc's own occurrences shift p_raw
+        rows.append((100, "alpha beta gamma delta", "web"))
+        rows.append((101, "zz yy xx ww", "web"))
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r.doc_id: r for r in C.importance_resample(
+            df, target_pred=F.col("source") == "tgt").collect()}
+        assert set(out) == {100, 101}
+        assert out[100].score_bp == 10000
+        assert out[101].score_bp == 0
+        assert out[101].selected is False  # p=0 can never be drawn
+
+    def test_selection_rate_tracks_score(self, spark):
+        # many mid-score docs: selection count should be near p*n, and
+        # deterministic across calls
+        # target doubles up a-d so their target share strictly exceeds
+        # the raw share (exact ties resolve to unfavored by design)
+        target = [(i, "a b c d a b c d", "tgt") for i in range(100)]
+        corpus = [(1000 + i, f"a b c d u{i} v{i} w{i} x{i}", "web") for i in range(200)]
+        df = spark.createDataFrame(target + corpus,
+                                   "doc_id long, text string, source string")
+        out = C.importance_resample(df, target_pred=F.col("source") == "tgt")
+        rows = out.collect()
+        assert all(r.score_bp == 5000 for r in rows)  # 4 of 8 favored
+        n_sel = sum(r.selected for r in rows)
+        assert 60 <= n_sel <= 140  # ~100 expected at p=0.5
+        again = sum(r.selected for r in
+                    C.importance_resample(df, target_pred=F.col("source") == "tgt").collect())
+        assert n_sel == again

@@ -582,3 +582,79 @@ def shuffle_shards(
     return base.select(
         id_col, "shard", "h8", F.row_number().over(w).cast("long").alias("pos")
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scale_bp: int = 10000,
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"),
+    restated in exact integer arithmetic: score every non-target
+    document by the share of its token occurrences the TARGET
+    distribution favors over the raw distribution, then keep it with
+    probability proportional to that score via a deterministic
+    content-hash draw.
+
+    A token is target-favored iff p_target(tok) > p_raw(tok), decided
+    by exact bigint cross-multiplication (ct * total_raw > cr *
+    total_target) — no float ratios, so the selected row SET
+    hash-matches a SQL oracle. score_bp = floor(1e4 * favored_occ /
+    occ); keep iff uniform64(md5(text)) * 1e4 < score_bp * 2^32.
+
+    Scale shape: one token explode feeding a (tok, target?) count agg
+    — vocabulary-sized output — then a shuffle join of corpus tokens
+    against the vocab stats (at 100 TB the join key can be
+    xxhash64-compressed; kept as text for oracle parity), one per-doc
+    agg on the 8-byte id, and a broadcast of the two scalar totals.
+    The md5 draw is map-side on the already-aggregated doc rows.
+    """
+    toks = (
+        fan_out(df)
+        .withColumn("__t", F.when(target_pred, F.lit(1)).otherwise(F.lit(0)))
+        .select(
+            F.col(id_col), "__t", F.explode_outer(tokens(F.col(text_col))).alias("tok")
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    stats = toks.groupBy("tok").agg(
+        F.sum("__t").cast("long").alias("ct"),
+        F.count(F.lit(1)).cast("long").alias("cr"),
+    )
+    tot = stats.agg(
+        F.sum("ct").cast("long").alias("tt"), F.sum("cr").cast("long").alias("tr")
+    )
+    scored = (
+        toks.filter(F.col("__t") == 0)
+        .join(stats, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("ct") * F.col("tr") > F.col("cr") * F.col("tt"), 1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("n_favored"),
+        )
+        .withColumn(
+            "score_bp",
+            F.floor(F.lit(scale_bp) * F.col("n_favored") / F.col("n_tokens"))
+            .cast("long"),
+        )
+    )
+    draw = F.conv(F.substring(F.md5(F.col(text_col)), 1, 8), 16, 10).cast("long")
+    keys = df.select(F.col(id_col), draw.alias("__h8"))
+    return (
+        scored.join(keys, id_col)
+        .withColumn(
+            "selected",
+            F.col("__h8") * F.lit(scale_bp)
+            < F.col("score_bp") * F.lit(4294967296),
+        )
+        .select(id_col, "n_tokens", "n_favored", "score_bp", "selected")
+    )

@@ -402,3 +402,39 @@ def bigram_lm_quality_q(spark, sf_dir):
 )
 def shuffle_shards_q(spark, sf_dir):
     return C.shuffle_shards(T(spark, sf_dir, "documents"))
+
+
+@register(
+    "importance_resample",
+    """
+    WITH toks AS (
+      SELECT doc_id, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS t,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    stats AS (
+      SELECT tok, CAST(SUM(t) AS BIGINT) AS ct, CAST(COUNT(*) AS BIGINT) AS cr
+      FROM toks GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cr) AS BIGINT) AS tr
+            FROM stats),
+    scored AS (
+      SELECT k.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN s.ct * tot.tr > s.cr * tot.tt THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_favored
+      FROM toks k JOIN stats s USING (tok), tot
+      WHERE k.t = 0
+      GROUP BY k.doc_id
+    )
+    SELECT s.doc_id, s.n_tokens, s.n_favored,
+           CAST(floor(10000 * s.n_favored / s.n_tokens) AS BIGINT) AS score_bp,
+           CAST(concat('0x', substr(md5(d.text), 1, 8)) AS BIGINT) * 10000
+             < CAST(floor(10000 * s.n_favored / s.n_tokens) AS BIGINT)
+               * 4294967296 AS selected
+    FROM scored s JOIN documents d USING (doc_id)
+    """,
+)
+def importance_resample_q(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return C.importance_resample(d, target_pred=F.col("source") == "src0")
