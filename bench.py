@@ -68,6 +68,16 @@ def main() -> None:
             f.result()
     startup = time.perf_counter() - t0
 
+    # Fixed-size JVM canary: a pure codegen sum whose cost depends only
+    # on the machine's effective CPU at run time (no data, no shuffle).
+    # Round-over-round query deltas should be read relative to this —
+    # the host VM's throughput was observed to swing ~5x between
+    # windows (0.5s vs 2.5s canary), which would otherwise read as a
+    # 5x engine regression.
+    t0 = time.perf_counter()
+    spark.range(0, 100_000_000, 1, 32).selectExpr("sum(id * 2) AS s").collect()
+    canary = round(time.perf_counter() - t0, 3)
+
     only = set(sys.argv[1:])
     timings: dict[str, float] = {}
     empty: list[str] = []
@@ -126,6 +136,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 3),
+        "canary_sec": canary,
         "empty_results": empty,
         "n_queries": len(timings),
         "r01_subset_total": prev_subtotal,
