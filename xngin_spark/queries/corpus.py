@@ -438,3 +438,46 @@ def shuffle_shards_q(spark, sf_dir):
 def importance_resample_q(spark, sf_dir):
     d = T(spark, sf_dir, "documents")
     return C.importance_resample(d, target_pred=F.col("source") == "src0")
+
+
+@register(
+    "token_entropy",
+    """
+    WITH per_tok AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           round(ln(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                   / CAST(SUM(c) AS DOUBLE), 8) AS entropy
+    FROM per_tok
+    GROUP BY doc_id
+    """,
+)
+def token_entropy(spark, sf_dir):
+    """Shannon entropy of each document's token distribution — the
+    information-density quality signal (repetitive/boilerplate docs
+    score low, diverse text scores high). H = ln(n) - sum(c*ln c)/n
+    over per-token counts; rounded to 8 decimals on both engines (the
+    tfidf_topk determinism pattern — ln on the SAME integer inputs).
+    Word-count shuffle shape: (doc, tok) partial counts then a per-doc
+    agg on the 8-byte id."""
+    d = T(spark, sf_dir, "documents")
+    per_tok = (
+        fan_out(d)
+        .select("doc_id", F.explode_outer(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return per_tok.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            F.log(n) - F.sum(F.col("c").cast("double") * F.log(F.col("c").cast("double"))) / n,
+            8,
+        ).alias("entropy"),
+    )
