@@ -540,6 +540,32 @@ def bigram_lm_quality(
     )
 
 
+def shard_assignment_cols(
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "xs1",
+) -> tuple[Column, Column]:
+    """(h8, shard) expressions for the deterministic content-keyed
+    shuffle — shared by the queryable twin (shuffle_shards) and the
+    shard writer (sources/writers.write_training_shards) so both
+    surfaces agree on the assignment."""
+    h8 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(seed), F.col(id_col).cast("string"), F.col(text_col)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h8, F.pmod(h8, F.lit(n_shards)).cast("int")
+
+
 def shuffle_shards(
     df: DataFrame,
     n_shards: int = 8,
@@ -564,20 +590,10 @@ def shuffle_shards(
     design. A real export would follow with
     ``df.repartition('shard').sortWithinPartitions('h8', id).write``.
     """
-    h8 = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"), F.col(text_col))),
-            1,
-            8,
-        ),
-        16,
-        10,
-    ).cast("long")
+    h8, shard = shard_assignment_cols(n_shards, id_col, text_col, seed)
     from pyspark.sql import Window
 
-    base = df.select(
-        F.col(id_col), h8.alias("h8"), F.pmod(h8, F.lit(n_shards)).cast("int").alias("shard")
-    )
+    base = df.select(F.col(id_col), h8.alias("h8"), shard.alias("shard"))
     w = Window.partitionBy("shard").orderBy("h8", id_col)
     return base.select(
         id_col, "shard", "h8", F.row_number().over(w).cast("long").alias("pos")

@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -79,3 +80,39 @@ def insert_into(df: DataFrame, table: str) -> None:
     parses but never plans them).
     """
     df.write.mode("append").saveAsTable(table)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "xs1",
+) -> None:
+    """Materialize the deterministic global shuffle as training shards:
+    ``path/shard=K/`` parquet, each shard internally ordered by the
+    content hash — the "shuffle the corpus once, stream shards in
+    order" export before training (operators/corpus.shuffle_shards is
+    the queryable twin of the same assignment).
+
+    Scale shape: the hash is a map-side projection; the ONE shuffle is
+    ``repartition(n_shards, shard)`` — the same shuffle any writer
+    would pay — and ordering is a partition-local sort (no global
+    sort). Hash-partitioning on the shard id keeps every shard wholly
+    inside one task, so each shard directory holds one ordered file;
+    size n_shards to the target shard bytes (total/shard_size) exactly
+    like the queryable twin. Re-running with the same seed is
+    byte-stable; a new seed is a fresh epoch-level reshuffle.
+    """
+    from xngin_spark.operators.corpus import shard_assignment_cols
+
+    h8, shard = shard_assignment_cols(n_shards, id_col, text_col, seed)
+    out = df.withColumn("h8", h8).withColumn("shard", shard)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "h8", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
