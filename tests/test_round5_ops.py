@@ -243,3 +243,73 @@ class TestTrainingShardWriter:
             for f in glob.glob(os.path.join(d, "*.parquet")):
                 for i in pq.read_table(f).column("doc_id").to_pylist():
                     assert twin[i] == k
+
+
+class TestScd2Merge:
+    def _inodes(self, path):
+        import glob
+        import os
+
+        return {
+            f: os.stat(f).st_ino for f in glob.glob(os.path.join(path, "*.parquet"))
+        }
+
+    def test_history_close_insert_and_noop(self, spark, tmp_path):
+        from xngin_spark.sources.dml import merge_scd2, scd2_init
+
+        path = str(tmp_path / "dim")
+        init = spark.createDataFrame(
+            [(1, "alice", 10), (2, "bob", 20), (3, "carol", 30)],
+            "k long, name string, score long",
+        )
+        scd2_init(init, as_of=100).repartition(3, "k").write.parquet(path)
+
+        src = spark.createDataFrame(
+            [(2, "bob", 25), (3, "carol", 30), (4, "dave", 40)],
+            "k long, name string, score long",
+        )
+        stats = merge_scd2(spark, path, src, on="k", as_of=200)
+        assert stats["rows_closed"] == 1      # bob changed
+        assert stats["rows_inserted"] == 2    # bob v2 + dave
+        t = spark.read.parquet(path)
+        cur = {r.k: r for r in t.filter("is_current").collect()}
+        assert set(cur) == {1, 2, 3, 4}
+        assert cur[2].score == 25 and cur[2].valid_from == 200
+        hist = t.filter("NOT is_current").collect()
+        assert len(hist) == 1
+        assert (hist[0].k, hist[0].score, hist[0].valid_to) == (2, 20, 200)
+        # carol was identical: her original row survived untouched
+        assert cur[3].valid_from == 100
+
+    def test_idempotent_and_file_granular(self, spark, tmp_path):
+        from xngin_spark.sources.dml import merge_scd2, scd2_init
+
+        path = str(tmp_path / "dim2")
+        init = spark.createDataFrame(
+            [(i, f"n{i}", i * 10) for i in range(8)],
+            "k long, name string, score long",
+        )
+        scd2_init(init, as_of=1).repartition(4, "k").write.parquet(path)
+        before = self._inodes(path)
+
+        src = spark.createDataFrame([(0, "n0", 999)], "k long, name string, score long")
+        merge_scd2(spark, path, src, on="k", as_of=2)
+        after = self._inodes(path)
+        # files without key 0's current row kept their inodes
+        untouched = set(before) & set(after)
+        assert untouched and all(before[f] == after[f] for f in untouched)
+        # re-merging the same source changes nothing
+        stats = merge_scd2(spark, path, src, on="k", as_of=3)
+        assert stats == {"files_rewritten": 0, "rows_closed": 0, "rows_inserted": 0}
+        assert self._inodes(path) == after
+
+    def test_duplicate_source_keys_raise(self, spark, tmp_path):
+        from xngin_spark.sources.dml import merge_scd2, scd2_init
+
+        path = str(tmp_path / "dim3")
+        scd2_init(
+            spark.createDataFrame([(1, "a")], "k long, v string"), as_of=1
+        ).write.parquet(path)
+        dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+        with pytest.raises(ValueError, match="duplicate"):
+            merge_scd2(spark, path, dup, on="k", as_of=2)

@@ -230,3 +230,133 @@ def delete_from_table(
     rows_deleted = df.filter(w).count()
     _swap_in(spark, df.filter(~w | w.isNull()), path, files)
     return {"files_rewritten": len(files), "rows_deleted": rows_deleted}
+
+
+def scd2_init(df: DataFrame, as_of: int) -> DataFrame:
+    """Stamp an initial load with SCD2 history columns: every row is
+    the current version as of ``as_of`` (caller-supplied version number
+    or epoch — never wall-clock inside the engine, so loads are
+    deterministic and replayable)."""
+    return df.select(
+        "*",
+        F.lit(as_of).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+_SCD2_COLS = ("valid_from", "valid_to", "is_current")
+
+
+def merge_scd2(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    on: list[str] | str,
+    as_of: int,
+    compare_cols: list[str] | None = None,
+) -> dict[str, int]:
+    """Type-2 slowly-changing-dimension merge over flat parquet: history
+    is never rewritten, only the CURRENT version of a changed key is
+    closed (valid_to = as_of, is_current = false) and a new version
+    appended — the versioned-dimension shape warehouses build on MERGE
+    (the reference parses UPDATE but executes no DML at all,
+    doradb-sql/src/parser/dml.rs).
+
+    - changed key (any ``compare_cols`` differs, null-safely): close
+      current row + insert the new version (valid_from = as_of).
+    - brand-new key: insert as current.
+    - identical payload: untouched (idempotent re-merges are no-ops).
+    - duplicate source keys raise, like merge_into.
+
+    Copy-on-write at file granularity: only files holding a changed
+    key's CURRENT row are rewritten; history-only files are never
+    touched (inode-tested). Changed keys travel as a broadcast; the
+    target is never shuffled. Returns {"files_rewritten",
+    "rows_closed", "rows_inserted"}.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
+        raise ValueError(f"merge_scd2: source has duplicate keys on {keys}")
+    target = spark.read.parquet(path)
+    payload = compare_cols or [
+        c for c in source.columns if c not in keys and c not in _SCD2_COLS
+    ]
+    src = source.select(
+        *[F.col(c).cast(target.schema[c].dataType).alias(c) for c in keys + payload]
+    )
+    cur = target.filter(F.col("is_current")).select(
+        *keys, *[F.col(c).alias(f"__t_{c}") for c in payload]
+    )
+    sp = F.struct(*[F.col(c) for c in payload])
+    tp = F.struct(*[F.col(f"__t_{c}").alias(c) for c in payload])
+    joined = src.join(cur, keys, "left")
+    # null-safe struct compare: a key is "changed" when present in the
+    # target (semi join) AND any payload column differs
+    changed_keys = (
+        joined.join(target.filter(F.col("is_current")).select(*keys), keys, "leftsemi")
+        .filter(~sp.eqNullSafe(tp))
+        .select(*keys)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    new_keys = (
+        src.select(*keys)
+        .join(target.filter(F.col("is_current")).select(*keys), keys, "left_anti")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # files holding a changed key's current row
+    affected = [
+        _local(r.f)
+        for r in target.filter(F.col("is_current"))
+        .select(*keys, F.col("_metadata.file_path").alias("f"))
+        .join(F.broadcast(changed_keys), keys, "leftsemi")
+        .select("f")
+        .distinct()
+        .collect()
+    ]
+    rows_closed = 0
+    if affected:
+        aff = spark.read.parquet(*affected)
+        hit = F.col("is_current")
+        closing = aff.join(F.broadcast(changed_keys), keys, "leftsemi").filter(hit)
+        rows_closed = closing.count()
+        # recompute valid_to/is_current via a broadcast marker join
+        marked = aff.join(
+            F.broadcast(changed_keys.withColumn("__chg", F.lit(True))), keys, "left"
+        )
+        out = marked.select(
+            *[c for c in aff.columns if c not in ("valid_to", "is_current")],
+            F.when(
+                F.col("__chg").isNotNull() & F.col("is_current"), F.lit(as_of)
+            )
+            .otherwise(F.col("valid_to"))
+            .cast("long")
+            .alias("valid_to"),
+            F.when(F.col("__chg").isNotNull() & F.col("is_current"), F.lit(False))
+            .otherwise(F.col("is_current"))
+            .alias("is_current"),
+        )
+        _swap_in(spark, out, path, affected)
+    inserts = scd2_init(
+        src.join(
+            F.broadcast(changed_keys.unionByName(new_keys).distinct()),
+            keys,
+            "leftsemi",
+        ),
+        as_of,
+    ).select(*spark.read.parquet(path).columns)
+    rows_inserted = inserts.count()
+    if rows_inserted:
+        inserts.write.mode("append").parquet(path)
+    spark.catalog.refreshByPath(path)
+    from xngin_spark.operators.util import release_checkpoint
+
+    release_checkpoint(changed_keys)
+    release_checkpoint(new_keys)
+    return {
+        "files_rewritten": len(affected),
+        "rows_closed": rows_closed,
+        "rows_inserted": rows_inserted,
+    }
