@@ -313,3 +313,23 @@ class TestScd2Merge:
         dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
         with pytest.raises(ValueError, match="duplicate"):
             merge_scd2(spark, path, dup, on="k", as_of=2)
+
+
+def test_scd2_snapshot_time_travel(spark, tmp_path):
+    from xngin_spark.sources.dml import merge_scd2, scd2_init, scd2_snapshot
+
+    path = str(tmp_path / "dim_tt")
+    scd2_init(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), as_of=100
+    ).write.parquet(path)
+    merge_scd2(
+        spark, path,
+        spark.createDataFrame([(1, 11), (3, 30)], "k long, v long"),
+        on="k", as_of=200,
+    )
+    at_150 = {r.k: r.v for r in scd2_snapshot(spark, path, 150).collect()}
+    assert at_150 == {1: 10, 2: 20}          # pre-merge world
+    at_200 = {r.k: r.v for r in scd2_snapshot(spark, path, 200).collect()}
+    assert at_200 == {1: 11, 2: 20, 3: 30}   # post-merge world
+    at_99 = scd2_snapshot(spark, path, 99).count()
+    assert at_99 == 0                        # before the initial load

@@ -360,3 +360,15 @@ def merge_scd2(
         "rows_closed": rows_closed,
         "rows_inserted": rows_inserted,
     }
+
+
+def scd2_snapshot(spark: SparkSession, path: str, as_of: int) -> DataFrame:
+    """Time-travel read of an SCD2 table: the row versions that were
+    current at ``as_of`` (valid_from <= as_of < valid_to, open
+    intervals current). History lives in place, so any past state is
+    one filter away — a pure scan with both predicates pushed to
+    parquet, no shuffle."""
+    return spark.read.parquet(path).filter(
+        (F.col("valid_from") <= F.lit(as_of))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of)))
+    )
