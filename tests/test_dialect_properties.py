@@ -72,3 +72,61 @@ def test_unknown_dialect_rejected():
 
     with pytest.raises(ValueError, match="unknown dialect"):
         rewrite_sql("select 1", dialect="postgres")
+
+
+# --- QUALIFY lowering properties ---
+
+_IDENTS = st.sampled_from(["a", "b", "c", "grp", "val"])
+
+
+@given(
+    st.lists(st.sampled_from(["'qualify in a string'", "x", "(", ")", "qualify_col"]),
+             max_size=8).map(" ".join)
+)
+@settings(max_examples=200, deadline=None)
+def test_qualify_rewrite_noop_without_keyword(frag):
+    # QUALIFY inside strings / as identifier-prefix tokens never triggers
+    from xngin_spark.dialect import rewrite_qualify
+
+    sql = f"SELECT {frag} FROM t"
+    if "qualify_col" in sql or "'" in sql:
+        assert rewrite_qualify(sql) == sql
+
+
+@given(_IDENTS, _IDENTS, st.integers(min_value=1, max_value=3))
+@settings(max_examples=50, deadline=None)
+def test_qualify_rewrite_shape_invariants(part, order, k):
+    from xngin_spark.dialect import rewrite_qualify
+
+    sql = (
+        f"SELECT a, b FROM t WHERE a > 0 "
+        f"QUALIFY row_number() OVER (PARTITION BY {part} ORDER BY {order}) <= {k} "
+        f"ORDER BY a"
+    )
+    out = rewrite_qualify(sql)
+    # the predicate moved inside the wrap, tail preserved, one wrap only
+    assert out.count("EXCEPT(__q)") == 1
+    assert f"ORDER BY {order}) <= {k}) AS __q" in out.replace("\n", " ")
+    assert out.rstrip().endswith("ORDER BY a")
+    assert "QUALIFY" not in out.upper().replace("__Q", "")
+
+
+def test_qualify_equivalent_to_row_number_subquery(spark):
+    # semantic oracle: the lowering must match the canonical rewrite
+    from xngin_spark.dialect import rewrite_qualify
+
+    df = spark.createDataFrame(
+        [(g, v) for g in range(5) for v in range(7)], "g long, v long"
+    )
+    df.createOrReplaceTempView("qt")
+    lowered = spark.sql(rewrite_qualify(
+        "SELECT g, v FROM qt QUALIFY row_number() OVER "
+        "(PARTITION BY g ORDER BY v DESC) <= 3"
+    ))
+    canonical = spark.sql(
+        "SELECT g, v FROM (SELECT g, v, row_number() OVER "
+        "(PARTITION BY g ORDER BY v DESC) AS rn FROM qt) WHERE rn <= 3"
+    )
+    assert sorted(map(tuple, lowered.collect())) == sorted(
+        map(tuple, canonical.collect())
+    )
