@@ -333,3 +333,14 @@ def test_scd2_snapshot_time_travel(spark, tmp_path):
     assert at_200 == {1: 11, 2: 20, 3: 30}   # post-merge world
     at_99 = scd2_snapshot(spark, path, 99).count()
     assert at_99 == 0                        # before the initial load
+
+
+def test_engine_ddl_entry_point(spark):
+    from xngin_spark.engine import Engine
+
+    e = Engine(spark=spark)
+    made = e.ddl(open("/root/reference/sql/tpch_ddl.sql").read())
+    assert "lineitem" in made and "orders" in made
+    # the typed empty views analyze and query immediately
+    assert e.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n == 0
+    assert ("l_shipdate", "date") in e.table("lineitem").dtypes

@@ -42,7 +42,26 @@ class Engine:
         return self.spark.sql(rewrite_sql(query, dialect))
 
     def table(self, name: str) -> DataFrame:
-        return self.catalog.table(name)
+        try:
+            return self.catalog.table(name)
+        except KeyError:
+            # session-registered views (e.g. ddl()-created typed tables)
+            return self.spark.table(name)
+
+    def ddl(self, script: str) -> list[str]:
+        """Execute a reference-dialect DDL script (CREATE TABLE with the
+        reference's column types, PK/UK clauses, unsigned ints, TIME;
+        CREATE DATABASE/USE/DROP recognized and skipped — flat catalog).
+        Each table registers as an empty typed view ready for
+        ``insert_into``/``register_dir`` loads; returns the table names.
+        The reference parses this surface (doradb-sql/src/parser/ddl.rs)
+        against its own page store; here the translator targets Spark
+        StructTypes (sources/ddl.py, verified against tpch_ddl.sql)."""
+        from xngin_spark.sources.ddl import parse_ddl, register_empty
+
+        tables = parse_ddl(script)
+        register_empty(self.spark, tables)
+        return sorted(tables)
 
     def register_udf(self, name: str, fn, return_type) -> None:
         """Scalar UDF registration — executes the hook the reference only
