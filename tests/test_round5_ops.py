@@ -344,3 +344,53 @@ def test_engine_ddl_entry_point(spark):
     # the typed empty views analyze and query immediately
     assert e.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n == 0
     assert ("l_shipdate", "date") in e.table("lineitem").dtypes
+
+
+class TestStarContraction:
+    def _run(self, spark, edge_pairs, n_nodes, **kw):
+        edges = spark.createDataFrame(edge_pairs or [(0, 0)], "src long, dst long")
+        if not edge_pairs:
+            edges = edges.filter("src <> dst")
+        nodes = spark.range(n_nodes).withColumnRenamed("id", "doc_id")
+        out = C.connected_components_star(edges, nodes, id_col="doc_id", **kw)
+        return {r.doc_id: r.component for r in out.collect()}
+
+    def test_deep_chain_converges_fast(self, spark):
+        # a 60-hop path needs 60 label-propagation rounds (the default
+        # max_iter=10 raises); star contraction finishes in O(log n)
+        chain = [(i, i + 1) for i in range(59)]
+        comp = self._run(spark, chain, 60, max_rounds=10)
+        assert set(comp.values()) == {0}
+        from xngin_spark.operators.corpus import connected_components
+
+        edges = spark.createDataFrame(chain, "src long, dst long")
+        nodes = spark.range(60).withColumnRenamed("id", "doc_id")
+        with pytest.raises(RuntimeError, match="did not converge"):
+            connected_components(edges, nodes, id_col="doc_id").collect()
+
+    def test_matches_label_propagation_on_random_graphs(self, spark):
+        import random
+
+        rng = random.Random(7)
+        for _ in range(3):
+            n = 30
+            edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+            edges = [(a, b) for a, b in edges if a != b]
+            star = self._run(spark, edges, n)
+            from xngin_spark.operators.corpus import connected_components
+
+            e = spark.createDataFrame(edges, "src long, dst long")
+            nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+            prop = {
+                r.doc_id: r.component
+                for r in connected_components(
+                    e, nodes, id_col="doc_id", max_iter=40
+                ).collect()
+            }
+            assert star == prop
+
+    def test_singletons_and_empty_graph(self, spark):
+        comp = self._run(spark, [], 5)
+        assert comp == {i: i for i in range(5)}
+        comp = self._run(spark, [(1, 2)], 5)
+        assert comp == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}

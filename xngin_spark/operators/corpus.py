@@ -309,7 +309,8 @@ def connected_components(
     rounds — a silent exit there would return WRONG components (a long
     chain cluster, e.g. crawl-dup chains, needs diameter iterations).
     Callers with genuinely deep graphs raise ``max_iter`` (cost is
-    linear per round) or switch to star-contraction.
+    linear per round) or switch to ``connected_components_star``
+    (diameter-independent rounds, same contract).
     """
     # pin the symmetrized edge list ONCE: every iteration joins against
     # it, and without materialization each round re-executes the whole
@@ -370,8 +371,8 @@ def connected_components(
     if changed:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
-            f"({changed} labels still changing) — raise max_iter for "
-            "deep/chain-shaped graphs"
+            f"({changed} labels still changing) — raise max_iter or use "
+            "connected_components_star for deep/chain-shaped graphs"
         )
     return labels.select(F.col("nid").alias(id_col), F.col("comp").alias("component"))
 
@@ -673,4 +674,113 @@ def importance_resample(
             < F.col("score_bp") * F.lit(4294967296),
         )
         .select(id_col, "n_tokens", "n_favored", "score_bp", "selected")
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the diameter-INDEPENDENT alternative to
+    min-label propagation: converges in O(log n) practical rounds even
+    on long chain graphs (crawl-dup chains), where propagation needs
+    one round per hop.
+
+    large-star: every node connects its strictly-larger neighbors to
+    the min of its closed neighborhood; small-star: edges orient toward
+    the smaller endpoint and each node connects its (all-smaller)
+    neighbors plus itself to their min. Both phases are one
+    8-byte-key aggregation + one same-key join + a distinct — no
+    neighbor lists are ever materialized, so a mega-component costs
+    shuffle volume proportional to its edge count, not its degree
+    squared. Fixed point = a star per component around its min node.
+
+    Convergence is detected by an order-independent edge-set
+    fingerprint (count + bit_xor of xxhash64(u,v)) — one 2-scalar
+    driver fetch per round. Raises RuntimeError past ``max_rounds``
+    (log-bounded, so 25 covers any realistic corpus).
+
+    Returns (id, component) over ALL ``nodes``; edgeless nodes are
+    their own components. Same contract as ``connected_components`` —
+    planted-graph equivalence is tested on random graphs.
+    """
+    E = (
+        edges.selectExpr("src AS u", "dst AS v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def fingerprint(e: DataFrame) -> tuple:
+        row = (
+            e.select(
+                F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+            )
+            .distinct()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(a, b))").alias("x"),
+            )
+            .collect()[0]
+        )
+        return (row.n, row.x)
+
+    prev_fp = fingerprint(E)
+    for _ in range(max_rounds):
+        prev_E = E
+        # large-star: m(u) = min over closed neighborhood; larger
+        # neighbors re-attach to m
+        sym = E.union(E.selectExpr("v AS u", "u AS v"))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        E = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient toward the smaller endpoint; every node
+        # (plus its smaller neighbors) attaches to the neighborhood min
+        o = E.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        attach = o.join(mins, "u")
+        E = (
+            attach.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(attach.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fingerprint's collect materializes the new checkpoint; the
+        # superseded round's storage is then released (O(1) in rounds)
+        fp = fingerprint(E)
+        release_checkpoint(prev_E)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    stars = E.select(
+        F.greatest("u", "v").alias("nid"), F.least("u", "v").alias("comp")
+    ).distinct()
+    # the final E checkpoint stays persisted — the returned frame reads
+    # from it and a truncated-lineage checkpoint cannot be recomputed
+    # (same contract as connected_components' final labels)
+    return (
+        nodes.select(F.col(id_col).alias("nid"))
+        .join(stars, "nid", "left")
+        .select(
+            F.col("nid").alias(id_col),
+            F.coalesce("comp", F.col("nid")).alias("component"),
+        )
     )
