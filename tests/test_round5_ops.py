@@ -394,3 +394,28 @@ class TestStarContraction:
         assert comp == {i: i for i in range(5)}
         comp = self._run(spark, [(1, 2)], 5)
         assert comp == {0: 0, 1: 1, 2: 1, 3: 3, 4: 4}
+
+
+def test_no_persisted_storage_accumulates_across_query_families(spark, sf_dir):
+    """Soak guard: one session running the persist-heavy families
+    back-to-back (minhash, winnow, pipeline CC, star CC, k-means IVF)
+    must not accumulate block-manager storage once release_persisted()
+    runs — the bench and any long-lived service run exactly this loop."""
+    import xngin_spark.queries as Q
+    from xngin_spark.operators.dedup import release_persisted
+
+    Q.load_all()
+    sc = spark.sparkContext
+    for name in (
+        "dedup_minhash_lsh",
+        "dedup_winnow",
+        "dedup_clusters_star",
+        "knn_cosine_ivf",
+    ):
+        Q.QUERIES[name](spark, sf_dir).count()
+        release_persisted()
+    leftover = sc._jsc.sc().getPersistentRDDs().size()
+    # final-iteration checkpoints of the two CC/k-means results are the
+    # only legitimate survivors (their frames were just materialized);
+    # anything growing per-query would show up far above this
+    assert leftover <= 6, f"{leftover} persisted RDDs left in the block manager"

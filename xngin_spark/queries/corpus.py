@@ -481,3 +481,28 @@ def token_entropy(spark, sf_dir):
             8,
         ).alias("entropy"),
     )
+
+
+@register(
+    "dedup_clusters_star",
+    """
+    SELECT doc_id,
+           CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS component
+    FROM documents
+    """,
+)
+def dedup_clusters_star(spark, sf_dir):
+    """Same contract and ORACLE as dedup_clusters, computed by the
+    diameter-independent star-contraction operator instead of label
+    propagation — the two component backends must agree exactly on the
+    exact-dup ground truth (deep-chain + random-graph equivalence live
+    in tests/test_round5_ops.py)."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    root = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    edges = (
+        d.select(root.alias("src"), F.col("doc_id").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return C.connected_components_star(edges, d.select("doc_id"), id_col="doc_id")
