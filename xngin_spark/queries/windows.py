@@ -786,3 +786,48 @@ def events_anomaly(spark, sf_dir):
         "n_events",
         F.round((F.col("n_events") - mean) / F.sqrt(var), 6).alias("zscore"),
     )
+
+
+@register(
+    "events_stream_session",
+    f"""
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                          > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT user_id,
+           MIN(t) AS session_start,
+           MAX(t) AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_expr("value", "total_value")}
+    FROM s
+    GROUP BY user_id, sid
+    """,
+)
+def events_stream_session(spark, sf_dir):
+    """The STREAMING gap-session operator run to exhaustion — same
+    DuckDB oracle as the batch twin (events_session): Spark's stateful
+    session_window merging across micro-batches must land on exactly
+    the gap-and-break sessions the SQL window formulation defines."""
+    import os
+    import uuid
+
+    from xngin_spark.streaming import events_stream, run_available_now, stream_session
+
+    sdf = stream_session(
+        events_stream(spark, os.path.join(sf_dir, "events.parquet")),
+        gap="30 minutes",
+        delay="2 hours",
+    )
+    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    return run_available_now(sdf, name, output_mode="complete", shuffle_partitions=8)
