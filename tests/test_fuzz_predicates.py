@@ -1,0 +1,117 @@
+"""Randomized predicate fuzzing: the same WHERE clause must select the
+same rows in Spark and DuckDB. Complements the fixed oracle corpus by
+sweeping the comparison/boolean expression space (PredFuncKind surface,
+doradb-expr/src/pred.rs:31-58) with generated predicates — the class of
+divergence a fixed query set can miss (operator precedence, float
+comparison, BETWEEN/IN edge semantics, three-valued NOT).
+
+Counts (not hashes) are compared: the predicate is the variable under
+test, the projection is constant.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import SF_SMALL
+
+PATH = f"{SF_SMALL}/lineitem.parquet"
+
+_num_atom = st.one_of(
+    st.tuples(
+        st.sampled_from(["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"]),
+        st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]),
+        st.integers(min_value=0, max_value=60000),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.tuples(
+        st.sampled_from(["l_quantity", "l_extendedprice", "l_discount", "l_tax"]),
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.floats(min_value=0, max_value=100, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.tuples(
+        st.integers(min_value=1, max_value=40),
+        st.integers(min_value=0, max_value=20),
+    ).map(lambda t: f"l_quantity BETWEEN {t[1]} AND {t[1] + t[0]}"),
+    st.lists(
+        st.integers(min_value=0, max_value=7), min_size=1, max_size=4
+    ).map(lambda vs: f"l_linenumber IN ({', '.join(map(str, vs))})"),
+    st.sampled_from(
+        [
+            "l_returnflag = 'R'",
+            "l_returnflag <> 'A'",
+            "l_linestatus IN ('O', 'F')",
+            "l_returnflag IN ('A', 'N')",
+        ]
+    ),
+    st.tuples(
+        st.sampled_from(["<", ">="]),
+        st.integers(min_value=1995, max_value=2000),
+        st.integers(min_value=1, max_value=12),
+    ).map(
+        lambda t: f"l_shipdate {t[0]} TIMESTAMP '{t[1]}-{t[2]:02d}-01 00:00:00'"
+    ),
+    st.floats(min_value=0, max_value=60000, allow_nan=False).map(
+        lambda v: f"l_extendedprice * (1 - l_discount) > {round(v, 2)}"
+    ),
+)
+
+_pred = st.recursive(
+    _num_atom,
+    lambda kids: st.one_of(
+        st.tuples(kids, st.sampled_from(["AND", "OR"]), kids).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        kids.map(lambda p: f"(NOT {p})"),
+    ),
+    max_leaves=5,
+)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW li AS SELECT * FROM read_parquet('{PATH}')")
+    yield con
+    con.close()
+
+
+@given(_pred)
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_predicate_selects_identical_rows(spark, duck, pred):
+    spark_n = spark.sql(
+        f"SELECT count(*) AS n FROM parquet.`{PATH}` WHERE {pred}"
+    ).collect()[0].n
+    duck_n = duck.execute(f"SELECT count(*) FROM li WHERE {pred}").fetchone()[0]
+    assert spark_n == duck_n, pred
+
+
+@given(
+    st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+    st.sampled_from(["l_orderkey", "l_partkey", "l_suppkey"]),
+    _pred,
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_grouped_aggregates_match(spark, duck, grp, val, pred):
+    q = (
+        f"SELECT {grp} AS g, count(*) AS n, min({val}) AS lo, max({val}) AS hi "
+        f"FROM {{src}} WHERE {pred} GROUP BY {grp}"
+    )
+    s = {
+        tuple(r)
+        for r in spark.sql(q.format(src=f"parquet.`{PATH}`")).collect()
+    }
+    d = set(map(tuple, duck.execute(q.format(src="li")).fetchall()))
+    assert s == d, pred
