@@ -831,3 +831,42 @@ def events_stream_session(spark, sf_dir):
     )
     name = f"stream_session_{uuid.uuid4().hex[:8]}"
     return run_available_now(sdf, name, output_mode="complete", shuffle_partitions=8)
+
+
+@register(
+    "events_rollup_multires",
+    f"""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             value
+      FROM events
+    )
+    SELECT day, hour,
+           CAST(GROUPING(hour) AS BIGINT) AS g_hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {dsum_expr("value", "total_value")}
+    FROM e
+    GROUP BY ROLLUP (day, hour)
+    """,
+)
+def events_rollup_multires(spark, sf_dir):
+    """Hypertable-style multi-resolution rollup: hourly buckets, their
+    daily rollups, and the grand total in ONE grouped pass (ROLLUP
+    grouping sets) — the continuous-aggregate hierarchy time-series
+    stores maintain, computed with a single shuffle instead of one
+    aggregation job per resolution. GROUPING() marks the level, so a
+    consumer reads any resolution with a filter."""
+    e = events_df(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    return (
+        e.select(day, hour, "value")
+        .rollup("day", "hour")
+        .agg(
+            F.grouping("hour").cast("long").alias("g_hour"),
+            count_star().alias("n_events"),
+            dsum(F.col("value"), "total_value"),
+        )
+        .select("day", "hour", "g_hour", "n_events", "total_value")
+    )
