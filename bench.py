@@ -107,6 +107,12 @@ def main() -> None:
         else:
             print(f"# {name}: {timings[name]}s rows={n}", file=sys.stderr)
 
+    # second canary: the host's effective speed can shift mid-run;
+    # start/end pair bounds the window the query timings were taken in
+    t0 = time.perf_counter()
+    spark.range(0, 100_000_000, 1, 32).selectExpr("sum(id * 2) AS s").collect()
+    canary_end = round(time.perf_counter() - t0, 3)
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # regression axis across rounds: subtotal over the previous round's
     # query set, so a growing corpus doesn't read as a slowdown
@@ -137,6 +143,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "startup_sec": round(startup, 3),
         "canary_sec": canary,
+        "canary_end_sec": canary_end,
         "empty_results": empty,
         "n_queries": len(timings),
         "r01_subset_total": prev_subtotal,
