@@ -419,3 +419,59 @@ def test_no_persisted_storage_accumulates_across_query_families(spark, sf_dir):
     # only legitimate survivors (their frames were just materialized);
     # anything growing per-query would show up far above this
     assert leftover <= 6, f"{leftover} persisted RDDs left in the block manager"
+
+
+class TestIntervalOverlapJoin:
+    def _naive(self, a, b):
+        return {
+            (x[0], y[0])
+            for x in a
+            for y in b
+            if x[1] <= y[2] and y[1] <= x[2]
+        }
+
+    @pytest.mark.parametrize("bin_s", [1, 5, 60])
+    def test_matches_naive_theta_join(self, spark, bin_s):
+        import datetime as dt
+        import random
+
+        from xngin_spark.operators.temporal import interval_overlap_join
+
+        rng = random.Random(11)
+        base = dt.datetime(2024, 1, 1)
+
+        def mk(n, tag):
+            rows = []
+            for i in range(n):
+                s = rng.randrange(0, 7200)
+                d = rng.randrange(0, 900)
+                rows.append((tag * 1000 + i,
+                             base + dt.timedelta(seconds=s),
+                             base + dt.timedelta(seconds=s + d)))
+            return rows
+
+        a, b = mk(40, 1), mk(40, 2)
+        df_a = spark.createDataFrame(a, "iid long, start timestamp_ntz, end timestamp_ntz")
+        df_b = spark.createDataFrame(b, "iid long, start timestamp_ntz, end timestamp_ntz")
+        got = {
+            (r.iid, r.iid_r)
+            for r in interval_overlap_join(df_a, df_b, bin_width_s=bin_s).collect()
+        }
+        want = self._naive(
+            [(i, s, e) for i, s, e in a], [(i, s, e) for i, s, e in b]
+        )
+        assert got == want
+
+    def test_no_duplicate_pairs_across_shared_bins(self, spark):
+        import datetime as dt
+
+        from xngin_spark.operators.temporal import interval_overlap_join
+
+        base = dt.datetime(2024, 1, 1)
+        # two long intervals sharing MANY 1-second bins -> exactly one hit
+        df = spark.createDataFrame(
+            [(1, base, base + dt.timedelta(seconds=300))],
+            "iid long, start timestamp_ntz, end timestamp_ntz",
+        )
+        out = interval_overlap_join(df, df, bin_width_s=1).collect()
+        assert len(out) == 1

@@ -136,3 +136,62 @@ def range_join(
         .drop("__lsec", "__rsec")
     )
     return out
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start: str = "start",
+    end: str = "end",
+    bin_width_s: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Interval-overlap join: pairs (l, r) whose [start, end] intervals
+    intersect (inclusive bounds) — the third temporal-join shape after
+    as-of and bounded range. A raw ``l.start <= r.end AND r.start <=
+    l.end`` condition has no equi-key, so Catalyst would plan a
+    cartesian; instead both sides explode to the ``bin_width_s``-wide
+    time bins their interval touches and equi-join on the bin, with the
+    exact overlap predicate applied after. Duplicate hits (an
+    overlapping pair shares every bin both intervals cover) are
+    removed by keeping only the FIRST shared bin — max(floor(l.s/w),
+    floor(r.s/w)) == bin — a closed-form dedup with no distinct
+    shuffle.
+
+    Scale: fan-out per row = interval length / bin width + 1 (size the
+    bin to the typical interval); per-bin candidates are bounded by the
+    number of concurrent intervals — the physical concurrency of the
+    domain, not the table size. One equi-shuffle on the 8-byte bin.
+    """
+    w = F.lit(int(bin_width_s * 1_000_000))
+    ls = _epoch_micros(dict(left.dtypes)[start], start)
+    le = _epoch_micros(dict(left.dtypes)[end], end)
+    rs = _epoch_micros(dict(right.dtypes)[start], start)
+    re_ = _epoch_micros(dict(right.dtypes)[end], end)
+    lbins = F.sequence(F.floor(ls / w), F.floor(le / w))
+    rbins = F.sequence(F.floor(rs / w), F.floor(re_ / w))
+    lt = left.select(
+        "*",
+        ls.alias("__ls"),
+        le.alias("__le"),
+        F.explode_outer(lbins).alias("__bin"),
+    ).filter(F.col("__bin").isNotNull())
+    rt = right.select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns],
+        rs.alias("__rs"),
+        re_.alias("__re"),
+        F.explode_outer(rbins).alias("__bin"),
+    ).filter(F.col("__bin").isNotNull())
+    joined = lt.join(rt, "__bin").filter(
+        (F.col("__ls") <= F.col("__re"))
+        & (F.col("__rs") <= F.col("__le"))
+        # first-shared-bin dedup: emit the pair only from the later of
+        # the two interval starts' bins
+        & (
+            F.greatest(
+                F.floor(F.col("__ls") / w), F.floor(F.col("__rs") / w)
+            )
+            == F.col("__bin")
+        )
+    )
+    return joined.drop("__bin", "__ls", "__le", "__rs", "__re")

@@ -870,3 +870,75 @@ def events_rollup_multires(spark, sf_dir):
         )
         .select("day", "hour", "g_hour", "n_events", "total_value")
     )
+
+
+@register(
+    "events_concurrent_sessions",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+    ),
+    m AS (
+      SELECT *, CASE WHEN t - LAG(t) OVER (PARTITION BY user_id ORDER BY t)
+                          > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+      FROM e
+    ),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    sess AS (
+      SELECT user_id, MIN(t) AS session_start, MAX(t) AS session_end
+      FROM s GROUP BY user_id, sid
+    ),
+    hits AS (
+      SELECT a.user_id, a.session_start,
+             CAST(COUNT(*) AS BIGINT) AS n_concurrent
+      FROM sess a JOIN sess b
+        ON a.session_start <= b.session_end
+       AND b.session_start <= a.session_end
+       AND a.user_id <> b.user_id
+      GROUP BY a.user_id, a.session_start
+    )
+    SELECT sess.user_id, sess.session_start, sess.session_end,
+           CAST(coalesce(h.n_concurrent, 0) AS BIGINT) AS n_concurrent
+    FROM sess LEFT JOIN hits h
+      ON sess.user_id = h.user_id AND sess.session_start = h.session_start
+    """,
+)
+def events_concurrent_sessions(spark, sf_dir):
+    """Session concurrency: for every gap-session, how many OTHER
+    users' sessions overlap it in time — the interval-overlap join
+    (operators/temporal.interval_overlap_join: hour-bin equi-join with
+    closed-form first-shared-bin dedup, never a cartesian), third
+    member of the temporal-join family after as-of and bounded range.
+    Per-bin candidates are bounded by true concurrency (the user
+    base), not table size."""
+    from xngin_spark.operators.temporal import interval_overlap_join
+
+    e = events_df(spark, sf_dir)
+    sess = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "session_start", "session_end")
+    )
+    overlap = interval_overlap_join(
+        sess, sess, start="session_start", end="session_end"
+    ).filter(F.col("user_id") != F.col("user_id_r"))
+    counts = overlap.groupBy("user_id", "session_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n_concurrent")
+    )
+    return (
+        sess.join(counts, ["user_id", "session_start"], "left")
+        .select(
+            "user_id",
+            "session_start",
+            "session_end",
+            F.coalesce("n_concurrent", F.lit(0)).cast("long").alias("n_concurrent"),
+        )
+    )
