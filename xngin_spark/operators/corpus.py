@@ -344,22 +344,20 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        nxt = F.least(F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp")))
+        # the changed flag is computed INLINE while old and new labels
+        # are side by side — a separate old-vs-new join per iteration
+        # doubled the loop's job count for the same scalar
         new_labels = (
             labels.join(nbr_min, labels.nid == nbr_min.dst, "left")
             .select(
                 "nid",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-                ).alias("comp"),
+                nxt.alias("comp"),
+                (nxt != F.col("comp")).alias("chg"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.nid") == F.col("o.nid"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
+        changed = new_labels.filter("chg").count()
         # the new checkpoint is materialized (count above consumed it) —
         # release the previous iteration's stored partitions now instead
         # of accumulating one checkpoint per iteration per call
