@@ -349,12 +349,19 @@ def ngram_jaccard_pairs(
     integer ratio. Quadratic in bucket size — bound the input (e.g. to
     LSH candidates or an id range) at scale.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    # the shingle explode feeds the size agg AND both self-join sides —
+    # persist so tokenize+shingle runs once (released via
+    # release_persisted, same discipline as minhash/winnow)
     sh = (
         fan_out(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
         .select("id", F.explode_outer(shingles(F.col("__toks"), n)).alias("g"))
         .filter(F.col("g").isNotNull())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _PERSISTED.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "g")
     b = sh.select(F.col("id").alias("id_b"), "g")
