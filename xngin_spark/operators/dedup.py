@@ -349,19 +349,17 @@ def ngram_jaccard_pairs(
     integer ratio. Quadratic in bucket size — bound the input (e.g. to
     LSH candidates or an id range) at scale.
     """
-    from pyspark.storagelevel import StorageLevel
-
-    # the shingle explode feeds the size agg AND both self-join sides —
-    # persist so tokenize+shingle runs once (released via
-    # release_persisted, same discipline as minhash/winnow)
+    # NOT persisted, unlike the minhash/winnow caches: after the
+    # explode_outer fix the shingle recompute is one cheap codegen'd
+    # pass, and an A/B at sf0.1 showed the persist barrier +
+    # deserialization costs MORE than the 3x recompute it saves
+    # (2.1s vs 1.7s warm) — pipelining wins when the expression is cheap
     sh = (
         fan_out(df)
         .select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
         .select("id", F.explode_outer(shingles(F.col("__toks"), n)).alias("g"))
         .filter(F.col("g").isNotNull())
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    _PERSISTED.append(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "g")
     b = sh.select(F.col("id").alias("id_b"), "g")
