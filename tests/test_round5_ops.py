@@ -512,3 +512,73 @@ class TestConstraintChecks:
         li = T(spark, sf_dir, "lineitem")
         expected = li.count() - li.select("l_orderkey", "l_linenumber").distinct().count()
         assert rows["pk_lineitem"].violations == expected > 0
+
+
+class TestOptimizeTable:
+    def _mk_table(self, spark, path, n_small=6):
+        import os
+
+        # one healthy-ish file + many small ones
+        spark.range(0, 500000).selectExpr(
+            "id AS a", "id % 97 AS b"
+        ).coalesce(1).write.parquet(path)
+        for i in range(n_small):
+            spark.range(i * 100, i * 100 + 100).selectExpr(
+                "id AS a", "id % 97 AS b"
+            ).coalesce(1).write.mode("append").parquet(path)
+        return {
+            f: os.stat(f).st_ino
+            for f in __import__("glob").glob(os.path.join(path, "*.parquet"))
+        }
+
+    def test_zorder_optimize_clusters_and_spares_healthy_files(self, spark, tmp_path):
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+
+        from xngin_spark.sources.layout import optimize_table
+
+        path = str(tmp_path / "t")
+        before = self._mk_table(spark, path)
+        healthy = max(before, key=lambda f: os.stat(f).st_size)
+        n_before = spark.read.parquet(path).count()
+
+        # threshold sized so the 500k-row file counts as healthy and the
+        # 100-row appendlings count as small
+        stats = optimize_table(
+            spark, path, zorder_cols=["a", "b"], target_bytes=256 << 10
+        )
+        assert stats["zordered"] == 1 and stats["files_compacted"] >= 6
+        # healthy file untouched (same inode), data intact
+        assert os.stat(healthy).st_ino == before[healthy]
+        assert spark.read.parquet(path).count() == n_before
+        # rewritten small files are clustered BY Z-VALUE: sorted inside
+        # each file, disjoint z-ranges across files
+        from xngin_spark.sources.layout import zorder_value
+
+        rewritten = [
+            f
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+            if f not in before
+        ]
+        assert rewritten
+        ranges = []
+        for f in rewritten:
+            zs = [
+                r.z
+                for r in spark.read.parquet(f)
+                .select(zorder_value([F.col("a"), F.col("b")]).alias("z"))
+                .collect()
+            ]
+            assert zs == sorted(zs)
+            ranges.append((min(zs), max(zs)))
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2
+
+        # second pass is a no-op
+        again = optimize_table(
+            spark, path, zorder_cols=["a", "b"], target_bytes=256 << 10
+        )
+        assert again["files_compacted"] == 0

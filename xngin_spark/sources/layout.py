@@ -125,3 +125,72 @@ def compact_small_files(
         "files_compacted": len(small),
         "files_written": n_out,
     }
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: Sequence[str] | None = None,
+    target_bytes: int = 128 << 20,
+    small_threshold: float = 0.5,
+) -> dict[str, int]:
+    """OPTIMIZE [ZORDER BY ...] — the lakehouse maintenance op as one
+    call: bin-pack small files, and when ``zorder_cols`` is given,
+    rewrite the COMPACTED bytes z-order-clustered so multi-column
+    filters skip files/row-groups via parquet min/max stats.
+
+    Only files below the health threshold are ever touched — healthy
+    files stay byte-identical (inode-stable) whether or not z-ordering
+    is requested, so repeated maintenance passes are no-ops and cost is
+    proportional to the small-file debt, not table size. With
+    ``zorder_cols`` the small set is rewritten through one
+    range-partition-by-z + local sort (one shuffle of the affected
+    bytes); without, it is a shuffle-free coalesce.
+
+    Returns compact_small_files' counters plus {"zordered": 0/1}.
+    """
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xngin_spark.sources.dml import _swap_in
+
+    if not zorder_cols:
+        stats = compact_small_files(spark, path, target_bytes, small_threshold)
+        stats["zordered"] = 0
+        return stats
+
+    root = path.removeprefix("file://").removeprefix("file:")
+    all_files = [
+        os.path.join(root, f)
+        for f in os.listdir(root)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    small = [
+        f for f in all_files if os.stat(f).st_size < small_threshold * target_bytes
+    ]
+    if len(small) < 2:
+        return {
+            "files_before": len(all_files),
+            "files_compacted": 0,
+            "files_written": 0,
+            "zordered": 0,
+        }
+    total = sum(os.stat(f).st_size for f in small)
+    n_out = max(1, math.ceil(total / target_bytes))
+    z = zorder_value([F.col(c) for c in zorder_cols]).alias("__z")
+    merged = (
+        spark.read.parquet(*small)
+        .withColumn("__z", z)
+        .repartitionByRange(n_out, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    _swap_in(spark, merged, path, small)
+    return {
+        "files_before": len(all_files),
+        "files_compacted": len(small),
+        "files_written": n_out,
+        "zordered": 1,
+    }
