@@ -130,3 +130,29 @@ def dialect_qualify(spark, sf_dir):
     from xngin_spark.engine import Engine
 
     return Engine(sf_dir, spark=spark).sql(_QUALIFY_SQL)
+
+
+# Identical text both engines: GROUP BY ALL / ORDER BY ALL are native
+# in Spark 4 and DuckDB alike (the modern-SQL convenience the
+# reference's grammar lacks — SelectTable.group_by is a plain expr
+# list, doradb-sql/src/ast.rs:1271-1283).
+_GROUP_BY_ALL_SQL = """
+    SELECT c_mktsegment,
+           c_nationkey % 5 AS nk_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+    FROM customer
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("group_by_all", _GROUP_BY_ALL_SQL)
+def group_by_all(spark, sf_dir):
+    """GROUP BY ALL + ORDER BY ALL: the grouping keys are inferred from
+    the non-aggregate select items — one literal SQL text runs on both
+    engines. Plans identically to the explicit GROUP BY (one hash
+    aggregate); the surface is the point."""
+    from xngin_spark.engine import Engine
+
+    return Engine(sf_dir, spark=spark).sql(_GROUP_BY_ALL_SQL)
