@@ -156,3 +156,45 @@ def group_by_all(spark, sf_dir):
     from xngin_spark.engine import Engine
 
     return Engine(sf_dir, spark=spark).sql(_GROUP_BY_ALL_SQL)
+
+
+_DISTINCT_PRED_SQL = """
+    SELECT a, b,
+           a IS DISTINCT FROM b AS dist,
+           a IS NOT DISTINCT FROM b AS same
+    FROM (VALUES (1, 1), (1, 2), (1, NULL), (NULL, NULL),
+                 (NULL, 2)) t(a, b)
+"""
+
+
+@register("distinct_predicates", _DISTINCT_PRED_SQL)
+def distinct_predicates(spark, sf_dir):
+    """IS [NOT] DISTINCT FROM — the ANSI spelling of the reference's
+    SafeEqual ``<=>`` (doradb-expr/src/pred.rs:31-58): null-safe
+    comparison where NULL IS NOT DISTINCT FROM NULL is true. One
+    literal text on both engines, full NULL matrix."""
+    from xngin_spark.engine import Engine
+
+    return Engine(sf_dir, spark=spark).sql(_DISTINCT_PRED_SQL)
+
+
+_NAMED_WINDOW_SQL = """
+    SELECT c_custkey, c_nationkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) OVER w AS DOUBLE)
+             AS run_bal
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                 ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("named_window", _NAMED_WINDOW_SQL)
+def named_window(spark, sf_dir):
+    """WINDOW clause (named window spec shared by several functions) —
+    beyond the reference's grammar, which has no window functions at
+    all (`// todo: window`, doradb-sql/src/ast.rs:1278). One literal
+    text on both engines; both functions share a single exchange+sort."""
+    from xngin_spark.engine import Engine
+
+    return Engine(sf_dir, spark=spark).sql(_NAMED_WINDOW_SQL)
