@@ -198,3 +198,28 @@ def named_window(spark, sf_dir):
     from xngin_spark.engine import Engine
 
     return Engine(sf_dir, spark=spark).sql(_NAMED_WINDOW_SQL)
+
+
+_MODERN_AGG_SQL = """
+    SELECT c_nationkey,
+           CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_rich,
+           bool_and(c_acctbal > -1000) AS all_above_floor,
+           bool_or(c_mktsegment = 'BUILDING') AS any_building,
+           max_by(c_name, c_custkey) AS latest_name,
+           min_by(c_name, c_custkey) AS first_name,
+           median(CAST(c_custkey AS BIGINT)) AS median_key
+    FROM customer
+    GROUP BY c_nationkey
+"""
+
+
+@register("modern_aggregates", _MODERN_AGG_SQL)
+def modern_aggregates(spark, sf_dir):
+    """Modern aggregate surface beyond the reference's five AggKinds
+    (doradb-expr/src/expr.rs:539-545): count_if, bool_and/bool_or,
+    max_by/min_by (deterministic — keyed on the unique custkey), exact
+    median. One literal text on both engines; all are single-pass
+    hash-aggregate shapes, no extra shuffle over a plain GROUP BY."""
+    from xngin_spark.engine import Engine
+
+    return Engine(sf_dir, spark=spark).sql(_MODERN_AGG_SQL)
