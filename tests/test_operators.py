@@ -721,3 +721,59 @@ def test_temperature_mix_rebalances_toward_tail(spark):
     # duplicated, and every kept row is an input row
     assert kept.count() <= df.count()
     assert kept.join(df, ["doc_id"], "left_anti").count() == 0
+
+
+def test_md5_long_matches_reference_md5(spark):
+    import hashlib
+
+    vals = ["hello", "a b c", "the quick brown fox"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", D.md5_long(F.col("s")).alias("h")).collect()
+    }
+    for v in vals:
+        assert got[v] == int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+
+
+def test_minhash_portable_finds_planted_near_dup(docs):
+    # the oracle-checked md5_long variant must make the same dedup
+    # calls as the xxhash64 production path on planted ground truth
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in D.minhash_lsh_pairs(
+            docs, threshold=0.3, k=16, bands=8, portable=True
+        ).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical signature
+    assert all(4 not in p and 5 not in p for p in pairs)  # no false positives
+
+
+def test_passage_dup_stats_planted(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " one two three four"),  # 12 tokens, shared at pos 1
+            (2, "x y z " + shared),  # 11 tokens, shared at pos 4
+            (3, "totally different words with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in D.passage_dup_stats(docs, w=8).collect()}
+    assert rows[1]["n_windows"] == 5 and rows[2]["n_windows"] == 4
+    assert rows[1]["n_dup_windows"] == 1  # exactly the planted passage
+    assert rows[2]["n_dup_windows"] == 1
+    assert rows[3]["n_dup_windows"] == 0 and rows[3]["dup_frac"] == 0.0
+    assert abs(rows[1]["dup_frac"] - 0.2) < 1e-12
+
+
+def test_passage_dup_short_doc_single_window(spark):
+    # docs shorter than w collapse to one whole-doc window (greatest(...,1));
+    # two identical short docs must therefore count as duplicated
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in D.passage_dup_stats(docs, w=8).collect()}
+    assert rows[1]["n_windows"] == 1 and rows[1]["n_dup_windows"] == 1
+    assert rows[3]["n_dup_windows"] == 0

@@ -89,12 +89,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def md5_long(col: Column) -> Column:
+    """Portable 60-bit hash: the first 15 hex digits of md5 as a BIGINT.
+
+    Bit-identical in DuckDB as
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)`` — the
+    engine-portable base hash that lets minhash signatures (and any
+    other hash-keyed operator) be verified value-for-value by the
+    DuckDB oracle. xxhash64 stays the production default (one JVM
+    intrinsic vs an md5 digest), but the two paths share every other
+    expression, so the oracle-checked variant certifies the shared
+    shape."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 64,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, sig: array<bigint> of length k), entirely map-side.
 
@@ -112,13 +127,19 @@ def minhash_signatures(
       higher-order-function evaluation re-evaluates the shingle+hash
       subtree once per permutation — k× the string work.
     Results are bit-identical across all three.
+
+    ``portable=True`` swaps the base hash xxhash64 → md5_long so a
+    DuckDB oracle can reproduce the signatures exactly; the permutation
+    constants, fold shape, and banding are shared with the production
+    path.
     """
     consts = _perm_consts(k)
     A = F.array(*[F.lit(a) for a, _ in consts])
     B = F.array(*[F.lit(b) for _, b in consts])
+    base = md5_long if portable else F.xxhash64
     xs = F.transform(
         shingles(F.col("__toks"), shingle_n),
-        lambda sh: F.pmod(F.xxhash64(sh), F.lit(_P)),
+        lambda sh: F.pmod(base(sh), F.lit(_P)),
     )
     sig = F.aggregate(
         xs,
@@ -150,6 +171,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.7,
     max_bucket_size: int | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard) via banded LSH.
 
@@ -182,7 +204,7 @@ def minhash_lsh_pairs(
     # LSH layout: n × k×8B ≈ 0.5 KB/doc, disk-spillable)
     from pyspark.storagelevel import StorageLevel
 
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).persist(
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, portable).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     _PERSISTED.append(sigs)
@@ -200,7 +222,7 @@ def minhash_lsh_pairs(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    (md5_long if portable else F.xxhash64)(
                         F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")
                     ).alias("bucket"),
                 ),
@@ -495,4 +517,75 @@ def winnow_candidate_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def passage_dup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-passage statistics: for each doc, the
+    count and fraction of its sliding w-token windows whose exact
+    content also occurs in at least one OTHER document (the doc-level
+    boilerplate signal of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better" — a FILTER input, complementing the
+    pairwise dedup families above which emit edges).
+
+    Scale shape — ONE pass over the text, no join: a map-side pass
+    tokenizes and emits ~n_tokens window keys per doc (md5 of the
+    window text — 16-byte shuffle currency, never the window text
+    itself); one groupBy (wkey, doc) collapses within-doc repeats; a
+    window count over wkey yields the per-key distinct-doc count
+    without a self-join (the naive join shape re-runs the whole
+    tokenize+md5 explode on its second input — at 100 TB that's a
+    second full pass over the corpus for nothing); one final groupBy
+    re-aggregates per doc. Three narrow shuffles, linear in corpus
+    size — affordable on the full 100 TB, unlike the pairwise
+    verifiers that need candidate bounding. The md5 key makes the
+    whole computation portable to the DuckDB oracle.
+
+    Reference parity: complements doradb's dedup surface (no native
+    equivalent); the window/rollup shape mirrors lgc aggregation
+    (lgc/op.rs Aggr) applied to generated rows.
+    """
+    from pyspark.sql import Window
+
+    toksed = fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    wkeys = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("__toks")) - (w - 1), F.lit(1))
+        ),
+        lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i, w), " ")),
+    )
+    wins = (
+        toksed.select(F.col(id_col), F.explode_outer(wkeys).alias("wkey"))
+        .filter(F.col("wkey").isNotNull())
+    )
+    per_key_doc = wins.groupBy("wkey", id_col).agg(
+        F.count(F.lit(1)).alias("__n_occ")
+    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("wkey"))
+    dup = F.sum(
+        F.when(F.col("__nd") >= 2, F.col("__n_occ")).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        per_key_doc.withColumn("__nd", nd)
+        .groupBy(id_col)
+        .agg(
+            F.sum("__n_occ").cast("long").alias("n_windows"),
+            dup.alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "n_windows",
+            "n_dup_windows",
+            (
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("dup_frac"),
+        )
     )

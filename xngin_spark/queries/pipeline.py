@@ -1,9 +1,11 @@
 """Data-pipeline queries over documents/embeddings — executable probes
 for the operators/ package, each oracle-checked where DuckDB can
-express the same computation, rows-only otherwise (minhash/simhash use
-xxhash64, which DuckDB lacks — the driver records the weaker check for
-those, and tests/test_operators.py proves their semantics against
-planted duplicates instead).
+express the same computation, rows-only otherwise (the production
+minhash/simhash variants use xxhash64, which DuckDB lacks — the driver
+records the weaker check for those, tests/test_operators.py proves
+their semantics against planted duplicates, and dedup_minhash_checked
+runs the same minhash pipeline under a full value oracle via the
+engine-portable md5_long base hash).
 """
 
 from __future__ import annotations
@@ -223,6 +225,109 @@ def dedup_minhash_lsh(spark, sf_dir):
 def dedup_simhash(spark, sf_dir):
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return D.simhash_pairs(d, max_hamming=16)
+
+
+def _minhash_checked_oracle(k: int = 16, bands: int = 8) -> str:
+    from xngin_spark.operators.dedup import _P, _perm_consts
+
+    consts = _perm_consts(k)
+    a_sql = "[" + ",".join(str(a) for a, _ in consts) + "]"
+    b_sql = "[" + ",".join(str(b) for _, b in consts) + "]"
+    r = k // bands
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+        FROM docs)
+    ),
+    xs AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT) % {_P} AS x
+      FROM sh
+    ),
+    hs AS (
+      SELECT doc_id, seed,
+             MIN((x * {a_sql}[seed+1] + {b_sql}[seed+1]) % {_P}) AS mh
+      FROM xs, (SELECT unnest(range({k})) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hs GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band,
+             CAST(concat('0x', substr(md5(array_to_string(
+               sig[band*{r}+1:band*{r}+{r}], ',')),1,15)) AS BIGINT) AS bucket
+      FROM sig, (SELECT unnest(range({bands})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+                AS DOUBLE) / {k}.0 AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.id_a
+    JOIN sig sb ON sb.doc_id = cand.id_b
+    WHERE CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+               AS DOUBLE) / {k}.0 >= 0.5
+    """
+
+
+@register("dedup_minhash_checked", _minhash_checked_oracle())
+def dedup_minhash_checked(spark, sf_dir):
+    """MinHash-LSH under the FULL value oracle: the same shingle →
+    k-permutation signature → banded bucket-join pipeline as
+    dedup_minhash_lsh, with the base hash swapped to the
+    engine-portable md5_long (first 15 md5 hex digits as BIGINT) so
+    DuckDB reproduces every signature, band bucket, candidate pair and
+    estimate bit-for-bit. This upgrades the minhash family from the
+    rows-only check to a hash-checked row: permutation constants, the
+    running-min fold, banding and the agreement estimate are the SAME
+    code path the xxhash64 production variant runs (portable=True only
+    substitutes the leaf hash). Input-bounded like ngram_jaccard
+    (doc_id < 1000 covers the planted near-dup clusters at every SF)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return D.minhash_lsh_pairs(
+        d, k=16, bands=8, threshold=0.5, portable=True
+    )
+
+
+_PASSAGE_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(t) - 7, 1)),
+               i -> md5(array_to_string(t[i:i+7], ' ')))) AS wkey
+      FROM toks
+    ),
+    kd AS (SELECT wkey, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY wkey)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM wins JOIN kd USING (wkey)
+    GROUP BY doc_id
+    """
+
+
+@register("passage_dedup", _PASSAGE_ORACLE)
+def passage_dedup(spark, sf_dir):
+    """Per-doc duplicated-passage fraction over sliding 8-token
+    windows — the doc-level boilerplate/dup signal (Lee et al. 2022)
+    that a selection pipeline thresholds on, complementing the pairwise
+    dedup families. Linear in corpus size (two narrow md5-key shuffles,
+    no self-join) so it runs corpus-wide at every SF, and the md5
+    window keys make it fully oracle-checked."""
+    d = T(spark, sf_dir, "documents")
+    return D.passage_dup_stats(d, w=8)
 
 
 # --- similarity search ----------------------------------------------------
