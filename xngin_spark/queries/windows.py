@@ -167,6 +167,67 @@ def events_json_props(spark, sf_dir):
 
 
 @register(
+    "events_variant",
+    """
+    WITH docs AS (
+      SELECT event_type,
+             concat('{"meta":{"type":"', event_type, '","k":',
+                    json_extract_string(props, '$.k'),
+                    '},"vals":[', json_extract_string(props, '$.k'), ',',
+                    CAST(2 * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                         AS VARCHAR), ']}') AS doc
+      FROM events
+    )
+    SELECT json_extract_string(doc, '$.meta.type') AS vtype,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(doc, '$.meta.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CAST(json_extract(doc, '$.vals[1]') AS BIGINT)) AS BIGINT)
+             AS sum_v1,
+           CAST(COUNT(CAST(json_extract(doc, '$.missing') AS BIGINT)) AS BIGINT)
+             AS n_missing
+    FROM docs
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def events_variant(spark, sf_dir):
+    """Semi-structured processing through Spark 4's VARIANT type: build
+    a nested JSON document per event, parse ONCE into the binary
+    variant encoding, then extract typed fields by path — including a
+    nested object member, a 0-based array index, and a missing path via
+    try_variant_get (NULL, counted as 0). At 100 TB this is the shape
+    that wins over repeated get_json_object calls: one parse per row
+    into a columnar-shreddable binary, then O(1) typed path reads,
+    all JVM-side. DuckDB oracles the same paths with json_extract over
+    the identical document text (integer-only payload so the string
+    round-trip is representation-exact)."""
+    e = events_df(spark, sf_dir)
+    k = F.get_json_object("props", "$.k")
+    doc = F.concat(
+        F.lit('{"meta":{"type":"'), F.col("event_type"), F.lit('","k":'), k,
+        F.lit('},"vals":['), k, F.lit(","),
+        (k.cast("long") * 2).cast("string"), F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    return (
+        e.select(
+            F.variant_get(v, "$.meta.type", "string").alias("vtype"),
+            F.variant_get(v, "$.meta.k", "long").alias("k"),
+            F.variant_get(v, "$.vals[1]", "long").alias("v1"),
+            F.try_variant_get(v, "$.missing", "long").alias("missing"),
+        )
+        .groupBy("vtype")
+        .agg(
+            count_star().alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.sum("v1").alias("sum_v1"),
+            F.count("missing").alias("n_missing"),
+        )
+        .orderBy("vtype")
+    )
+
+
+@register(
     "events_rate_per_user",
     f"""
     SELECT user_id,
