@@ -777,3 +777,21 @@ def test_passage_dup_short_doc_single_window(spark):
     rows = {r["doc_id"]: r for r in D.passage_dup_stats(docs, w=8).collect()}
     assert rows[1]["n_windows"] == 1 and rows[1]["n_dup_windows"] == 1
     assert rows[3]["n_dup_windows"] == 0
+
+
+def test_asof_join_tolerance(spark):
+    from xngin_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "u"), (2, 100.0, "u"), (3, 5.0, "v")],
+        "id int, ts double, k string",
+    )
+    right = spark.createDataFrame(
+        [(9.0, "u", 90.0), (30.0, "u", 300.0)], "ts double, k string, v double"
+    )
+    out = {r.id: r.v_r for r in asof_join(
+        left, right, on="ts", by="k", value_cols=["v"], tolerance_sec=10
+    ).collect()}
+    assert out[1] == 90.0  # gap 1 <= 10: fresh match survives
+    assert out[2] is None  # latest prior at 30 is 70 stale: masked
+    assert out[3] is None  # no prior row at all: still NULL

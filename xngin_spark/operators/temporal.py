@@ -44,6 +44,7 @@ def asof_join(
     by: str | None = None,
     value_cols: list[str] | None = None,
     suffix: str = "_r",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """Point-in-time join: left rows enriched with the most recent right
     values at or before their ``on`` timestamp (per ``by`` key when
@@ -54,15 +55,28 @@ def asof_join(
     rows-between(unbounded preceding, current), keep left rows. Right
     rows order before left rows at equal timestamps, so ties are
     inclusive (right.ts == left.ts matches) — DuckDB ASOF semantics.
+
+    ``tolerance_sec`` bounds the lookback (pandas merge_asof's
+    ``tolerance``): matches older than the bound become NULL, exactly
+    ``left.on <= matched.on + INTERVAL tol SECOND``. Implemented by
+    forward-filling the matched right timestamp alongside the values
+    and masking — same single shuffle, no extra pass; the timestamp
+    comparison stays exact (no second-truncation), so fractional-second
+    data agrees with the DuckDB oracle.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in {on, by}
     ]
     keys = ([by] if by else []) + [on]
+    fill_cols = list(value_cols)
+    rt_extra = []
+    if tolerance_sec is not None:
+        rt_extra = [F.col(on).alias(f"__asof{suffix}")]
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(
         *[F.col(c) for c in keys],
         *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+        *rt_extra,
     ).withColumn("__side", F.lit(0))
     # align schemas: left gains null right-value columns, right gains
     # null left columns; unionByName fills the gaps
@@ -72,9 +86,27 @@ def asof_join(
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in value_cols:
-        u = u.withColumn(f"{c}{suffix}", F.last(f"{c}{suffix}", ignorenulls=True).over(w))
-    return u.filter(F.col("__side") == 1).drop("__side")
+    fill = [f"{c}{suffix}" for c in value_cols]
+    if tolerance_sec is not None:
+        fill.append(f"__asof{suffix}")
+    for c in fill:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    u = u.filter(F.col("__side") == 1).drop("__side")
+    if tolerance_sec is not None:
+        if dict(left.dtypes)[on].startswith("timestamp"):
+            bound = F.expr(
+                f"`{on}` <= `__asof{suffix}` + INTERVAL {int(tolerance_sec)} SECOND"
+            )
+        else:  # numeric event-time axis: plain arithmetic
+            bound = F.col(on) <= F.col(f"__asof{suffix}") + F.lit(tolerance_sec)
+        within = F.col(f"__asof{suffix}").isNotNull() & bound
+        for c in value_cols:
+            u = u.withColumn(
+                f"{c}{suffix}",
+                F.when(within, F.col(f"{c}{suffix}")),
+            )
+        u = u.drop(f"__asof{suffix}")
+    return u
 
 
 def range_join(

@@ -360,6 +360,45 @@ def events_asof_join(spark, sf_dir):
 
 
 @register(
+    "events_asof_tolerance",
+    """
+    WITH l AS (
+      SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id
+      FROM events WHERE event_type = 'click'
+    ),
+    r AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS pval
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN l.ts <= r.ts + INTERVAL 600 SECOND THEN r.pval END
+             AS pval_r
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_tolerance(spark, sf_dir):
+    """As-of join with a bounded lookback (pandas merge_asof
+    ``tolerance``): a click only inherits a purchase value made within
+    the previous 10 minutes; staler matches become NULL instead of
+    leaking arbitrarily old state — the feature-store freshness rule.
+    Same single-shuffle forward-fill as events_asof_join with the
+    matched timestamp filled alongside the values and masked after."""
+    from xngin_spark.operators.temporal import asof_join
+
+    e = events_df(spark, sf_dir)
+    left = e.filter(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    right = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pval"))
+    )
+    return asof_join(
+        left, right, on="ts", by="user_id", value_cols=["pval"],
+        tolerance_sec=600,
+    ).select("event_id", "user_id", "ts", "pval_r")
+
+
+@register(
     "events_range_join",
     """
     SELECT l.event_id, r.event_id AS event_id_r
