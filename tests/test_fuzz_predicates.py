@@ -115,3 +115,107 @@ def test_grouped_aggregates_match(spark, duck, grp, val, pred):
     }
     d = set(map(tuple, duck.execute(q.format(src="li")).fetchall()))
     assert s == d, pred
+
+
+# --- join & window sweeps -------------------------------------------------
+# Same generated-SQL-on-both-engines discipline, widened to the join
+# shapes (inner/left/EXISTS/NOT EXISTS — the Join semi/antisemi surface,
+# doradb-plan/src/lgc/op.rs) and to window functions over the default
+# RANGE frame. Window sweeps avoid row_number (nondeterministic under
+# order ties) and float accumulation (order-dependent rounding): the
+# ranked/summed expressions are integers, so every compared value is
+# exactly determined by the (partition, order-value) multiset.
+
+ORD_PATH = f"{SF_SMALL}/orders.parquet"
+
+_ord_pred = st.one_of(
+    st.tuples(
+        st.sampled_from(["o_orderkey", "o_custkey"]),
+        st.sampled_from(["<", "<=", ">", ">="]),
+        st.integers(min_value=0, max_value=60000),
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.sampled_from(
+        ["o_orderstatus = 'O'", "o_orderstatus <> 'F'", "o_orderpriority LIKE '1%'"]
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def duck2():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW li AS SELECT * FROM read_parquet('{PATH}')")
+    con.execute(f"CREATE VIEW ord AS SELECT * FROM read_parquet('{ORD_PATH}')")
+    yield con
+    con.close()
+
+
+@given(
+    st.sampled_from(["JOIN", "LEFT JOIN"]),
+    _pred,
+    _ord_pred,
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_join_counts_match(spark, duck2, jt, lp, op):
+    q = (
+        "SELECT count(*) FROM (SELECT * FROM {li} WHERE " + lp + ") a "
+        + jt
+        + " (SELECT * FROM {o} WHERE " + op + ") b "
+        "ON a.l_orderkey = b.o_orderkey"
+    )
+    s = spark.sql(
+        q.format(li=f"parquet.`{PATH}`", o=f"parquet.`{ORD_PATH}`")
+    ).collect()[0][0]
+    d = duck2.execute(q.format(li="li", o="ord")).fetchone()[0]
+    assert s == d, (jt, lp, op)
+
+
+@given(st.booleans(), _pred, _ord_pred)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_semi_anti_counts_match(spark, duck2, anti, lp, op):
+    ex = "NOT EXISTS" if anti else "EXISTS"
+    q = (
+        "SELECT count(*) FROM {li} a WHERE " + lp + f" AND {ex} "
+        "(SELECT 1 FROM {o} b WHERE b.o_orderkey = a.l_orderkey AND " + op + ")"
+    )
+    s = spark.sql(
+        q.format(li=f"parquet.`{PATH}`", o=f"parquet.`{ORD_PATH}`")
+    ).collect()[0][0]
+    d = duck2.execute(q.format(li="li", o="ord")).fetchone()[0]
+    assert s == d, (ex, lp, op)
+
+
+@given(
+    st.sampled_from(["l_returnflag", "l_linestatus", "l_linenumber"]),
+    st.sampled_from(["l_orderkey", "l_partkey", "l_suppkey"]),
+    st.sampled_from(
+        ["rank()", "dense_rank()", "count(*)", "sum({k})", "min({k})", "max({k})"]
+    ),
+    _pred,
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_window_functions_match(spark, duck2, g, k, fn, pred):
+    from collections import Counter
+
+    expr = fn.format(k=k)
+    q = (
+        f"SELECT {g} AS g, {k} AS k, "
+        f"{expr} OVER (PARTITION BY {g} ORDER BY {k}) AS w "
+        "FROM {src} WHERE " + pred
+    )
+    s = Counter(
+        tuple(r) for r in spark.sql(q.format(src=f"parquet.`{PATH}`")).collect()
+    )
+    d = Counter(map(tuple, duck2.execute(q.format(src="li")).fetchall()))
+    assert s == d, (g, k, expr, pred)
