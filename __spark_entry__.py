@@ -31,7 +31,12 @@ GATE_PRIORITY = [
     "knn_cosine",
     "embedding_centroid_dist",
     "media_features",
-    "frame_sample",
+    # dedup_minhash_checked replaces frame_sample in the window
+    # (round 5): it is the minhash family's FIRST value-checked row
+    # (md5_long portable hashing), where frame_sample was the media
+    # family's second row alongside media_features — the displaced
+    # query keeps its local oracle compare in test_tpch_parity.py.
+    "dedup_minhash_checked",
     "dedup_embedding_cosine",
     "embedding_quantize",
     "pii_scrub",
