@@ -18,6 +18,7 @@ def test_rows_only_set_is_expected():
         "dedup_minhash_lsh",   # xxhash64 signatures — DuckDB lacks the hash
         "dedup_pipeline",      # composes the minhash stage (xxhash64)
         "dedup_simhash",       # xxhash64-based
+        "hll_partitioned_distinct",  # sketch estimates engine-specific
         "knn_cosine_ivf",      # iterative k-means training
         "knn_cosine_ivf_persisted",  # trained index build + probe
         "knn_cosine_lsh",      # approximate by design

@@ -296,6 +296,41 @@ def string_suite(spark, sf_dir):
     )
 
 
+@register("hll_partitioned_distinct")  # no oracle: sketch is engine-specific
+def hll_partitioned_distinct(spark, sf_dir):
+    """Mergeable-sketch rollup — THE 100 TB cardinality pattern: build
+    one HLL sketch per partition key (here: source), then answer the
+    global distinct count by MERGING the kilobyte-sized sketch binaries
+    (hll_union_agg) instead of re-scanning rows. In production the
+    per-partition sketches are persisted at ingest (one per day/shard)
+    and every rollup query touches only sketches — cost is O(partitions),
+    not O(rows). Output: per-source estimate next to the exact count,
+    plus an __ALL__ row whose estimate comes purely from the merge.
+    Rows-only in the gate (sketch estimates are engine-specific);
+    tests/test_analytic.py bounds the error and proves merge-of-parts
+    equals the direct whole-table sketch."""
+    d = T(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.hll_sketch_agg(F.xxhash64("text")).alias("sk"),
+        F.countDistinct("text").alias("exact_distinct"),
+    )
+    per_rows = per.select(
+        "source",
+        F.hll_sketch_estimate("sk").alias("est_distinct"),
+        "exact_distinct",
+    )
+    total = (
+        per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_distinct")
+        )
+        .withColumn("source", F.lit("__ALL__"))
+        .crossJoin(d.agg(F.countDistinct("text").alias("exact_distinct")))
+    )
+    return per_rows.unionByName(
+        total.select("source", "est_distinct", "exact_distinct")
+    ).orderBy("source")
+
+
 @register("approx_distinct")  # no oracle: HLL sketch is engine-specific
 def approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++) next to the exact count —
