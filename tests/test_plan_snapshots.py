@@ -40,6 +40,7 @@ SKIP = {
     "events_stream_dedup",
     "events_stream_join",
     "events_stream_transitions",
+    "docs_stream_dedup",
 }
 NAMES = sorted(n for n in Q.QUERIES if n not in SKIP)
 

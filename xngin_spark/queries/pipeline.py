@@ -318,6 +318,44 @@ _PASSAGE_ORACLE = """
     """
 
 
+@register(
+    "docs_stream_dedup",
+    """
+    SELECT DISTINCT md5(text) AS fp_md5,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def docs_stream_dedup(spark, sf_dir):
+    """Streaming INGEST dedup for the document corpus, run to
+    exhaustion: the document stream delivered twice (the at-least-once
+    failure mode) must collapse to exactly the batch-distinct content
+    set via dropDuplicates on the md5 content fingerprint. Emitted
+    columns are content-determined (fingerprint + recomputed length),
+    so the streaming answer hash-matches the batch oracle regardless of
+    which duplicate arrival survives. Documents carry no event time, so
+    the seen-fingerprint state is unbounded by design (16 B/doc — 1.6 TB
+    of state per 10^11 docs, sized to the state store); timestamped
+    ingest should prefer the bounded-state
+    dropDuplicatesWithinWatermark twin (events_stream_dedup)."""
+    import os
+    import uuid
+
+    from xngin_spark.streaming import documents_stream, run_available_now
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    doubled = documents_stream(spark, path).unionAll(
+        documents_stream(spark, path)
+    )
+    dd = doubled.select(
+        F.md5("text").alias("fp_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).dropDuplicates(["fp_md5"])
+    name = f"docs_dedup_{uuid.uuid4().hex[:8]}"
+    out = run_available_now(dd, name, output_mode="append", shuffle_partitions=8)
+    return out.select("fp_md5", "n_chars")
+
+
 @register("passage_dedup", _PASSAGE_ORACLE)
 def passage_dedup(spark, sf_dir):
     """Per-doc duplicated-passage fraction over sliding 8-token

@@ -21,7 +21,12 @@ incremental (``maxFilesPerTrigger``) — at 100 TB/day the same topology
 points at a bucketed object-store prefix or Kafka source unchanged.
 """
 
-from xngin_spark.streaming.io import events_stream, run_available_now, to_memory_sink
+from xngin_spark.streaming.io import (
+    documents_stream,
+    events_stream,
+    run_available_now,
+    to_memory_sink,
+)
 from xngin_spark.streaming.joins import stream_dedup, stream_stream_join
 from xngin_spark.streaming.windows import (
     stream_session,
@@ -31,6 +36,7 @@ from xngin_spark.streaming.windows import (
 from xngin_spark.streaming.stateful import running_totals, stream_transitions
 
 __all__ = [
+    "documents_stream",
     "events_stream",
     "run_available_now",
     "to_memory_sink",
