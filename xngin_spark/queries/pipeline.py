@@ -163,7 +163,9 @@ def ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(d, threshold=0.5)
 
 
-def _winnow_oracle(k: int = 12, w: int = 4, cap: int = 16, t: int = 5) -> str:
+def _winnow_oracle(
+    k: int = 12, w: int = 4, cap: int = 16, t: int = 5, extra_where: str = ""
+) -> str:
     from xngin_spark.operators.dedup import WINNOW_BASE, WINNOW_MOD
 
     pows = "[" + ",".join(
@@ -172,7 +174,7 @@ def _winnow_oracle(k: int = 12, w: int = 4, cap: int = 16, t: int = 5) -> str:
     return f"""
     WITH g AS (
       SELECT doc_id, text, unnest(range(1, length(text)-{k}+2)) AS i
-      FROM documents WHERE length(text) >= {k + w - 1}
+      FROM documents WHERE length(text) >= {k + w - 1} {extra_where}
     ),
     h AS (
       SELECT doc_id, i,
@@ -316,6 +318,96 @@ _PASSAGE_ORACLE = """
     FROM wins JOIN kd USING (wkey)
     GROUP BY doc_id
     """
+
+
+def _best_keeper_oracle() -> str:
+    quality = """
+             0.4 * least(n_chars_d / 200.0, 1.0)
+             + 0.3 * (CASE WHEN (n_chars_d - (CAST(n_tokens AS DOUBLE) - 1))
+                                / CAST(n_tokens AS DOUBLE) >= 3.0
+                            AND (n_chars_d - (CAST(n_tokens AS DOUBLE) - 1))
+                                / CAST(n_tokens AS DOUBLE) <= 10.0
+                       THEN 1.0 ELSE 0.5 END)
+             + 0.3 * least(CAST(n_stop AS DOUBLE)
+                           / CAST(n_tokens AS DOUBLE) * 10.0, 1.0)
+    """
+    pairs = _winnow_oracle(t=8, extra_where="AND doc_id < 1000")
+    return f"""
+    WITH RECURSIVE
+    docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM docs
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+    t AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             len(list_filter(string_split(text, ' '),
+                             x -> list_contains({_STOP_SQL}, x))) AS n_stop
+      FROM docs
+    ),
+    q AS (SELECT doc_id, {quality} AS quality FROM t),
+    ranked AS (
+      SELECT c.doc_id, c.component,
+             ROW_NUMBER() OVER (PARTITION BY c.component
+                                ORDER BY q.quality DESC, c.doc_id DESC) AS rk,
+             COUNT(*) OVER (PARTITION BY c.component) AS n_members
+      FROM comp c JOIN q ON q.doc_id = c.doc_id
+    )
+    SELECT doc_id, component, CAST(n_members AS BIGINT) AS n_members,
+           rk = 1 AS is_keeper
+    FROM ranked
+    """
+
+
+@register("dedup_best_keeper", _best_keeper_oracle())
+def dedup_best_keeper(spark, sf_dir):
+    """Quality-aware dedup verdict over MULTI-HOP near-dup clusters,
+    fully value-checked: winnowing passage-overlap pairs (the oracle-
+    portable candidate family) → connected components → keep the
+    HIGHEST-QUALITY member of each cluster (production keeps the best
+    document, not the lowest id; min-id keeps whatever was crawled
+    first). The DuckDB oracle recomputes the components with a
+    recursive label-reachability CTE — the first hash-checked evidence
+    for the iterative component operator on a real multi-hop graph
+    (dedup_clusters' oracle only covers single-hop exact-dup groups).
+    Input-bounded like the other pairwise verifiers (doc_id < 1000)."""
+    from pyspark.sql import Window
+
+    from xngin_spark.operators.corpus import connected_components
+    from xngin_spark.operators.dedup import (
+        release_persisted,
+        winnow_candidate_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    edges = winnow_candidate_pairs(d, min_shared=8).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components(edges, d.select("doc_id"), id_col="doc_id")
+    release_persisted()
+    j = comps.join(
+        X.with_text_stats(d).select("doc_id", "quality"), "doc_id"
+    )
+    wrk = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id").desc()
+    )
+    wcnt = Window.partitionBy("component")
+    return j.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(wcnt).alias("n_members"),
+        (F.row_number().over(wrk) == 1).alias("is_keeper"),
+    )
 
 
 @register(
