@@ -195,3 +195,42 @@ def test_bucketed_layout_moves_fewer_shuffle_bytes(spark, sf_dir):
     assert bkt_bytes < plain_bytes * 0.65, (
         f"bucketed layout still shuffles {bkt_bytes}B vs plain {plain_bytes}B"
     )
+
+
+def test_runtime_bloom_filter_injection_fires(spark, sf_dir):
+    """The 100 TB semi-join-reduction lever: with a selective dimension
+    filter, Catalyst injects a bloom_filter_agg on the dimension side
+    and a might_contain probe into the fact scan (InjectRuntimeFilter),
+    cutting shuffle input before the join. Size thresholds keep it off
+    at test scale (applicationSideScanSizeThreshold defaults to 10GB),
+    so the test lowers them to prove the path is live in this session's
+    conf — on a real cluster the defaults arm it automatically."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # broadcast joins use their own dynamic pruning; force the
+        # shuffle-join path the bloom filter exists for
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, "no bloom filter built on the dim side"
+    assert "might_contain" in plan.lower() or "BloomFilter" in plan, plan[:500]
