@@ -363,3 +363,50 @@ def test_merge_into_skip_and_dup_guard(spark, cow_table):
     dup_src = src.union(src)
     with _pytest.raises(ValueError, match="duplicate keys"):
         merge_into(spark, cow_table, dup_src, on="o_orderkey")
+
+
+def test_dynamic_partition_overwrite_leaves_siblings(spark, tmp_path):
+    """Backfilling one partition must not clobber the others: dynamic
+    overwrite rewrites only the partitions present in the incoming
+    frame; untouched sibling partition files keep their inodes."""
+    import os
+
+    from xngin_spark.sources.writers import write_parquet
+
+    path = str(tmp_path / "part_tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+        "id long, part string, v long",
+    )
+    write_parquet(base, path, partition_by=["part"], mode="overwrite")
+
+    def inodes(p):
+        out = {}
+        for root, _, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet"):
+                    fp = os.path.join(root, f)
+                    out[fp] = os.stat(fp).st_ino
+        return out
+
+    before = {p: i for p, i in inodes(path).items() if "part=b" in p or "part=c" in p}
+    assert before, "sibling partitions missing after initial write"
+
+    patch = spark.createDataFrame([(9, "a", 99)], "id long, part string, v long")
+    write_parquet(
+        patch, path, partition_by=["part"], mode="overwrite",
+        dynamic_partition_overwrite=True,
+    )
+    after = {p: i for p, i in inodes(path).items() if "part=b" in p or "part=c" in p}
+    assert after == before, "dynamic overwrite touched sibling partitions"
+    got = {(r.part, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("a", 99), ("b", 30), ("c", 40)}  # a replaced, b/c intact
+
+    # static overwrite (the default) clobbers the whole root
+    write_parquet(patch, path, partition_by=["part"], mode="overwrite")
+    assert {r.part for r in spark.read.parquet(path).collect()} == {"a"}
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_parquet(patch, path, dynamic_partition_overwrite=True)

@@ -28,16 +28,31 @@ def write_parquet(
     mode: str = "error",
     compression: str = "zstd",
     max_records_per_file: int | None = None,
+    dynamic_partition_overwrite: bool = False,
 ) -> None:
     """Parquet writer.
 
     ``max_records_per_file`` caps file size so downstream scans
     parallelize (one giant file = one task until splittable row groups
     kick in; many tiny files = footer-read storm — aim ~128 MB files).
+
+    ``dynamic_partition_overwrite`` (requires ``mode="overwrite"`` and
+    ``partition_by``) replaces ONLY the partitions present in ``df``,
+    leaving sibling partitions untouched — the backfill primitive:
+    rewrite one day/source of a 100 TB partitioned table without
+    clobbering the rest. Static overwrite (the default) would delete
+    the whole root first. Set per-write (writer option), not
+    session-wide, so concurrent static writers keep their semantics.
     """
     writer = df.write.mode(mode).option("compression", compression)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    if dynamic_partition_overwrite:
+        if mode != "overwrite" or not partition_by:
+            raise ValueError(
+                "dynamic_partition_overwrite needs mode='overwrite' and partition_by"
+            )
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
