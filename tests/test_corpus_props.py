@@ -184,3 +184,38 @@ def test_asof_join_equals_bruteforce_random(spark):
         cands = [(t, v) for (t, k, v) in right if k == lk and t <= lts]
         want.add((lid, max(cands)[1] if cands else None))
     assert got == want
+
+
+def test_passage_dup_stats_equals_bruteforce_random(spark):
+    # the join-free window shape must count exactly the sliding w-token
+    # windows whose content recurs in ANOTHER doc (within-doc repeats
+    # are not duplication)
+    from xngin_spark.operators.dedup import passage_dup_stats
+
+    rng = random.Random(29)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 14))))
+        for i in range(40)
+    ]
+    w = 4
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows)
+        for r in passage_dup_stats(
+            spark.createDataFrame(docs, "doc_id long, text string"), w=w
+        ).collect()
+    }
+    def windows(text):
+        toks = text.split(" ")
+        n = max(len(toks) - (w - 1), 1)
+        return [" ".join(toks[i : i + w]) for i in range(n)]
+
+    owners = {}
+    for i, t in docs:
+        for win in set(windows(t)):
+            owners.setdefault(win, set()).add(i)
+    want = {}
+    for i, t in docs:
+        ws = windows(t)
+        want[i] = (len(ws), sum(1 for x in ws if len(owners[x]) >= 2))
+    assert got == want
