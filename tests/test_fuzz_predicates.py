@@ -219,3 +219,71 @@ def test_window_functions_match(spark, duck2, g, k, fn, pred):
     )
     d = Counter(map(tuple, duck2.execute(q.format(src="li")).fetchall()))
     assert s == d, (g, k, expr, pred)
+
+
+@given(
+    st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "INTERSECT ALL", "EXCEPT", "EXCEPT ALL"]
+    ),
+    _pred,
+    _pred,
+)
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_setop_counts_match(spark, duck2, op, p1, p2):
+    # all six Setop variants (SetopKind x Setq, lgc/op.rs) over generated
+    # branch predicates; compare full row multisets via count + distinct
+    q = (
+        "SELECT count(*) FROM ("
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM {src} WHERE " + p1
+        + f" {op} "
+        "SELECT l_orderkey, l_linenumber, l_returnflag FROM {src} WHERE " + p2
+        + ")"
+    )
+    s = spark.sql(q.format(src=f"parquet.`{PATH}`")).collect()[0][0]
+    d = duck2.execute(q.format(src="li")).fetchone()[0]
+    assert s == d, (op, p1, p2)
+
+
+@given(
+    st.sampled_from(
+        [
+            "substring(l_returnflag || l_linestatus, 2, 1)",
+            "upper(l_returnflag) || lower(l_linestatus)",
+            "length(l_returnflag || l_linestatus)",
+            "l_orderkey % 97",
+            # NOT CAST(double AS BIGINT): Spark truncates toward zero,
+            # DuckDB rounds half-to-even — a real dialect divergence
+            # (documented in cast_matrix); pin the rounding explicitly
+            "CAST(floor(l_extendedprice) AS BIGINT)",
+            "coalesce(nullif(l_returnflag, 'N'), 'x')",
+            "greatest(l_suppkey, l_partkey)",
+            "least(l_linenumber, 3)",
+            "year(l_shipdate)",
+            "month(l_shipdate)",
+            "day(l_shipdate)",
+            "l_orderkey & 255",
+            "l_orderkey | 16",
+        ]
+    ),
+    _pred,
+)
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scalar_expressions_match(spark, duck2, expr, pred):
+    # FuncKind surface sweep: the same scalar expression grouped and
+    # min/max'd must agree exactly (strings, ints, dates — no float
+    # accumulation)
+    q = (
+        f"SELECT min({expr}) AS lo, max({expr}) AS hi, count({expr}) AS n "
+        "FROM {src} WHERE " + pred
+    )
+    s = tuple(spark.sql(q.format(src=f"parquet.`{PATH}`")).collect()[0])
+    d = tuple(duck2.execute(q.format(src="li")).fetchone())
+    assert s == d, (expr, pred)
