@@ -62,3 +62,33 @@ def test_time_type_mapping():
 
     assert parse_type("time") == T.TimeType()
     assert parse_type("TIME") == T.TimeType()
+
+
+def test_engine_ctas_materializes_and_registers(spark, sf_dir, tmp_path):
+    from xngin_spark.engine import Engine
+
+    e = Engine(sf_dir, spark=spark)
+    path = str(tmp_path / "rev_by_flag")
+    df = e.ctas(
+        "rev_by_flag",
+        """
+        SELECT l_returnflag, sum(l_quantity) AS qty
+        FROM lineitem GROUP BY l_returnflag
+        """,
+        path,
+    )
+    want = {
+        (r.l_returnflag, r.qty)
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg({"l_quantity": "sum"})
+        .withColumnRenamed("sum(l_quantity)", "qty")
+        .collect()
+    }
+    assert {(r.l_returnflag, r.qty) for r in df.collect()} == want
+    # registered: later reads resolve through the catalog to the parquet
+    assert {(r.l_returnflag, r.qty) for r in e.table("rev_by_flag").collect()} == want
+    assert any(f.endswith(".parquet") for f in os.listdir(path))
+    # error mode by default: re-running the same CTAS must not clobber
+    with pytest.raises(Exception):
+        e.ctas("rev_by_flag", "SELECT 1 AS x", path)

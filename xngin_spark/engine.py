@@ -63,6 +63,29 @@ class Engine:
         register_empty(self.spark, tables)
         return sorted(tables)
 
+    def ctas(
+        self,
+        name: str,
+        query: str,
+        path: str,
+        dialect: str = "ansi",
+        partition_by=None,
+        mode: str = "error",
+    ) -> DataFrame:
+        """CREATE TABLE AS SELECT: materialize ``query`` as a parquet
+        table at ``path`` and register it in the catalog. The reference
+        parses CREATE TABLE but never executes it (no physical layer);
+        here the loop closes — the result is written once and every
+        later read is a pushdown-capable parquet scan. ``partition_by``
+        lays the table out for partition pruning; ``mode='overwrite'``
+        replaces an existing table."""
+        from xngin_spark.sources.writers import write_parquet
+
+        df = self.sql(query, dialect)
+        write_parquet(df, path, partition_by=partition_by, mode=mode)
+        self.catalog.register(name, path)
+        return self.table(name)
+
     def register_udf(self, name: str, fn, return_type) -> None:
         """Scalar UDF registration — executes the hook the reference only
         parses (``FuncExpr.fname``, doradb-sql/src/ast.rs:976-983: any
