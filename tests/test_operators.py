@@ -795,3 +795,38 @@ def test_asof_join_tolerance(spark):
     assert out[1] == 90.0  # gap 1 <= 10: fresh match survives
     assert out[2] is None  # latest prior at 30 is 70 stale: masked
     assert out[3] is None  # no prior row at all: still NULL
+
+
+def test_semantic_dedup_collapses_duplicate_vectors(spark):
+    # SemDeDup composition: identical vectors must land in the same
+    # k-means cluster (same nearest centroid), pair at cosine 1.0, and
+    # collapse to one keeper; a far-away vector stays its own component
+    import random
+
+    from xngin_spark.operators.clustering import _nearest, kmeans_fit
+    from xngin_spark.operators.corpus import connected_components
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    dup = [1.0, 0.0] * 8
+    far = [-1.0, 0.5] * 8
+    rows = [(1, dup), (2, dup), (3, far)] + [
+        (10 + i, [rng.uniform(-0.1, 0.1) for _ in range(16)]) for i in range(20)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(emb, k=3, max_iter=4)
+    assigned = emb.withColumn("cluster", _nearest(F.col("embedding"), cents)["c"])
+    same = {
+        r.vec_id: r.cluster for r in assigned.filter(F.col("vec_id") < 3).collect()
+    }
+    assert same[1] == same[2]  # identical vectors share a cluster
+    pairs = S.cosine_dup_pairs(assigned, threshold=0.95, block_col="cluster")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = {
+        r.vec_id: r.component
+        for r in connected_components(
+            edges, emb.select("vec_id"), id_col="vec_id"
+        ).collect()
+    }
+    assert comps[1] == comps[2] == 1  # collapsed, keeper = min id
+    assert comps[3] == 3  # far vector untouched

@@ -17,6 +17,7 @@ def test_rows_only_set_is_expected():
         "bloom_seen_filter",   # xxhash64 bit positions — no DuckDB twin
         "dedup_minhash_lsh",   # xxhash64 signatures — DuckDB lacks the hash
         "dedup_pipeline",      # composes the minhash stage (xxhash64)
+        "dedup_semantic",      # SemDeDup: iterative k-means blocking
         "dedup_simhash",       # xxhash64-based
         "hll_partitioned_distinct",  # sketch estimates engine-specific
         "knn_cosine_ivf",      # iterative k-means training

@@ -18,7 +18,7 @@ def test_oracle_coverage_never_shrinks():
     # window is oracle-checked only here. Pin the count so a refactor
     # can't silently drop tail coverage (round-2 verdict item #4).
     assert len(NAMES) >= 136, f"oracle-checked corpus shrank to {len(NAMES)}"
-    assert len(Q.QUERIES) >= 146, f"query corpus shrank to {len(Q.QUERIES)}"
+    assert len(Q.QUERIES) >= 147, f"query corpus shrank to {len(Q.QUERIES)}"
 
 
 @pytest.mark.parametrize("name", NAMES)

@@ -320,6 +320,46 @@ _PASSAGE_ORACLE = """
     """
 
 
+@register("dedup_semantic")  # rows-only: k-means cluster blocking (iterative)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, search for semantic duplicates ONLY
+    within each cluster (cosine >= tau), and keep one representative
+    per duplicate group. The cluster key is the scale story: pairwise
+    comparison cost follows cluster occupancy instead of n², and the
+    centroids are fitted on a sample and frozen — identical economics
+    to the IVF index. Composition of three oracle/planted-tested
+    pieces: kmeans_fit (broadcast-literal Lloyd), cosine_dup_pairs
+    (blocked decimal-deterministic self-join), and the
+    diameter-independent connected_components_star — a moderate cosine
+    threshold yields CHAIN-shaped similarity graphs (a~b~c without
+    a~c), exactly the deep-graph case star contraction exists for
+    (per-hop label propagation needs diameter rounds and gives up).
+    Rows-only in the gate (iterative training); duplicated vectors
+    split across cluster boundaries are SemDeDup's accepted recall
+    loss by design."""
+    from xngin_spark.operators import clustering as C
+    from xngin_spark.operators.corpus import connected_components_star
+
+    emb = T(spark, sf_dir, "embeddings")
+    cents = C.kmeans_fit(emb, k=8, max_iter=2)
+    from xngin_spark.operators.clustering import _nearest
+
+    assigned = emb.withColumn(
+        "cluster", _nearest(F.col("embedding"), cents)["c"]
+    )
+    pairs = S.cosine_dup_pairs(assigned, threshold=0.3, block_col="cluster")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comps = connected_components_star(
+        edges, emb.select("vec_id"), id_col="vec_id"
+    )
+    return comps.select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("is_keeper"),
+    )
+
+
 def _best_keeper_oracle() -> str:
     quality = """
              0.4 * least(n_chars_d / 200.0, 1.0)
