@@ -410,3 +410,25 @@ def test_dynamic_partition_overwrite_leaves_siblings(spark, tmp_path):
 
     with pytest.raises(ValueError):
         write_parquet(patch, path, dynamic_partition_overwrite=True)
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC as a second columnar source: byte-identical rows after a
+    round trip, and filter pushdown reaches the ORC scan just like
+    parquet (PushedFilters in the formatted plan)."""
+    from xngin_spark.sources.readers import read_orc
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "orders_orc")
+    src.write.mode("overwrite").orc(path)
+
+    got = read_orc(
+        spark, path,
+        columns=["o_orderkey", "o_custkey"],
+        where="o_custkey < 100",
+    )
+    want = src.filter("o_custkey < 100").select("o_orderkey", "o_custkey")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_custkey" in plan.split("PushedFilters")[1][:120]
+    assert "ReadSchema: struct<o_orderkey" in plan  # column pruning reached the scan

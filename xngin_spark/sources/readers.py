@@ -44,6 +44,22 @@ def read_parquet(
     return _prune(reader.parquet(path), columns, where)
 
 
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    columns: Sequence[str] | None = None,
+    where: Column | str | None = None,
+) -> DataFrame:
+    """ORC scan — same contract as read_parquet (self-describing footer,
+    optional schema pin, pruning/pushdown at the scan; ORC supports
+    PushedFilters the same way parquet does)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return _prune(reader.orc(path), columns, where)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,
