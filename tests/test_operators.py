@@ -830,3 +830,37 @@ def test_semantic_dedup_collapses_duplicate_vectors(spark):
     }
     assert comps[1] == comps[2] == 1  # collapsed, keeper = min id
     assert comps[3] == 3  # far vector untouched
+
+
+def test_minhash_index_persist_and_screen(spark, tmp_path, docs):
+    # ingest-dedup layout: index the corpus once, then screen a new
+    # batch against the stored buckets without re-reading corpus text
+    path = str(tmp_path / "mh_index")
+    D.minhash_index_persist(docs, path)
+    import os
+
+    assert os.path.isdir(f"{path}/sigs") and os.path.isdir(f"{path}/bands")
+
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog near the river bank"),
+            (102, "entirely novel sentence with fresh vocabulary and zero overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        (r.new_id, r.corpus_id): r.est_jaccard
+        for r in D.minhash_screen(new, path, threshold=0.5).collect()
+    }
+    D.release_persisted()
+    # 101 duplicates corpus docs 1/2 exactly -> identical signatures
+    assert hits[(101, 1)] == 1.0 and hits[(101, 2)] == 1.0
+    assert all(nid != 102 for nid, _ in hits), "novel doc must not match"
+    # re-persist is idempotent (overwrite mode)
+    D.minhash_index_persist(docs, path)
+    again = {
+        (r.new_id, r.corpus_id)
+        for r in D.minhash_screen(new, path, threshold=0.5).collect()
+    }
+    D.release_persisted()
+    assert again == set(hits)

@@ -589,3 +589,129 @@ def passage_dup_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def minhash_index_persist(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Write a persistent MinHash-LSH index: ``sigs/`` (id, sig) and
+    ``bands/`` (band, bucket, id) parquet tables.
+
+    The production ingest-dedup layout (the dedup twin of
+    clustering.ivf_persist): signatures and band buckets are paid ONCE
+    when the corpus lands; every later batch is screened against the
+    stored buckets without touching corpus text again. At 100 TB the
+    index is ~n x (k*8B + bands*24B) — three orders of magnitude
+    smaller than the text it stands for.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs.write.mode(mode).parquet(f"{path}/sigs")
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).filter(F.col("bb").isNotNull()).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    banded.write.mode(mode).parquet(f"{path}/bands")
+    sigs.unpersist()
+
+
+def minhash_screen(
+    new_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Screen a NEW batch against a persisted MinHash index: returns
+    (new_id, corpus_id, est_jaccard) for near-duplicates of already-
+    ingested documents — the screen every ingest pipeline runs before
+    admitting a batch.
+
+    Cost shape: the new batch is signed map-side (k, bands, shingle_n
+    MUST match the persisted index); its tiny band rows join the stored
+    ``bands/`` table on (band, bucket) — with a fresh batch that's a
+    broadcast of the batch side against the big stored table; then only
+    candidate ids fetch signatures from ``sigs/`` for verification.
+    Corpus text is never read.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    spark = new_df.sparkSession
+    r = k // bands
+    nsig = minhash_signatures(new_df, text_col, id_col, k, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _PERSISTED.append(nsig)
+    nsig.count()
+    nband = nsig.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).filter(F.col("bb").isNotNull()).select(
+        F.col(id_col).alias("new_id"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    stored = spark.read.parquet(f"{index_path}/bands").select(
+        F.col(id_col).alias("corpus_id"), "band", "bucket"
+    )
+    cand = (
+        F.broadcast(nband)
+        .join(stored, on=["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    ssig = spark.read.parquet(f"{index_path}/sigs").select(
+        F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_c")
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig"), F.col("sig_c"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        ).cast("double")
+        / F.lit(float(k))
+    )
+    return (
+        cand.join(nsig.select(F.col(id_col).alias("new_id"), "sig"), "new_id")
+        .join(ssig, "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )
