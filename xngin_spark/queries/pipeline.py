@@ -348,7 +348,11 @@ def dedup_semantic(spark, sf_dir):
     assigned = emb.withColumn(
         "cluster", _nearest(F.col("embedding"), cents)["c"]
     )
-    pairs = S.cosine_dup_pairs(assigned, threshold=0.3, block_col="cluster")
+    # tau=0.4: tight enough to mean "semantic duplicate" on this data
+    # (0.3 links ~all of a cluster into one chain component — 47
+    # keepers out of 2000 at sf0.1) and keeps the similarity graph
+    # sparse for the contraction rounds; still non-vacuous at every SF
+    pairs = S.cosine_dup_pairs(assigned, threshold=0.4, block_col="cluster")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comps = connected_components_star(
         edges, emb.select("vec_id"), id_col="vec_id"
