@@ -92,3 +92,21 @@ def test_engine_ctas_materializes_and_registers(spark, sf_dir, tmp_path):
     # error mode by default: re-running the same CTAS must not clobber
     with pytest.raises(Exception):
         e.ctas("rev_by_flag", "SELECT 1 AS x", path)
+
+
+def test_ctas_named_events_registers_its_own_result(spark, sf_dir, tmp_path):
+    # regression (review finding): Catalog.register special-cases the
+    # name "events" for the driver's NTZ events table; a CTAS result
+    # that merely shares the name must register the written table, not
+    # re-read dirname(path)/events.parquet
+    from xngin_spark.engine import Engine
+
+    e = Engine(sf_dir, spark=spark)
+    path = str(tmp_path / "my_events")
+    df = e.ctas(
+        "events", "SELECT 1 AS a, 2 AS b", path, mode="overwrite"
+    )
+    assert [tuple(r) for r in e.table("events").collect()] == [(1, 2)]
+    assert [tuple(r) for r in df.collect()] == [(1, 2)]
+    # restore the real events view for other tests in this session
+    e.catalog.register("events", f"{sf_dir}/events.parquet")

@@ -864,3 +864,39 @@ def test_minhash_index_persist_and_screen(spark, tmp_path, docs):
     }
     D.release_persisted()
     assert again == set(hits)
+    # an index without metadata must refuse to screen (guessed banding
+    # constants silently match nothing)
+    os.remove(f"{path}/_meta.json")
+    import pytest
+
+    with pytest.raises(ValueError):
+        D.minhash_screen(new, path, threshold=0.5)
+
+
+def test_asof_join_null_value_row_semantics(spark):
+    # ASOF joins the latest ROW; a NULL value in that row must come
+    # through as NULL, not reach back to an older non-NULL value
+    from xngin_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100.0, "u")], "id int, ts double, k string")
+    right = spark.createDataFrame(
+        [(5.0, "u", 1.0), (95.0, "u", None)], "ts double, k string, v double"
+    )
+    out = asof_join(left, right, on="ts", by="k", value_cols=["v"]).collect()
+    assert out[0].v_r is None  # latest row (ts=95) carries NULL
+
+
+def test_asof_join_tolerance_no_stale_leak(spark):
+    # regression (review finding): with per-column fills, the mask
+    # tested the fresh row's timestamp while the VALUE filled past its
+    # NULL back to a 95s-stale row — the struct fill makes both agree
+    from xngin_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100.0, "u")], "id int, ts double, k string")
+    right = spark.createDataFrame(
+        [(5.0, "u", 1.0), (95.0, "u", None)], "ts double, k string, v double"
+    )
+    out = asof_join(
+        left, right, on="ts", by="k", value_cols=["v"], tolerance_sec=10
+    ).collect()
+    assert out[0].v_r is None  # matched row is fresh but its value is NULL

@@ -117,7 +117,12 @@ class Catalog:
                 f"CREATE TABLE IF NOT EXISTS `{schema}`.`{name}` "
                 f"USING parquet LOCATION '{path}'"
             )
-        elif name == "events":
+        elif name == "events" and os.path.basename(path) == "events.parquet":
+            # the driver's events table needs the TIMESTAMP_NTZ-aware
+            # loader; scope the special case to the testdata layout so a
+            # user-created table that merely SHARES the name (e.g. a
+            # ctas() result at an arbitrary path) registers generically
+            # instead of re-reading dirname(path)/events.parquet
             events_df(self.spark, os.path.dirname(path)).createOrReplaceTempView(name)
         else:
             self.spark.read.parquet(path).createOrReplaceTempView(name)

@@ -48,6 +48,15 @@ def release_persisted() -> None:
         _PERSISTED.pop().unpersist()
 
 
+def track_persisted(df: DataFrame) -> DataFrame:
+    """Register an externally persisted DataFrame for release by
+    ``release_persisted()`` — the session-wide storage drain the bench
+    (and any long-lived service) calls between queries. Lets other
+    modules share one release point instead of growing their own."""
+    _PERSISTED.append(df)
+    return df
+
+
 def _perm_consts(k: int, seed: int = 42) -> list[tuple[int, int]]:
     # deterministic LCG so signatures are reproducible across runs/engines
     out, state = [], seed
@@ -162,6 +171,46 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    sigs: DataFrame,
+    id_col: str,
+    k: int,
+    bands: int,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, bucket) rows from a signature table — THE banding
+    expression, defined once: minhash_lsh_pairs, minhash_index_persist
+    and minhash_screen all band through here, so the persisted index
+    can never silently drift from the in-memory pairing path.
+
+    explode_outer + post-filter: plain explode lets
+    InferFiltersFromGenerate re-run the whole banding transform inside
+    a pushed-down size()>0 guard."""
+    r = k // bands
+    return (
+        sigs.select(
+            F.col(id_col),
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.struct(
+                        b.alias("band"),
+                        (md5_long if portable else F.xxhash64)(
+                            F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bb"),
+        )
+        .filter(F.col("bb").isNotNull())
+        .select(
+            id_col,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bucket").alias("bucket"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -212,26 +261,7 @@ def minhash_lsh_pairs(
     # sides consume `sigs`; without a barrier they race the cold cache
     # and each recomputes the signatures
     sigs.count()
-    banded = sigs.select(
-        F.col(id_col),
-        # explode_outer + post-filter: plain explode lets
-        # InferFiltersFromGenerate re-run the whole banding transform
-        # inside a pushed-down size()>0 guard
-        F.explode_outer(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    (md5_long if portable else F.xxhash64)(
-                        F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).filter(F.col("bb").isNotNull()).select(
-        id_col,
-        "bb",
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _band_buckets(sigs, id_col, k, bands, portable)
 
     if max_bucket_size is not None:
         # one extra (band,bucket) count agg (map-side partial, 24B rows)
@@ -609,33 +639,25 @@ def minhash_index_persist(
     when the corpus lands; every later batch is screened against the
     stored buckets without touching corpus text again. At 100 TB the
     index is ~n x (k*8B + bands*24B) — three orders of magnitude
-    smaller than the text it stands for.
+    smaller than the text it stands for. The index parameters are
+    written to ``_meta.json``; ``minhash_screen`` reads them back, so a
+    screen can never silently run with mismatched banding.
     """
+    import json
+    import os
+
     from pyspark.storagelevel import StorageLevel
 
-    r = k // bands
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sigs.write.mode(mode).parquet(f"{path}/sigs")
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).filter(F.col("bb").isNotNull()).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    _band_buckets(sigs, id_col, k, bands).write.mode(mode).parquet(
+        f"{path}/bands"
     )
-    banded.write.mode(mode).parquet(f"{path}/bands")
     sigs.unpersist()
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump({"k": k, "bands": bands, "shingle_n": shingle_n}, fh)
 
 
 def minhash_screen(
@@ -643,9 +665,6 @@ def minhash_screen(
     index_path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 64,
-    bands: int = 16,
-    shingle_n: int = 3,
     threshold: float = 0.7,
 ) -> DataFrame:
     """Screen a NEW batch against a persisted MinHash index: returns
@@ -653,39 +672,41 @@ def minhash_screen(
     ingested documents — the screen every ingest pipeline runs before
     admitting a batch.
 
-    Cost shape: the new batch is signed map-side (k, bands, shingle_n
-    MUST match the persisted index); its tiny band rows join the stored
-    ``bands/`` table on (band, bucket) — with a fresh batch that's a
-    broadcast of the batch side against the big stored table; then only
-    candidate ids fetch signatures from ``sigs/`` for verification.
-    Corpus text is never read.
+    k/bands/shingle_n are NOT parameters: they are read from the
+    index's ``_meta.json``, because banding with different constants
+    than the stored buckets silently returns an empty screen ("no
+    duplicates — admit the batch") instead of an error. A missing meta
+    file raises.
+
+    Cost shape: the new batch is signed map-side; its tiny band rows
+    join the stored ``bands/`` table on (band, bucket) — with a fresh
+    batch that's a broadcast of the batch side against the big stored
+    table; then only candidate ids fetch signatures from ``sigs/`` for
+    verification. Corpus text is never read.
     """
+    import json
+    import os
+
     from pyspark.storagelevel import StorageLevel
 
+    meta_path = os.path.join(index_path, "_meta.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"no _meta.json under {index_path} — not a minhash_index_persist "
+            "index (screening with guessed k/bands would silently match nothing)"
+        )
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    k, bands, shingle_n = meta["k"], meta["bands"], meta["shingle_n"]
+
     spark = new_df.sparkSession
-    r = k // bands
     nsig = minhash_signatures(new_df, text_col, id_col, k, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     _PERSISTED.append(nsig)
     nsig.count()
-    nband = nsig.select(
-        F.col(id_col),
-        F.explode_outer(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.array_join(F.slice(F.col("sig"), b * r + 1, r), ",")
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).filter(F.col("bb").isNotNull()).select(
-        F.col(id_col).alias("new_id"),
-        F.col("bb.band").alias("band"),
-        F.col("bb.bucket").alias("bucket"),
+    nband = _band_buckets(nsig, id_col, k, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
     )
     stored = spark.read.parquet(f"{index_path}/bands").select(
         F.col(id_col).alias("corpus_id"), "band", "bucket"

@@ -50,63 +50,66 @@ def asof_join(
     values at or before their ``on`` timestamp (per ``by`` key when
     given); NULL when no earlier right row exists.
 
-    Shape: tag sides, union only (key, ts, values), one window
-    ``last(value, ignoreNulls=True)`` per value column over
-    rows-between(unbounded preceding, current), keep left rows. Right
-    rows order before left rows at equal timestamps, so ties are
-    inclusive (right.ts == left.ts matches) — DuckDB ASOF semantics.
+    Shape: tag sides, union only (key, ts, right-row struct), one
+    window ``last(struct, ignoreNulls=True)`` over rows-between
+    (unbounded preceding, current), keep left rows. The matched right
+    ROW travels as one struct — never per-column fills — so a NULL in
+    one value column cannot make that column reach further back than
+    the others: the result is exactly the latest right row's values,
+    NULLs included (DuckDB ASOF / pandas merge_asof row semantics).
+    Right rows order before left rows at equal timestamps, so ties are
+    inclusive (right.ts == left.ts matches).
 
     ``tolerance_sec`` bounds the lookback (pandas merge_asof's
     ``tolerance``): matches older than the bound become NULL, exactly
-    ``left.on <= matched.on + INTERVAL tol SECOND``. Implemented by
-    forward-filling the matched right timestamp alongside the values
-    and masking — same single shuffle, no extra pass; the timestamp
-    comparison stays exact (no second-truncation), so fractional-second
-    data agrees with the DuckDB oracle.
+    ``left.on <= matched.on + INTERVAL tol SECOND``. The mask tests the
+    matched row's own timestamp (same struct), and the comparison is
+    exact timestamp arithmetic (no second-truncation), so
+    fractional-second data agrees with the DuckDB oracle.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in {on, by}
     ]
     keys = ([by] if by else []) + [on]
-    fill_cols = list(value_cols)
-    rt_extra = []
-    if tolerance_sec is not None:
-        rt_extra = [F.col(on).alias(f"__asof{suffix}")]
     lt = left.withColumn("__side", F.lit(1))
+    row = F.struct(
+        F.col(on).alias("__matched_on"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
     rt = right.select(
-        *[F.col(c) for c in keys],
-        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
-        *rt_extra,
+        *[F.col(c) for c in keys], row.alias("__asof_row")
     ).withColumn("__side", F.lit(0))
-    # align schemas: left gains null right-value columns, right gains
-    # null left columns; unionByName fills the gaps
+    # align schemas: left gains a NULL __asof_row; right gains NULL left
+    # columns; unionByName fills the gaps
     u = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         Window.partitionBy(*([by] if by else []))
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    fill = [f"{c}{suffix}" for c in value_cols]
-    if tolerance_sec is not None:
-        fill.append(f"__asof{suffix}")
-    for c in fill:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    u = u.filter(F.col("__side") == 1).drop("__side")
+    u = (
+        u.withColumn("__asof_row", F.last("__asof_row", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+    matched = F.col("__asof_row.__matched_on")
     if tolerance_sec is not None:
         if dict(left.dtypes)[on].startswith("timestamp"):
             bound = F.expr(
-                f"`{on}` <= `__asof{suffix}` + INTERVAL {int(tolerance_sec)} SECOND"
+                f"`{on}` <= __asof_row.__matched_on"
+                f" + INTERVAL {int(tolerance_sec)} SECOND"
             )
         else:  # numeric event-time axis: plain arithmetic
-            bound = F.col(on) <= F.col(f"__asof{suffix}") + F.lit(tolerance_sec)
-        within = F.col(f"__asof{suffix}").isNotNull() & bound
-        for c in value_cols:
-            u = u.withColumn(
-                f"{c}{suffix}",
-                F.when(within, F.col(f"{c}{suffix}")),
-            )
-        u = u.drop(f"__asof{suffix}")
-    return u
+            bound = F.col(on) <= matched + F.lit(tolerance_sec)
+        keep = matched.isNotNull() & bound
+    else:
+        keep = None
+    for c in value_cols:
+        val = F.col(f"__asof_row.{c}")
+        u = u.withColumn(
+            f"{c}{suffix}", F.when(keep, val) if keep is not None else val
+        )
+    return u.drop("__asof_row")
 
 
 def range_join(
