@@ -172,9 +172,11 @@ def events_json_props(spark, sf_dir):
     WITH docs AS (
       SELECT event_type,
              concat('{"meta":{"type":"', event_type, '","k":',
-                    json_extract_string(props, '$.k'),
-                    '},"vals":[', json_extract_string(props, '$.k'), ',',
-                    CAST(2 * CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    COALESCE(json_extract_string(props, '$.k'), '0'),
+                    '},"vals":[',
+                    COALESCE(json_extract_string(props, '$.k'), '0'), ',',
+                    CAST(2 * CAST(COALESCE(json_extract_string(props, '$.k'),
+                                           '0') AS BIGINT)
                          AS VARCHAR), ']}') AS doc
       FROM events
     )
@@ -202,7 +204,11 @@ def events_variant(spark, sf_dir):
     the identical document text (integer-only payload so the string
     round-trip is representation-exact)."""
     e = events_df(spark, sf_dir)
-    k = F.get_json_object("props", "$.k")
+    # COALESCE on both engines: without it a props row missing $.k
+    # diverges (Spark concat returns NULL on any NULL arg, DuckDB's
+    # skips it and emits malformed JSON) — unreachable on current
+    # testdata but testdata regenerates between rounds
+    k = F.coalesce(F.get_json_object("props", "$.k"), F.lit("0"))
     doc = F.concat(
         F.lit('{"meta":{"type":"'), F.col("event_type"), F.lit('","k":'), k,
         F.lit('},"vals":['), k, F.lit(","),
