@@ -122,6 +122,31 @@ def corpus_sample(spark, sf_dir):
 
 
 @register(
+    "corpus_sample_exact",
+    """
+    SELECT doc_id, lang, source FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text), doc_id
+    LIMIT 100
+    """,
+)
+def corpus_sample_exact(spark, sf_dir):
+    """EXACT-size deterministic uniform sample: rank rows by a content
+    hash and take the top n. The hash-cut sampler (corpus_sample) gives
+    rate-proportional but size-variable strata; training pipelines also
+    need "exactly n documents, same n every run, on any cluster" —
+    hash-rank + fused top-k delivers that with one scan and a
+    TakeOrderedAndProject (per-partition heaps merged at the driver),
+    never a global sort materialization. Seeding = change the salt."""
+    d = T(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+    )
+    return (
+        d.orderBy(key, "doc_id").limit(100).select("doc_id", "lang", "source")
+    )
+
+
+@register(
     "length_histogram",
     """
     SELECT bucket,
