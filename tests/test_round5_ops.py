@@ -582,3 +582,40 @@ class TestOptimizeTable:
             spark, path, zorder_cols=["a", "b"], target_bytes=256 << 10
         )
         assert again["files_compacted"] == 0
+
+
+def test_training_shards_jsonl_matches_parquet_layout(spark, tmp_path):
+    import glob
+    import json as jsonlib
+
+    from xngin_spark.sources.writers import write_training_shards
+
+    df = spark.createDataFrame(
+        [(i, f"payload text {i}") for i in range(120)], "doc_id long, text string"
+    )
+    pq_out, js_out = str(tmp_path / "pq"), str(tmp_path / "js")
+    write_training_shards(df, pq_out, n_shards=4)
+    write_training_shards(df, js_out, n_shards=4, fmt="json")
+
+    for shard in range(4):
+        files = sorted(glob.glob(f"{js_out}/shard={shard}/part-*.json"))
+        assert files, f"shard {shard} missing jsonl"
+        rows = [
+            jsonlib.loads(line)
+            for f in files
+            for line in open(f)
+            if line.strip()
+        ]
+        pq_rows = [
+            r.asDict()
+            for r in spark.read.parquet(f"{pq_out}/shard={shard}").orderBy(
+                "h8", "doc_id"
+            ).collect()
+        ]
+        # same docs, same in-shard order, one JSON object per line
+        assert [r["doc_id"] for r in rows] == [r["doc_id"] for r in pq_rows]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        write_training_shards(df, str(tmp_path / "x"), fmt="orc")

@@ -104,6 +104,7 @@ def write_training_shards(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "xs1",
+    fmt: str = "parquet",
 ) -> None:
     """Materialize the deterministic global shuffle as training shards:
     ``path/shard=K/`` parquet, each shard internally ordered by the
@@ -119,15 +120,21 @@ def write_training_shards(
     size n_shards to the target shard bytes (total/shard_size) exactly
     like the queryable twin. Re-running with the same seed is
     byte-stable; a new seed is a fresh epoch-level reshuffle.
+
+    ``fmt="json"`` writes JSON-lines shards instead of parquet — the
+    format most LM training dataloaders stream directly (one JSON
+    object per line, same shard layout and in-shard order).
     """
     from xngin_spark.operators.corpus import shard_assignment_cols
 
+    if fmt not in ("parquet", "json"):
+        raise ValueError(f"fmt must be 'parquet' or 'json', got {fmt!r}")
     h8, shard = shard_assignment_cols(n_shards, id_col, text_col, seed)
     out = df.withColumn("h8", h8).withColumn("shard", shard)
-    (
+    writer = (
         out.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "h8", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(path)
     )
+    writer.parquet(path) if fmt == "parquet" else writer.json(path)
