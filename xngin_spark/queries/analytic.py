@@ -296,6 +296,42 @@ def string_suite(spark, sf_dir):
     )
 
 
+@register(
+    "window_distribution",
+    """
+    WITH u AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem
+               WHERE l_orderkey < 20000)
+    SELECT l_returnflag, l_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume
+    FROM u
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey)
+    """,
+)
+def window_distribution(spark, sf_dir):
+    """Distribution window functions — ntile / percent_rank /
+    cume_dist — over a DISTINCT (flag, orderkey) projection so the
+    ORDER BY key is unique per partition: ntile splits ties by
+    physical row order, which no two engines (or two runs) need to
+    agree on, so determinism requires a tie-free ordering. percent_rank
+    and cume_dist are value-based and deterministic regardless."""
+    u = (
+        T(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 20000)
+        .select("l_returnflag", "l_orderkey")
+        .distinct()
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+    return u.select(
+        "l_returnflag",
+        "l_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
 @register("hll_partitioned_distinct")  # no oracle: sketch is engine-specific
 def hll_partitioned_distinct(spark, sf_dir):
     """Mergeable-sketch rollup — THE 100 TB cardinality pattern: build

@@ -320,6 +320,52 @@ _PASSAGE_ORACLE = """
     """
 
 
+@register(
+    "dedup_edit_distance",
+    """
+    WITH d AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 300)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
+    FROM d a JOIN d b
+      ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
+    WHERE levenshtein(a.text, b.text) <= 40
+    """,
+)
+def dedup_edit_distance(spark, sf_dir):
+    """Edit-distance near-dup verifier: exact Levenshtein over a
+    length-prefiltered candidate set — the audit-grade check for pairs
+    the hash families surface (a levenshtein bound implies a length
+    bound, so the |Δchars| <= 16 prefilter loses nothing and cuts the
+    quadratic before the O(len²) DP runs). Input-bounded like the
+    other pairwise verifiers; at scale the candidates come from
+    minhash/simhash buckets, never from a corpus self-join. Both
+    engines ship the same levenshtein, so the row is fully
+    hash-checked."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
+        "doc_id", "text", "n_chars"
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("text").alias("ta"),
+        F.col("n_chars").alias("na"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("text").alias("tb"),
+        F.col("n_chars").alias("nb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("na") - F.col("nb")) <= 16),
+        )
+        .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("long"))
+        .filter(F.col("edit_dist") <= 40)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
 @register("dedup_semantic")  # rows-only: k-means cluster blocking (iterative)
 def dedup_semantic(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
