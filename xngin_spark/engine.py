@@ -69,7 +69,7 @@ class Engine:
         query: str,
         path: str,
         dialect: str = "ansi",
-        partition_by=None,
+        partition_by: list[str] | None = None,
         mode: str = "error",
     ) -> DataFrame:
         """CREATE TABLE AS SELECT: materialize ``query`` as a parquet

@@ -112,6 +112,18 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _sig_agreement(a: Column, b: Column, k: int) -> Column:
+    """Fraction of agreeing minhash positions — the colocated
+    signature-level Jaccard estimate shared by the pairing and the
+    index-screen paths."""
+    return (
+        F.size(
+            F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda eq: eq)
+        ).cast("double")
+        / F.lit(float(k))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -253,10 +265,11 @@ def minhash_lsh_pairs(
     # LSH layout: n × k×8B ≈ 0.5 KB/doc, disk-spillable)
     from pyspark.storagelevel import StorageLevel
 
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n, portable).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sigs = track_persisted(
+        minhash_signatures(df, text_col, id_col, k, shingle_n, portable).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
-    _PERSISTED.append(sigs)
     # materialize eagerly: the banding stage and both verification-join
     # sides consume `sigs`; without a barrier they race the cold cache
     # and each recomputes the signatures
@@ -287,15 +300,7 @@ def minhash_lsh_pairs(
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(k))
-    )
+    est = _sig_agreement(F.col("sig_a"), F.col("sig_b"), k)
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
@@ -528,10 +533,11 @@ def winnow_candidate_pairs(
     # (n × ~30 fp × 16B, disk-spillable; released via release_persisted)
     from pyspark.storagelevel import StorageLevel
 
-    fps = winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist(
-        StorageLevel.MEMORY_AND_DISK
+    fps = track_persisted(
+        winnow_fingerprints(df, text_col, id_col, k=k, w=w).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
-    _PERSISTED.append(fps)
     keep = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__df"))
@@ -700,10 +706,11 @@ def minhash_screen(
     k, bands, shingle_n = meta["k"], meta["bands"], meta["shingle_n"]
 
     spark = new_df.sparkSession
-    nsig = minhash_signatures(new_df, text_col, id_col, k, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK
+    nsig = track_persisted(
+        minhash_signatures(new_df, text_col, id_col, k, shingle_n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
-    _PERSISTED.append(nsig)
     nsig.count()
     nband = _band_buckets(nsig, id_col, k, bands).select(
         F.col(id_col).alias("new_id"), "band", "bucket"
@@ -720,15 +727,7 @@ def minhash_screen(
     ssig = spark.read.parquet(f"{index_path}/sigs").select(
         F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_c")
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("sig"), F.col("sig_c"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(k))
-    )
+    est = _sig_agreement(F.col("sig"), F.col("sig_c"), k)
     return (
         cand.join(nsig.select(F.col(id_col).alias("new_id"), "sig"), "new_id")
         .join(ssig, "corpus_id")

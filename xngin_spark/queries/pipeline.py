@@ -384,13 +384,11 @@ def dedup_semantic(spark, sf_dir):
     Rows-only in the gate (iterative training); duplicated vectors
     split across cluster boundaries are SemDeDup's accepted recall
     loss by design."""
-    from xngin_spark.operators import clustering as C
+    from xngin_spark.operators.clustering import _nearest, kmeans_fit
     from xngin_spark.operators.corpus import connected_components_star
 
     emb = T(spark, sf_dir, "embeddings")
-    cents = C.kmeans_fit(emb, k=8, max_iter=2)
-    from xngin_spark.operators.clustering import _nearest
-
+    cents = kmeans_fit(emb, k=8, max_iter=2)
     assigned = emb.withColumn(
         "cluster", _nearest(F.col("embedding"), cents)["c"]
     )

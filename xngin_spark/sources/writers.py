@@ -137,4 +137,7 @@ def write_training_shards(
         .write.mode("overwrite")
         .partitionBy("shard")
     )
-    writer.parquet(path) if fmt == "parquet" else writer.json(path)
+    if fmt == "parquet":
+        writer.parquet(path)
+    else:
+        writer.json(path)

@@ -58,6 +58,25 @@ DOCS_SCHEMA = T.StructType(
 )
 
 
+def _file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None,
+) -> DataFrame:
+    """Schema-pinned parquet file stream; a single-file path is narrowed
+    to its directory with a glob (FileStreamSource only lists dirs)."""
+    import os
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
 def documents_stream(
     spark: SparkSession,
     path: str,
@@ -66,15 +85,7 @@ def documents_stream(
     """File-stream over documents parquet (ingest-pipeline source):
     same schema-pinned, glob-narrowed reader as ``events_stream`` minus
     the event-time reinterpretation (documents carry no timestamp)."""
-    import os
-
-    reader = spark.readStream.schema(DOCS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if os.path.isfile(path):
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    return reader.parquet(path)
+    return _file_stream(spark, path, DOCS_SCHEMA, max_files_per_trigger)
 
 
 def events_stream(
@@ -88,16 +99,9 @@ def events_stream(
     (tests use it to exercise cross-batch watermark advancement; in
     production it is the backpressure knob).
     """
-    import os
-
-    reader = spark.readStream.schema(EVENTS_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    if os.path.isfile(path):
-        # FileStreamSource only lists directories; narrow with a glob
-        reader = reader.option("pathGlobFilter", os.path.basename(path))
-        path = os.path.dirname(path)
-    return reader.parquet(path).withColumn("ts", to_event_time("ts"))
+    return _file_stream(spark, path, EVENTS_SCHEMA, max_files_per_trigger).withColumn(
+        "ts", to_event_time("ts")
+    )
 
 
 def to_memory_sink(
