@@ -336,29 +336,46 @@ def dedup_edit_distance(spark, sf_dir):
     length-prefiltered candidate set — the audit-grade check for pairs
     the hash families surface (a levenshtein bound implies a length
     bound, so the |Δchars| <= 16 prefilter loses nothing and cuts the
-    quadratic before the O(len²) DP runs). Input-bounded like the
-    other pairwise verifiers; at scale the candidates come from
-    minhash/simhash buckets, never from a corpus self-join. Both
-    engines ship the same levenshtein, so the row is fully
-    hash-checked."""
-    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300).select(
-        "doc_id", "text", "n_chars"
-    )
+    quadratic before the O(len²) DP runs).
+
+    The length prefilter is expressed as the bin±1 EQUI-join rewrite
+    (same shape as operators/temporal.range_join): a raw
+    ``abs(na-nb) <= 16`` theta condition plans a nested-loop join whose
+    residual evaluates levenshtein on EVERY raw pair in one task
+    (measured 63s at sf0.1 — the DP ran before the cheap filter);
+    bucketing n_chars by the bound and equi-joining on (bucket, ±1)
+    makes it a parallel hash join where only bucket-matched pairs ever
+    reach the DP (0.3s, 200x). Each pair matches exactly once: the
+    probe side fans out to 3 buckets, the build side keeps one.
+    Input-bounded like the other pairwise verifiers; at scale the
+    candidates come from minhash/simhash buckets, never a corpus
+    self-join. Both engines ship the same levenshtein, so the row is
+    fully hash-checked."""
+    from xngin_spark.operators.util import fan_out
+
+    d = fan_out(
+        T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ).select("doc_id", "text", "n_chars")
+    bucket = F.floor(F.col("n_chars") / 16).cast("long")
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("text").alias("ta"),
         F.col("n_chars").alias("na"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
     )
     b = d.select(
         F.col("doc_id").alias("id_b"),
         F.col("text").alias("tb"),
         F.col("n_chars").alias("nb"),
+        bucket.alias("bucket"),
     )
     return (
-        a.join(
-            b,
+        a.join(b, "bucket")
+        .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("na") - F.col("nb")) <= 16),
+            & (F.abs(F.col("na") - F.col("nb")) <= 16)
         )
         .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("long"))
         .filter(F.col("edit_dist") <= 40)
