@@ -287,3 +287,84 @@ def test_scalar_expressions_match(spark, duck2, expr, pred):
     s = tuple(spark.sql(q.format(src=f"parquet.`{PATH}`")).collect()[0])
     d = tuple(duck2.execute(q.format(src="li")).fetchone())
     assert s == d, (expr, pred)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("XNGIN_DEEP_SWEEP"),
+    reason="opt-in: XNGIN_DEEP_SWEEP=1 runs the 300-case random sweep",
+)
+def test_deep_random_sweep(spark, duck2):
+    """Reproducible form of the pre-handoff divergence sweep: 300
+    seeded random queries (180 predicates, 60 joins, 60 windows) from
+    the same grammar as the hypothesis strategies, asserted identical
+    on both engines. Opt-in because it costs ~90s — run it before a
+    hand-off, not per CI cycle."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(99)
+
+    def atom():
+        c = rng.randrange(6)
+        if c == 0:
+            return (
+                f"{rng.choice(['l_orderkey','l_partkey','l_suppkey','l_linenumber'])} "
+                f"{rng.choice(['<','<=','>','>=','=','<>'])} {rng.randrange(0, 60000)}"
+            )
+        if c == 1:
+            return (
+                f"{rng.choice(['l_quantity','l_extendedprice','l_discount','l_tax'])} "
+                f"{rng.choice(['<','<=','>','>='])} {round(rng.uniform(0, 100), 2)}"
+            )
+        if c == 2:
+            lo = rng.randrange(0, 20)
+            return f"l_quantity BETWEEN {lo} AND {lo + rng.randrange(1, 40)}"
+        if c == 3:
+            vs = ", ".join(str(rng.randrange(0, 8)) for _ in range(rng.randrange(1, 4)))
+            return f"l_linenumber IN ({vs})"
+        if c == 4:
+            return rng.choice(
+                ["l_returnflag = 'R'", "l_returnflag <> 'A'",
+                 "l_linestatus IN ('O','F')", "l_returnflag IS NOT NULL"]
+            )
+        return (
+            f"l_extendedprice * (1 - l_discount) {rng.choice(['>','<='])} "
+            f"{round(rng.uniform(0, 60000), 2)}"
+        )
+
+    def pred(depth=0):
+        if depth > 2 or rng.random() < 0.4:
+            return atom()
+        if rng.random() < 0.2:
+            return f"(NOT {pred(depth + 1)})"
+        return f"({pred(depth + 1)} {rng.choice(['AND', 'OR'])} {pred(depth + 1)})"
+
+    for _ in range(180):
+        p = pred()
+        q = "SELECT count(*) FROM {s} WHERE " + p
+        s = spark.sql(q.format(s=f"parquet.`{PATH}`")).collect()[0][0]
+        d = duck2.execute(q.format(s="li")).fetchone()[0]
+        assert s == d, p
+    for _ in range(60):
+        p, jt = pred(), rng.choice(["JOIN", "LEFT JOIN"])
+        q = (
+            "SELECT count(*) FROM (SELECT * FROM {li} WHERE " + p + f") a {jt} "
+            "{o} b ON a.l_orderkey = b.o_orderkey"
+        )
+        s = spark.sql(q.format(li=f"parquet.`{PATH}`", o=f"parquet.`{ORD_PATH}`")).collect()[0][0]
+        d = duck2.execute(q.format(li="li", o="ord")).fetchone()[0]
+        assert s == d, (jt, p)
+    for _ in range(60):
+        p = pred()
+        g = rng.choice(["l_returnflag", "l_linestatus", "l_linenumber"])
+        k2 = rng.choice(["l_orderkey", "l_partkey", "l_suppkey"])
+        fn = rng.choice(
+            ["rank()", "dense_rank()", "count(*)", f"sum({k2})", f"min({k2})", f"max({k2})"]
+        )
+        q = (
+            f"SELECT {g} g, {k2} k, {fn} OVER (PARTITION BY {g} ORDER BY {k2}) w "
+            "FROM {s} WHERE " + p
+        )
+        s = Counter(tuple(r) for r in spark.sql(q.format(s=f"parquet.`{PATH}`")).collect())
+        d = Counter(map(tuple, duck2.execute(q.format(s="li")).fetchall()))
+        assert s == d, (g, k2, fn, p)
