@@ -46,13 +46,20 @@ GATE_PRIORITY = [
     # family — repetition/chunks/index/tfidf/clusters/pack — is
     # oracle-compared by local pytest from the tail)
     "contamination_ngram",
+    # dedup_simhash_checked replaces events_rate_per_user in the window
+    # (round 6): it is the simhash family's FIRST value-checked row
+    # (md5_long portable hashing, same upgrade pattern as
+    # dedup_minhash_checked), where rate-per-user was a third row for
+    # event-window machinery already proven by tumbling+session — the
+    # displaced query keeps its local oracle compare in
+    # test_tpch_parity.py.
+    "dedup_simhash_checked",
     # event windows / temporal joins (oracle-bearing, incl. streaming
     # twin; sliding displaced to the tail — tumbling proves the same
     # windowed-agg machinery)
     "events_tumbling",
     "events_session",
     "events_json_props",
-    "events_rate_per_user",
     "events_stream_tumbling",
     "events_asof_join",
     "events_range_join",

@@ -135,6 +135,14 @@ def main() -> None:
         except (OSError, ValueError, AttributeError):
             pass
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Canary-normalized timings: query_sec ÷ mean(canary) is unit-free
+    # "canaries of work" — host-VM throughput was observed to swing ~5x
+    # between bench windows, so round-over-round regressions should be
+    # judged on these, not raw seconds (see bench_compare.py).
+    canary_mean = round((canary + canary_end) / 2, 3) or 1.0
+    queries_norm = {
+        k: round(v / canary_mean, 2) for k, v in timings.items() if v >= 0
+    }
     payload = {
         "metric": "tpch_suite_total",
         "value": total,
@@ -144,9 +152,17 @@ def main() -> None:
         "startup_sec": round(startup, 3),
         "canary_sec": canary,
         "canary_end_sec": canary_end,
+        "canary_mean_sec": canary_mean,
+        "total_norm_canaries": round(total / canary_mean, 2),
+        "queries_norm": queries_norm,
         "empty_results": empty,
         "n_queries": len(timings),
         "r01_subset_total": prev_subtotal,
+        "r01_subset_norm": (
+            round(prev_subtotal / canary_mean, 2)
+            if prev_subtotal is not None
+            else None
+        ),
     }
     # Full per-query payload: a file for the judge + stderr for humans.
     # stdout gets ONE compact line fitted to the driver's 2000-char
@@ -175,6 +191,10 @@ def _fit_line(payload: dict, budget: int = 1900) -> dict:
         from __spark_entry__ import GATE_PRIORITY
     except ImportError:
         GATE_PRIORITY = []
+    # the full per-query normalized map lives in BENCH_FULL.json; the
+    # compact stdout line keeps only the scalar normalized fields
+    payload = dict(payload)
+    payload.pop("queries_norm", None)
     timings = payload["queries"]
     rest = sorted(
         (k for k in timings if k not in GATE_PRIORITY),

@@ -864,9 +864,23 @@ def test_minhash_index_persist_and_screen(spark, tmp_path, docs):
     }
     D.release_persisted()
     assert again == set(hits)
+    # an index persisted under a NON-default id column screens with the
+    # persist-time name recorded in the meta, not the caller's default
+    path2 = str(tmp_path / "mh_index_uid")
+    D.minhash_index_persist(
+        docs.withColumnRenamed("doc_id", "uid"), path2, id_col="uid"
+    )
+    uid_hits = {
+        (r.new_id, r.corpus_id)
+        for r in D.minhash_screen(new, path2, threshold=0.5).collect()
+    }
+    D.release_persisted()
+    assert {(101, 1), (101, 2)} <= uid_hits
     # an index without metadata must refuse to screen (guessed banding
     # constants silently match nothing)
-    os.remove(f"{path}/_meta.json")
+    import shutil
+
+    shutil.rmtree(f"{path}/_meta")
     import pytest
 
     with pytest.raises(ValueError):

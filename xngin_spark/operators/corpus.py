@@ -260,8 +260,13 @@ def tfidf_topk(
     """Top-k characteristic terms per document by tf·idf
     (idf = ln(N/df), smoothing-free since every indexed token has
     df ≥ 1). Three narrow shuffles — (doc,tok) counts, per-token df,
-    per-doc rank — each on a compact key; df is broadcast back. Scores
-    rounded to 8 digits: ln() is not guaranteed correctly-rounded
+    per-doc rank — each on a compact key. The df-rejoin is deliberately
+    NOT hint-broadcast: on a web-scale corpus the distinct-token table
+    runs to billions of rows and a forced broadcast OOMs; AQE still
+    chooses broadcast at runtime when dfreq actually fits (it does at
+    test SFs), and degrades to a sort-merge/shuffled-hash join on `tok`
+    — the same key both inputs were just shuffled on — when it doesn't.
+    Scores rounded to 8 digits: ln() is not guaranteed correctly-rounded
     identically across engines."""
     from pyspark.sql import Window
 
@@ -271,7 +276,7 @@ def tfidf_topk(
     tf = pairs.groupBy(id_col, "tok").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = df.select(id_col).distinct().count()
-    scored = tf.join(F.broadcast(dfreq), "tok").select(
+    scored = tf.join(dfreq, "tok").select(
         id_col,
         "tok",
         "tf",

@@ -310,7 +310,7 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
+def simhash(text: Column, bits: int = 64, portable: bool = False) -> Column:
     """Charikar SimHash over tokens: per-bit signed vote of token
     hashes, packed into one BIGINT.
 
@@ -320,11 +320,17 @@ def simhash(text: Column, bits: int = 64) -> Column:
     aggregate per bit) re-traverses the hash array 63× and its 63-way
     expression tree takes seconds of codegen — this shape is ~60× less
     expression volume and identical output bit-for-bit.
+
+    ``portable=True`` swaps the base hash xxhash64 → md5_long (60
+    usable bits, so the signature narrows to 60 votes) so a DuckDB
+    oracle reproduces every signature bit-for-bit; vote fold and
+    sign-packing are the shared code path either way.
     """
-    nb = bits - 1  # skip sign bit to stay positive
+    nb = PORTABLE_SIMHASH_BITS if portable else bits - 1  # skip sign bit
     masks = F.array(*[F.lit(1 << i).cast("long") for i in range(nb)])
     toks = F.array_distinct(tokens(text))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    base = md5_long if portable else F.xxhash64
+    hashes = F.transform(toks, lambda t: base(t))
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), nb),
@@ -348,21 +354,39 @@ def simhash(text: Column, bits: int = 64) -> Column:
     )
 
 
+PORTABLE_SIMHASH_BITS = 60  # md5_long yields 60 usable bits
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 8,
     block_bits: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Scale path: block on the top `block_bits` bits (two docs within
-    Hamming d of each other agree on at least one of the 4 16-bit
-    blocks when d ≤ 3 — generalized pigeonhole). Blocking turns the
-    quadratic self-join into bucket-local joins, same shape as LSH.
+    Scale path: block on `block_bits`-bit blocks (two docs within
+    Hamming d of each other agree on at least one of the nbits/block_bits
+    blocks when d < nbits/block_bits — generalized pigeonhole). Blocking
+    turns the quadratic self-join into bucket-local joins, same shape
+    as LSH.
+
+    ``portable=True``: md5_long base hash, 60-bit signatures, 15-bit
+    blocks (4 blocks either way) — DuckDB reproduces signatures, block
+    keys, candidates and Hamming distances bit-for-bit (see
+    dedup_simhash_checked); the banding/verify expressions are shared
+    with the production xxhash64 path.
     """
-    sh = fan_out(df).select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh"))
+    if portable:
+        nbits, block_bits = PORTABLE_SIMHASH_BITS, 15
+    else:
+        nbits = 64
+    sh = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        simhash(F.col(text_col), portable=portable).alias("sh"),
+    )
     blocks = sh.select(
         "id",
         "sh",
@@ -375,7 +399,7 @@ def simhash_pairs(
                         .bitwiseAND(F.lit((1 << block_bits) - 1))
                         .alias("key"),
                     )
-                    for i in range(64 // block_bits)
+                    for i in range(nbits // block_bits)
                 ]
             )
         ).alias("bk"),
@@ -645,13 +669,14 @@ def minhash_index_persist(
     when the corpus lands; every later batch is screened against the
     stored buckets without touching corpus text again. At 100 TB the
     index is ~n x (k*8B + bands*24B) — three orders of magnitude
-    smaller than the text it stands for. The index parameters are
-    written to ``_meta.json``; ``minhash_screen`` reads them back, so a
-    screen can never silently run with mismatched banding.
+    smaller than the text it stands for. The index parameters (and the
+    persist-time column names) are written to ``_meta/`` as a one-row
+    JSON dataset THROUGH Spark's writers — not a local ``open()`` — so
+    the index round-trips on any Hadoop-supported filesystem (s3://,
+    hdfs://, ...), which is the stated production ingest scenario;
+    ``minhash_screen`` reads them back, so a screen can never silently
+    run with mismatched banding or column names.
     """
-    import json
-    import os
-
     from pyspark.storagelevel import StorageLevel
 
     sigs = minhash_signatures(df, text_col, id_col, k, shingle_n).persist(
@@ -662,8 +687,11 @@ def minhash_index_persist(
         f"{path}/bands"
     )
     sigs.unpersist()
-    with open(os.path.join(path, "_meta.json"), "w") as fh:
-        json.dump({"k": k, "bands": bands, "shingle_n": shingle_n}, fh)
+    meta = df.sparkSession.createDataFrame(
+        [(int(k), int(bands), int(shingle_n), id_col, text_col)],
+        "k long, bands long, shingle_n long, id_col string, text_col string",
+    )
+    meta.coalesce(1).write.mode(mode).json(f"{path}/_meta")
 
 
 def minhash_screen(
@@ -679,10 +707,12 @@ def minhash_screen(
     admitting a batch.
 
     k/bands/shingle_n are NOT parameters: they are read from the
-    index's ``_meta.json``, because banding with different constants
-    than the stored buckets silently returns an empty screen ("no
-    duplicates — admit the batch") instead of an error. A missing meta
-    file raises.
+    index's ``_meta/`` dataset, because banding with different
+    constants than the stored buckets silently returns an empty screen
+    ("no duplicates — admit the batch") instead of an error. The stored
+    tables are likewise read with the PERSIST-time id column name from
+    the meta (an index persisted with ``id_col='uid'`` screens
+    correctly from a caller using the default). A missing meta raises.
 
     Cost shape: the new batch is signed map-side; its tiny band rows
     join the stored ``bands/`` table on (band, bucket) — with a fresh
@@ -690,22 +720,19 @@ def minhash_screen(
     table; then only candidate ids fetch signatures from ``sigs/`` for
     verification. Corpus text is never read.
     """
-    import json
-    import os
-
+    from pyspark.errors import AnalysisException
     from pyspark.storagelevel import StorageLevel
 
-    meta_path = os.path.join(index_path, "_meta.json")
-    if not os.path.exists(meta_path):
-        raise ValueError(
-            f"no _meta.json under {index_path} — not a minhash_index_persist "
-            "index (screening with guessed k/bands would silently match nothing)"
-        )
-    with open(meta_path) as fh:
-        meta = json.load(fh)
-    k, bands, shingle_n = meta["k"], meta["bands"], meta["shingle_n"]
-
     spark = new_df.sparkSession
+    try:
+        meta = spark.read.json(f"{index_path}/_meta").head()
+    except AnalysisException as exc:
+        raise ValueError(
+            f"no _meta under {index_path} — not a minhash_index_persist "
+            "index (screening with guessed k/bands would silently match nothing)"
+        ) from exc
+    k, bands, shingle_n = int(meta["k"]), int(meta["bands"]), int(meta["shingle_n"])
+    stored_id = meta["id_col"]
     nsig = track_persisted(
         minhash_signatures(new_df, text_col, id_col, k, shingle_n).persist(
             StorageLevel.MEMORY_AND_DISK
@@ -716,7 +743,7 @@ def minhash_screen(
         F.col(id_col).alias("new_id"), "band", "bucket"
     )
     stored = spark.read.parquet(f"{index_path}/bands").select(
-        F.col(id_col).alias("corpus_id"), "band", "bucket"
+        F.col(stored_id).alias("corpus_id"), "band", "bucket"
     )
     cand = (
         F.broadcast(nband)
@@ -725,7 +752,7 @@ def minhash_screen(
         .distinct()
     )
     ssig = spark.read.parquet(f"{index_path}/sigs").select(
-        F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_c")
+        F.col(stored_id).alias("corpus_id"), F.col("sig").alias("sig_c")
     )
     est = _sig_agreement(F.col("sig"), F.col("sig_c"), k)
     return (

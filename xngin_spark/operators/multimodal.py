@@ -45,11 +45,12 @@ def as_media_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     On real data the payload is the stored media blob; here we encode
     the text column so the pipeline is runnable in this container.
     """
+    txt = F.coalesce(F.col(text_col), F.lit(""))  # NULL media ≡ empty payload
     return df.select(
         F.col(id_col).alias("doc_id"),
-        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.encode(txt, "UTF-8").alias("payload"),
         F.struct(
-            F.length(F.col(text_col)).cast("long").alias("n_chars"),
+            F.length(txt).cast("long").alias("n_chars"),
             F.lit("text/plain").alias("mime"),
         ).alias("meta"),
     )
@@ -78,17 +79,40 @@ def extract_media_features(media: DataFrame, batch_hint: int = 1024) -> DataFram
     """
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
+        if not XNGIN_FAKE_DECODE:  # pragma: no cover
+            raise NotImplementedError("real media decoding requires codec libs")
+
         for pdf in batches:
-            payloads = pdf["payload"]
+            # Vectorized fake decode: concatenate the batch's payloads
+            # into one uint8 buffer and compute per-payload sums via a
+            # prefix sum — no per-byte Python loop (the Arrow batch is
+            # the unit of work, numpy the arithmetic engine).
+            raw = [bytes(b) if b is not None else b"" for b in pdf["payload"]]
+            n = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+            blob = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.int64)
+            starts = np.zeros(len(n), dtype=np.int64)
+            np.cumsum(n[:-1], out=starts[1:])
+            csum = np.concatenate([[0], np.cumsum(blob)])
+            sums = csum[starts + n] - csum[starts]
+            if blob.size:
+                first = np.where(n > 0, blob[np.minimum(starts, blob.size - 1)], 0)
+            else:
+                first = np.zeros(len(n), dtype=np.int64)
+            feature = (
+                np.stack([n, first, sums % 997, sums % 31], axis=1)
+                .astype(np.float32)
+                .tolist()
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "byte_len": payloads.map(len),
-                    "first_byte": payloads.map(lambda b: b[0] if len(b) else 0),
-                    "checksum": payloads.map(lambda b: sum(b) % 997),
-                    "feature": payloads.map(_decode_stub),
+                    "byte_len": n,
+                    "first_byte": first,
+                    "checksum": sums % 997,
+                    "feature": feature,
                 }
             )
 
@@ -192,29 +216,52 @@ def audio_window_energy(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFra
     Arrow batching, per-window explode) does not change.
 
     Trailing partial windows are emitted with their true n_samples —
-    dropping them silently would bias energy statistics.
+    dropping them silently would bias energy statistics. Empty or NULL
+    payloads emit NO windows (an empty stream has no analysis windows),
+    matching the oracle's window generator exactly.
     """
 
     def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
         import pandas as pd
 
+        if not XNGIN_FAKE_DECODE:  # pragma: no cover
+            raise NotImplementedError("real audio decode needs codec libs")
+
         for pdf in batches:
-            ids: list[int] = []
-            wins: list[int] = []
-            ns: list[int] = []
-            es: list[int] = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                samples = bytes(payload)
-                if not XNGIN_FAKE_DECODE:  # pragma: no cover
-                    raise NotImplementedError("real audio decode needs codec libs")
-                for w in range(0, max(len(samples), 1), window):
-                    chunk = samples[w : w + window]
-                    ids.append(int(doc_id))
-                    wins.append(w // window)
-                    ns.append(len(chunk))
-                    es.append(sum(b * b for b in chunk))
+            # Vectorized windowed sum-of-squares over the whole Arrow
+            # batch: one concatenated uint8 buffer, per-window sums via
+            # a prefix sum over squared samples — no per-byte Python.
+            raw = [bytes(b) if b is not None else b"" for b in pdf["payload"]]
+            n = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            nwin = -(-n // window)  # ceil; 0 windows for empty payloads
+            total = int(nwin.sum())
+            if total == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.zeros(0, np.int64),
+                        "window_no": np.zeros(0, np.int64),
+                        "n_samples": np.zeros(0, np.int64),
+                        "energy": np.zeros(0, np.int64),
+                    }
+                )
+                continue
+            blob = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.int64)
+            starts = np.zeros(len(n), dtype=np.int64)
+            np.cumsum(n[:-1], out=starts[1:])
+            csum_sq = np.concatenate([[0], np.cumsum(blob * blob)])
+            doc_idx = np.repeat(np.arange(len(n)), nwin)
+            win_no = np.arange(total) - np.repeat(np.cumsum(nwin) - nwin, nwin)
+            w_start = starts[doc_idx] + win_no * window
+            w_end = np.minimum(w_start + window, starts[doc_idx] + n[doc_idx])
             yield pd.DataFrame(
-                {"doc_id": ids, "window_no": wins, "n_samples": ns, "energy": es}
+                {
+                    "doc_id": doc_ids[doc_idx],
+                    "window_no": win_no,
+                    "n_samples": w_end - w_start,
+                    "energy": csum_sq[w_end] - csum_sq[w_start],
+                }
             )
 
     return media.select("doc_id", "payload").mapInPandas(process, AUDIO_ENERGY_SCHEMA)

@@ -94,10 +94,20 @@ def asof_join(
     )
     matched = F.col("__asof_row.__matched_on")
     if tolerance_sec is not None:
-        if dict(left.dtypes)[on].startswith("timestamp"):
+        on_dtype = dict(left.dtypes)[on]
+        if on_dtype.startswith("timestamp"):
             bound = F.expr(
                 f"`{on}` <= __asof_row.__matched_on"
                 f" + INTERVAL {int(tolerance_sec)} SECOND"
+            )
+        elif on_dtype == "date":
+            # date + int adds DAYS in Spark — a 600-second tolerance
+            # would silently become a 600-day one. A date axis has no
+            # sub-day resolution, so seconds-granular tolerance is
+            # ill-defined; require the caller to cast to timestamp.
+            raise ValueError(
+                f"asof_join tolerance_sec on DATE column '{on}': cast to "
+                "timestamp first (date arithmetic is day-granular)"
             )
         else:  # numeric event-time axis: plain arithmetic
             bound = F.col(on) <= matched + F.lit(tolerance_sec)

@@ -125,7 +125,7 @@ def corpus_sample(spark, sf_dir):
     "corpus_sample_exact",
     """
     SELECT doc_id, lang, source FROM documents
-    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || text), doc_id
+    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || COALESCE(text, '')), doc_id
     LIMIT 100
     """,
 )
@@ -136,10 +136,17 @@ def corpus_sample_exact(spark, sf_dir):
     need "exactly n documents, same n every run, on any cluster" —
     hash-rank + fused top-k delivers that with one scan and a
     TakeOrderedAndProject (per-partition heaps merged at the driver),
-    never a global sort materialization. Seeding = change the salt."""
+    never a global sort materialization. Seeding = change the salt.
+    text is COALESCEd to '' in the key: a NULL text would NULL the sort
+    key, and Spark (NULLS FIRST) and DuckDB (NULLS LAST) would then
+    pick different top-100 rows."""
     d = T(spark, sf_dir, "documents")
     key = F.md5(
-        F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("text"))
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
     )
     return (
         d.orderBy(key, "doc_id").limit(100).select("doc_id", "lang", "source")

@@ -229,6 +229,63 @@ def dedup_simhash(spark, sf_dir):
     return D.simhash_pairs(d, max_hamming=16)
 
 
+def _simhash_checked_oracle(max_hamming: int = 16) -> str:
+    from xngin_spark.operators.dedup import PORTABLE_SIMHASH_BITS as NB
+
+    blk_bits, nblk = 15, NB // 15
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+    toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM docs)
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range({NB})) AS i) bits
+      GROUP BY doc_id, i
+    ),
+    sh AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i)
+                      ELSE 0 END) AS sh
+      FROM votes GROUP BY doc_id
+    ),
+    blocks AS (
+      SELECT doc_id, sh, blk,
+             (sh >> (blk * {blk_bits})) & {(1 << blk_bits) - 1} AS key
+      FROM sh, (SELECT unnest(range({nblk})) AS blk) b
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.blk = b.blk AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_checked", _simhash_checked_oracle())
+def dedup_simhash_checked(spark, sf_dir):
+    """SimHash under the FULL value oracle (the round-5 upgrade of the
+    last big rows-only family): the same per-bit vote → sign-pack →
+    pigeonhole block-join pipeline as dedup_simhash, with the base hash
+    swapped to the engine-portable md5_long (60 usable bits → 60-vote
+    signatures, 4×15-bit blocks) so DuckDB reproduces every signature,
+    block key, candidate pair and Hamming distance bit-for-bit. The
+    vote fold, sign packing, blocking and verification are the SAME
+    expressions the xxhash64 production variant runs (portable=True
+    substitutes only the leaf hash and narrows 64→60 bits)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return D.simhash_pairs(d, max_hamming=16, portable=True).select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _minhash_checked_oracle(k: int = 16, bands: int = 8) -> str:
     from xngin_spark.operators.dedup import _P, _perm_consts
 
@@ -327,20 +384,23 @@ _PASSAGE_ORACLE = """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist
     FROM d a JOIN d b
-      ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 16
+      ON a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 40
     WHERE levenshtein(a.text, b.text) <= 40
     """,
 )
 def dedup_edit_distance(spark, sf_dir):
     """Edit-distance near-dup verifier: exact Levenshtein over a
     length-prefiltered candidate set — the audit-grade check for pairs
-    the hash families surface (a levenshtein bound implies a length
-    bound, so the |Δchars| <= 16 prefilter loses nothing and cuts the
-    quadratic before the O(len²) DP runs).
+    the hash families surface. levenshtein(a,b) >= |len(a)-len(b)|, so
+    with the emitted threshold edit_dist <= 40 the LOSSLESS length
+    prefilter is |Δchars| <= 40 — exactly the bound used here (a
+    tighter prefilter would silently drop qualifying pairs; a looser
+    one only costs extra DP calls). The prefilter cuts the quadratic
+    before the O(len²) DP runs.
 
     The length prefilter is expressed as the bin±1 EQUI-join rewrite
     (same shape as operators/temporal.range_join): a raw
-    ``abs(na-nb) <= 16`` theta condition plans a nested-loop join whose
+    ``abs(na-nb) <= 40`` theta condition plans a nested-loop join whose
     residual evaluates levenshtein on EVERY raw pair in one task
     (measured 63s at sf0.1 — the DP ran before the cheap filter);
     bucketing n_chars by the bound and equi-joining on (bucket, ±1)
@@ -356,7 +416,7 @@ def dedup_edit_distance(spark, sf_dir):
     d = fan_out(
         T(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     ).select("doc_id", "text", "n_chars")
-    bucket = F.floor(F.col("n_chars") / 16).cast("long")
+    bucket = F.floor(F.col("n_chars") / 40).cast("long")
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("text").alias("ta"),
@@ -375,7 +435,7 @@ def dedup_edit_distance(spark, sf_dir):
         a.join(b, "bucket")
         .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("na") - F.col("nb")) <= 16)
+            & (F.abs(F.col("na") - F.col("nb")) <= 40)
         )
         .withColumn("edit_dist", F.levenshtein("ta", "tb").cast("long"))
         .filter(F.col("edit_dist") <= 40)
@@ -536,7 +596,6 @@ def docs_stream_dedup(spark, sf_dir):
     ingest should prefer the bounded-state
     dropDuplicatesWithinWatermark twin (events_stream_dedup)."""
     import os
-    import uuid
 
     from xngin_spark.streaming import documents_stream, run_available_now
 
@@ -548,7 +607,7 @@ def docs_stream_dedup(spark, sf_dir):
         F.md5("text").alias("fp_md5"),
         F.length("text").cast("long").alias("n_chars"),
     ).dropDuplicates(["fp_md5"])
-    name = f"docs_dedup_{uuid.uuid4().hex[:8]}"
+    name = "docs_dedup_sink"
     out = run_available_now(dd, name, output_mode="append", shuffle_partitions=8)
     return out.select("fp_md5", "n_chars")
 
@@ -668,12 +727,12 @@ def embedding_centroid_dist(spark, sf_dir):
 @register(
     "media_features",
     """
-    WITH b AS (SELECT doc_id, text FROM documents)
+    WITH b AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
     SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
-           CAST(ascii(text) AS BIGINT) AS first_byte,
-           CAST(list_aggregate(list_transform(generate_series(1, length(text)),
-                i -> ascii(text[i])), 'sum') % 997 AS BIGINT) AS checksum
+           CAST(COALESCE(ascii(text), 0) AS BIGINT) AS first_byte,
+           CAST(COALESCE(list_aggregate(list_transform(generate_series(1, length(text)),
+                i -> ascii(text[i])), 'sum'), 0) % 997 AS BIGINT) AS checksum
     FROM b
     """,
 )
@@ -693,7 +752,7 @@ def media_features(spark, sf_dir):
     """
     SELECT doc_id,
            unnest(generate_series(0,
-             least(greatest(CAST(floor(octet_length(CAST(text AS BLOB)) / 64.0) AS INT) - 1, 0),
+             least(greatest(CAST(floor(octet_length(CAST(COALESCE(text, '') AS BLOB)) / 64.0) AS INT) - 1, 0),
                    7))) AS frame_no
     FROM documents
     """,
@@ -719,7 +778,7 @@ def frame_sample_q(spark, sf_dir):
                 'sum'), 0) AS BIGINT) AS energy
     FROM (
       SELECT doc_id, text,
-             unnest(range(0, greatest(CAST(ceil(length(text)/64.0) AS BIGINT), 1)))
+             unnest(range(0, CAST(ceil(length(text)/64.0) AS BIGINT)))
                AS w
       FROM documents WHERE doc_id < 400
     )

@@ -281,14 +281,13 @@ def events_stream_tumbling(spark, sf_dir):
     same DuckDB oracle as the batch twin: incremental execution must
     produce exactly the batch answer."""
     import os
-    import uuid
 
     from xngin_spark.streaming import events_stream, run_available_now, stream_tumbling
 
     sdf = stream_tumbling(
         events_stream(spark, os.path.join(sf_dir, "events.parquet")), delay="2 hours"
     )
-    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    name = "stream_tumbling_sink"
     return run_available_now(sdf, name, output_mode="complete", shuffle_partitions=8)
 
 
@@ -451,14 +450,13 @@ def events_stream_dedup(spark, sf_dir):
     answer through dropDuplicatesWithinWatermark. Bounded state: the
     seen-key set lives only inside the watermark horizon."""
     import os
-    import uuid
 
     from xngin_spark.streaming import events_stream, run_available_now, stream_dedup
 
     path = os.path.join(sf_dir, "events.parquet")
     doubled = events_stream(spark, path).unionAll(events_stream(spark, path))
     sdf = stream_dedup(doubled, keys=("event_id",), delay="2 hours")
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    name = "stream_dedup_sink"
     out = run_available_now(sdf, name, output_mode="append", shuffle_partitions=8)
     return out.select("event_id", "user_id", "event_type")
 
@@ -480,7 +478,6 @@ def events_stream_join(spark, sf_dir):
     live watermarked streams (clicks, purchases) joined per user within
     a 300s horizon must emit exactly the batch range-join pairs."""
     import os
-    import uuid
 
     from xngin_spark.streaming import events_stream, run_available_now, stream_stream_join
 
@@ -488,7 +485,7 @@ def events_stream_join(spark, sf_dir):
     clicks = events_stream(spark, path).filter(F.col("event_type") == "click")
     purchases = events_stream(spark, path).filter(F.col("event_type") == "purchase")
     sdf = stream_stream_join(clicks, purchases)
-    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    name = "stream_join_sink"
     return run_available_now(sdf, name, output_mode="append", shuffle_partitions=8)
 
 
@@ -680,14 +677,13 @@ def events_stream_transitions(spark, sf_dir):
     incremental stateful execution must reproduce the batch lead-window
     answer exactly."""
     import os
-    import uuid
 
     from xngin_spark.streaming import events_stream, run_available_now, stream_transitions
 
     sdf = stream_transitions(
         events_stream(spark, os.path.join(sf_dir, "events.parquet"))
     )
-    name = f"stream_transitions_{uuid.uuid4().hex[:8]}"
+    name = "stream_transitions_sink"
     pairs = run_available_now(sdf, name, output_mode="append", shuffle_partitions=8)
     counts = pairs.groupBy("event_type", "next_type").agg(count_star().alias("n"))
     from pyspark.sql import Window as W
@@ -926,7 +922,6 @@ def events_stream_session(spark, sf_dir):
     session_window merging across micro-batches must land on exactly
     the gap-and-break sessions the SQL window formulation defines."""
     import os
-    import uuid
 
     from xngin_spark.streaming import events_stream, run_available_now, stream_session
 
@@ -935,7 +930,7 @@ def events_stream_session(spark, sf_dir):
         gap="30 minutes",
         delay="2 hours",
     )
-    name = f"stream_session_{uuid.uuid4().hex[:8]}"
+    name = "stream_session_sink"
     return run_available_now(sdf, name, output_mode="complete", shuffle_partitions=8)
 
 

@@ -139,8 +139,22 @@ def run_available_now(
     is read at query START and baked into the checkpoint, so setting it
     around ``start()`` is exact; it is restored afterwards. Size it up
     with state volume on a real cluster — it is a knob, not a shape.
+
+    ``name`` should be STABLE per call site (not uuid-suffixed): the
+    memory sink registers a session-scoped temp view, and a fresh name
+    per invocation accumulates dead views across a long bench/service
+    session. A stable name is re-registered in place; any previous view
+    under it is dropped first so re-runs can't read a stale sink. An
+    ACTIVE query already using the name raises instead of aliasing.
     """
     spark = sdf.sparkSession
+    for q in spark.streams.active:
+        if q.name == name:
+            raise ValueError(
+                f"streaming query {name!r} is still active — memory-sink "
+                "names must be unique among running queries"
+            )
+    spark.catalog.dropTempView(name)
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key) if shuffle_partitions is not None else None
     if shuffle_partitions is not None:
