@@ -1,0 +1,165 @@
+"""MySQL wire protocol: packet-layer unit tests + an end-to-end
+server/client round trip against the Engine.
+
+Reference parity: doradb-protocol tests its handshake/resultset serde
+in-crate (handshake.rs, resultset.rs golden bytes) and doradb-server
+serves it over TCP (serve_tcp.rs:47). Here the protocol layer is
+round-tripped bytes-for-bytes, then a real socket session runs TPC-H
+through the full stack: handshake → mysql_native_password auth →
+COM_QUERY → text resultset.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from xngin_spark.server import protocol as P
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- packet layer (no Spark) ----------------------------------------------
+
+
+def test_lenenc_int_roundtrip():
+    for n in (0, 1, 0xFA, 0xFB, 0xFF, 0xFFFF, 0x10000, 0xFFFFFF, 0x1000000, 2**40):
+        buf = P.lenenc_int(n)
+        v, pos = P.read_lenenc_int(buf, 0)
+        assert (v, pos) == (n, len(buf))
+
+
+def test_lenenc_str_roundtrip():
+    for s in (b"", b"x", b"a" * 300, b"\x00\xfb\xff"):
+        v, pos = P.read_lenenc_str(P.lenenc_str(s), 0)
+        assert v == s
+
+
+def test_native_password_scramble_is_involutive_check():
+    nonce = bytes(range(20))
+    tok = P.native_password_scramble("secret", nonce)
+    assert len(tok) == 20
+    assert P.verify_native_password("secret", nonce, tok)
+    assert not P.verify_native_password("wrong", nonce, tok)
+    assert P.native_password_scramble("", nonce) == b""
+
+
+def test_handshake_packets_roundtrip():
+    nonce = bytes(range(1, 21))
+    hs = P.build_handshake_v10(7, nonce)
+    assert hs[0] == 0x0A
+    assert P.AUTH_PLUGIN in hs
+    # client response parses back
+    import struct
+
+    caps = P.CLIENT_PROTOCOL_41 | P.CLIENT_SECURE_CONNECTION | P.CLIENT_PLUGIN_AUTH
+    auth = P.native_password_scramble("pw", nonce)
+    resp = (
+        struct.pack("<II", caps, 1 << 24)
+        + bytes([P.CHARSET_UTF8MB4])
+        + b"\x00" * 23
+        + b"alice\x00"
+        + bytes([len(auth)])
+        + auth
+        + P.AUTH_PLUGIN
+        + b"\x00"
+    )
+    parsed = P.parse_handshake_response(resp)
+    assert parsed.username == "alice"
+    assert parsed.auth_response == auth
+    assert parsed.auth_plugin == "mysql_native_password"
+
+
+def test_text_row_roundtrip():
+    row = [b"1", None, b"hello", b"", b"3.14"]
+    assert P.parse_text_row(P.build_text_row(row), len(row)) == row
+
+
+def test_ok_err_eof_discriminators():
+    assert P.is_ok(P.build_ok())
+    assert P.is_err(P.build_err(1064, "boom"))
+    assert P.is_eof(P.build_eof())
+    errno, msg = P.parse_err(P.build_err(1045, "denied", "28000"))
+    assert errno == 1045 and "denied" in msg
+
+
+# ---- end-to-end over a real socket ----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def served_engine(spark):
+    from xngin_spark.engine import Engine
+    from xngin_spark.server import MySQLServer
+
+    eng = Engine(SF, spark=spark)
+    with MySQLServer(eng, users={"root": "", "alice": "s3cret"}) as srv:
+        yield srv
+
+
+def _connect(srv, **kw):
+    from xngin_spark.server.client import connect
+
+    return connect(srv.host, srv.port, **kw)
+
+
+def test_e2e_handshake_ping_and_scalar(served_engine):
+    with _connect(served_engine) as conn:
+        assert conn.ping()
+        names, rows = conn.query("SELECT 1 AS one, 'x' AS s, NULL AS n")
+        assert names == ["one", "s", "n"]
+        assert rows == [["1", "x", None]]
+
+
+def test_e2e_password_auth(served_engine):
+    with _connect(served_engine, user="alice", password="s3cret") as conn:
+        assert conn.ping()
+    from xngin_spark.server.client import MySQLError
+
+    with pytest.raises(MySQLError) as ei:
+        _connect(served_engine, user="alice", password="nope")
+    assert ei.value.errno == 1045
+    with pytest.raises(MySQLError):
+        _connect(served_engine, user="mallory", password="")
+
+
+def test_e2e_tpch_over_the_wire(served_engine, spark, oracle_con):
+    # the engine's SQL surface through the socket must match the same
+    # query run directly — including the reference dialect shims
+    sql = (
+        "SELECT l_returnflag, l_linestatus, CAST(SUM(l_quantity) AS BIGINT)"
+        " AS sum_qty FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+    )
+    with _connect(served_engine) as conn:
+        names, rows = conn.query(sql)
+    assert names == ["l_returnflag", "l_linestatus", "sum_qty"]
+    direct = served_engine.engine.sql(sql).collect()
+    assert len(rows) == len(direct) > 0
+    for wire, local in zip(rows, direct):
+        assert wire[0] == local[0] and wire[1] == local[1]
+        assert int(wire[2]) == local[2]
+
+
+def test_e2e_error_packet_not_hangup(served_engine):
+    from xngin_spark.server.client import MySQLError
+
+    with _connect(served_engine) as conn:
+        with pytest.raises(MySQLError) as ei:
+            conn.query("SELECT definitely_not_a_column FROM lineitem")
+        assert ei.value.errno == 1064
+        # connection stays alive after an ERR packet
+        assert conn.ping()
+        names, rows = conn.query("SELECT COUNT(*) AS n FROM lineitem")
+        assert int(rows[0][0]) > 0
+
+
+def test_e2e_null_and_type_rendering(served_engine):
+    with _connect(served_engine) as conn:
+        names, rows = conn.query(
+            "SELECT CAST(1.5 AS DOUBLE) AS d, DATE'2024-01-02' AS dt,"
+            " TIMESTAMP'2024-01-02 03:04:05' AS ts,"
+            " CAST(NULL AS BIGINT) AS miss"
+        )
+    d, dt, ts, miss = rows[0]
+    assert float(d) == 1.5
+    assert dt == "2024-01-02"
+    assert ts.startswith("2024-01-02 03:04:05")
+    assert miss is None

@@ -1,19 +1,26 @@
 #!/usr/bin/env python
-"""Measured scaling probe: run the full query suite at two SFs and
-report per-query scaling exponents.
+"""Measured scaling probe: interleaved per-query A/B timing at two SFs.
 
-alpha = log(t_big / t_small) / log(scale_ratio); alpha ≈ 0 means
+alpha = log(t_big / t_small) / log(scale_ratio); ≈ 0 means
 overhead-dominated, ≈ 1 linear, > 1 super-linear (flagged). Queries
 that are input-bounded by design (doc_id < N predicates on the pairwise
 verifiers) legitimately sit near 0 — their cost follows the candidate
 set, not the corpus.
 
+The first (two-full-bench) design was unusable on this host: its
+effective CPU throughput swings up to ~10x between windows (measured by
+the JVM canary), so an sf0.1 leg in a slow window vs an sf1 leg in a
+fast one fabricates both regressions and speedups. This probe times
+each query at BOTH SFs back-to-back inside one session — the pair
+shares one host window, so host speed cancels out of the ratio — and
+records a per-pair canary purely as context.
+
 Usage:
   python tools/make_sf.py /root/testdata/sf0.1 /tmp/xngin_scale/sf1 10
-  python tools/scaling_probe.py /root/testdata/sf0.1 /tmp/xngin_scale/sf1 10
+  SPARK_GRAFT_DRIVER_MEM=24g python tools/scaling_probe.py \
+      /root/testdata/sf0.1 /tmp/xngin_scale/sf1 10 [query ...]
 
-Writes BENCH_SCALING.json {query: {t_small, t_big, alpha}} and prints a
-sorted table.
+Writes BENCH_SCALING.json and prints a table sorted by alpha.
 """
 
 from __future__ import annotations
@@ -21,51 +28,69 @@ from __future__ import annotations
 import json
 import math
 import os
-import subprocess
 import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_bench(sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
-    out = subprocess.run(
-        [sys.executable, "bench.py"],
-        env=env,
-        capture_output=True,
-        text=True,
-        timeout=7200,
-        check=True,
-    )
-    with open("BENCH_FULL.json") as f:
-        return json.load(f)
+def main(small_dir: str, big_dir: str, ratio: float, only: set[str]) -> None:
+    from xngin_spark import queries as Q
+    from xngin_spark.operators.dedup import release_persisted
+    from xngin_spark.session import get_spark
 
+    Q.load_all()
+    spark = get_spark("scaling_probe")
 
-def main(small_dir: str, big_dir: str, ratio: float) -> None:
-    small = run_bench(small_dir)
-    print(f"# small done: {small['value']}s total", flush=True)
-    big = run_bench(big_dir)
-    print(f"# big done: {big['value']}s total", flush=True)
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
+        return round(time.perf_counter() - t0, 3)
 
-    c_small = small.get("canary_mean_sec") or 1.0
-    c_big = big.get("canary_mean_sec") or 1.0
-    rows = {}
-    for q, ts in small["queries"].items():
-        tb = big["queries"].get(q)
-        if tb is None or ts <= 0 or tb <= 0:
+    def timed(name: str, sf_dir: str) -> float:
+        t0 = time.perf_counter()
+        Q.QUERIES[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        release_persisted()
+        return round(dt, 3)
+
+    # warm both datasets' footers/page cache so neither SF pays cold-read
+    for d in (small_dir, big_dir):
+        for t in ("lineitem", "orders", "documents", "embeddings", "events"):
+            try:
+                spark.read.parquet(f"{d}/{t}.parquet").count()
+            except Exception:
+                pass
+
+    rows: dict[str, dict] = {}
+    names = sorted(n for n in Q.QUERIES if not only or n in only)
+    for i, name in enumerate(names):
+        try:
+            ts = timed(name, small_dir)
+            tb = timed(name, big_dir)
+        except Exception as e:
+            print(f"# {name} FAILED: {str(e)[:120]}", file=sys.stderr)
             continue
-        # normalize by each run's canary so a host-speed shift between
-        # the two runs doesn't masquerade as a scaling term
-        alpha = math.log((tb / c_big) / (ts / c_small)) / math.log(ratio)
-        rows[q] = {
+        c = canary()
+        alpha = math.log(tb / ts) / math.log(ratio)
+        rows[name] = {
             "t_small": ts,
             "t_big": tb,
             "alpha": round(alpha, 2),
+            "canary": c,
         }
+        print(
+            f"# [{i + 1}/{len(names)}] {name}: {ts}s -> {tb}s "
+            f"a={alpha:.2f} (canary {c}s)",
+            file=sys.stderr,
+            flush=True,
+        )
+
     doc = {
         "ratio": ratio,
         "small_dir": small_dir,
         "big_dir": big_dir,
-        "canary_small": c_small,
-        "canary_big": c_big,
+        "design": "interleaved per-query A/B, one session",
         "queries": rows,
     }
     with open("BENCH_SCALING.json", "w") as f:
@@ -73,8 +98,11 @@ def main(small_dir: str, big_dir: str, ratio: float) -> None:
         f.write("\n")
     for q, r in sorted(rows.items(), key=lambda kv: -kv[1]["alpha"]):
         flag = "  <-- SUPER-LINEAR" if r["alpha"] > 1.05 and r["t_big"] > 1 else ""
-        print(f"{q:36s} {r['t_small']:8.2f}s {r['t_big']:8.2f}s  a={r['alpha']:5.2f}{flag}")
+        print(
+            f"{q:36s} {r['t_small']:8.2f}s {r['t_big']:8.2f}s"
+            f"  a={r['alpha']:5.2f}{flag}"
+        )
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], float(sys.argv[3]))
+    main(sys.argv[1], sys.argv[2], float(sys.argv[3]), set(sys.argv[4:]))

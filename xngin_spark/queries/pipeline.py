@@ -460,12 +460,22 @@ def dedup_semantic(spark, sf_dir):
     (per-hop label propagation needs diameter rounds and gives up).
     Rows-only in the gate (iterative training); duplicated vectors
     split across cluster boundaries are SemDeDup's accepted recall
-    loss by design."""
+    loss by design.
+
+    k scales with the corpus (n/250 target occupancy, floor 8): a FIXED
+    k makes cluster occupancy — and the within-cluster pairwise cost —
+    grow linearly with n, i.e. total cost n²/k. The measured sf1 probe
+    caught exactly that (k=8 at 20k vectors → 2500-vector clusters →
+    ~100x the sf0.1 pairwise work); occupancy-targeted k restores the
+    linear envelope, which is how SemDeDup runs at paper scale (k is
+    chosen so clusters stay tens-of-thousands at 100M+ docs)."""
     from xngin_spark.operators.clustering import _nearest, kmeans_fit
     from xngin_spark.operators.corpus import connected_components_star
 
     emb = T(spark, sf_dir, "embeddings")
-    cents = kmeans_fit(emb, k=8, max_iter=2)
+    n = emb.count()
+    k = max(8, -(-n // 250))
+    cents = kmeans_fit(emb, k=k, max_iter=2)
     assigned = emb.withColumn(
         "cluster", _nearest(F.col("embedding"), cents)["c"]
     )

@@ -1,0 +1,219 @@
+"""MySQL-wire server loop over the Engine — the reference's
+doradb-server/src/mysql/serve_tcp.rs:47 analog.
+
+A threaded TCP server speaking the MySQL client/server protocol
+(handshake + mysql_native_password auth + COM_QUERY text resultsets,
+see protocol.py): any stock MySQL driver or CLI can connect and run the
+engine's SQL surface. Queries execute through ``Engine.sql`` (Spark
+SQL + the reference-dialect shims), results stream back as text
+resultset rows.
+
+Threading model: the reference serves each connection on a fixed async
+worker pool; here each connection gets a Python thread and the
+underlying SparkSession schedules the actual work — Spark's scheduler
+is already multi-tenant (FAIR/FIFO pools), so concurrent COM_QUERYs
+interleave at the stage level exactly like concurrent notebook users.
+
+Result sizes are capped (``max_rows``, default 10k) because a wire
+protocol must not buffer an unbounded DataFrame on the driver — the
+same reason the engine's own sinks write distributed. Clients needing
+full exports should CREATE TABLE ... AS or write_parquet.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal
+import os
+import socket
+import threading
+
+from pyspark.sql import DataFrame
+
+from xngin_spark.server import protocol as P
+
+
+def _type_byte(dtype: str) -> tuple[int, int]:
+    """Spark simpleString dtype -> (mysql type byte, decimals)."""
+    d = dtype.lower()
+    if d in ("tinyint", "boolean"):
+        return P.TYPE_TINY, 0
+    if d in ("int", "bigint", "smallint", "long"):
+        return P.TYPE_LONGLONG, 0
+    if d in ("double", "float"):
+        return P.TYPE_DOUBLE, 31
+    if d.startswith("decimal"):
+        scale = 0
+        if "," in d:
+            scale = int(d.split(",")[1].rstrip(")"))
+        return P.TYPE_NEWDECIMAL, scale
+    if d == "date":
+        return P.TYPE_DATE, 0
+    if d.startswith("timestamp"):
+        return P.TYPE_DATETIME, 6
+    return P.TYPE_VAR_STRING, 0  # strings, arrays, structs, binary
+
+
+def _render(v: object) -> bytes | None:
+    """Text-protocol value rendering (everything is a string on the wire)."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return b"1" if v else b"0"
+    if isinstance(v, bytes):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f").encode()
+    if isinstance(v, _dt.date):
+        return v.isoformat().encode()
+    if isinstance(v, decimal.Decimal):
+        return str(v).encode()
+    if isinstance(v, float):
+        return repr(v).encode()
+    return str(v).encode()
+
+
+class MySQLServer:
+    """Serve ``engine`` over the MySQL wire protocol on localhost."""
+
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        users: dict[str, str] | None = None,
+        max_rows: int = 10_000,
+    ) -> None:
+        self.engine = engine
+        self.users = users if users is not None else {"root": ""}
+        self.max_rows = max_rows
+        self._sock = socket.create_server((host, port))
+        self.host, self.port = self._sock.getsockname()[:2]
+        self._closed = threading.Event()
+        self._conn_id = 0
+        self._threads: list[threading.Thread] = []
+        self._accept_thread = threading.Thread(
+            target=self._accept_loop, daemon=True, name="mysql-accept"
+        )
+
+    # ---- lifecycle ---------------------------------------------------------
+
+    def start(self) -> "MySQLServer":
+        self._accept_thread.start()
+        return self
+
+    def close(self) -> None:
+        self._closed.set()
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+        for t in self._threads:
+            t.join(timeout=5)
+
+    def __enter__(self) -> "MySQLServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def _accept_loop(self) -> None:
+        while not self._closed.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except OSError:
+                return  # socket closed
+            self._conn_id += 1
+            t = threading.Thread(
+                target=self._serve_conn,
+                args=(conn, self._conn_id),
+                daemon=True,
+                name=f"mysql-conn-{self._conn_id}",
+            )
+            self._threads.append(t)
+            t.start()
+
+    # ---- per-connection ----------------------------------------------------
+
+    def _serve_conn(self, conn: socket.socket, conn_id: int) -> None:
+        try:
+            with conn:
+                if not self._handshake(conn, conn_id):
+                    return
+                self._command_loop(conn)
+        except (ConnectionError, OSError):
+            pass  # client went away; nothing to clean up beyond the socket
+
+    def _handshake(self, conn: socket.socket, conn_id: int) -> bool:
+        nonce = os.urandom(20).replace(b"\x00", b"\x01")  # NUL-free scramble
+        seq = P.write_packet(conn, 0, P.build_handshake_v10(conn_id, nonce))
+        seq, payload = P.read_packet(conn)
+        try:
+            resp = P.parse_handshake_response(payload)
+        except (ValueError, IndexError) as e:
+            P.write_packet(conn, seq + 1, P.build_err(1043, f"bad handshake: {e}"))
+            return False
+        password = self.users.get(resp.username)
+        if password is None or not (
+            (password == "" and resp.auth_response == b"")
+            or P.verify_native_password(password, nonce, resp.auth_response)
+        ):
+            P.write_packet(
+                conn,
+                seq + 1,
+                P.build_err(
+                    1045, f"Access denied for user '{resp.username}'", "28000"
+                ),
+            )
+            return False
+        P.write_packet(conn, seq + 1, P.build_ok())
+        return True
+
+    def _command_loop(self, conn: socket.socket) -> None:
+        while not self._closed.is_set():
+            seq, payload = P.read_packet(conn)
+            if not payload:
+                return
+            cmd, body = payload[0], payload[1:]
+            if cmd == P.COM_QUIT:
+                return
+            if cmd == P.COM_PING:
+                P.write_packet(conn, seq + 1, P.build_ok())
+            elif cmd == P.COM_INIT_DB:
+                self._run_query(conn, seq, f"USE {body.decode(errors='replace')}")
+            elif cmd == P.COM_QUERY:
+                self._run_query(conn, seq, body.decode(errors="replace"))
+            else:
+                P.write_packet(
+                    conn, seq + 1, P.build_err(1047, f"unsupported command {cmd:#x}")
+                )
+
+    def _run_query(self, conn: socket.socket, seq: int, sql: str) -> None:
+        try:
+            df = self.engine.sql(sql)
+            if df is None or not getattr(df, "columns", None):
+                P.write_packet(conn, seq + 1, P.build_ok())
+                return
+            self._send_resultset(conn, seq, df)
+        except Exception as e:  # engine errors -> ERR packet, never a hangup
+            msg = str(e).split("\n", 1)[0][:400]
+            P.write_packet(conn, seq + 1, P.build_err(1064, msg, "42000"))
+
+    def _send_resultset(self, conn: socket.socket, seq: int, df: DataFrame) -> None:
+        fields = df.schema.fields
+        rows = df.limit(self.max_rows).collect()
+        seq = P.write_packet(conn, seq + 1, P.lenenc_int(len(fields)))
+        for f in fields:
+            tb, dec = _type_byte(f.dataType.simpleString())
+            seq = P.write_packet(conn, seq, P.build_column_definition(f.name, tb, dec))
+        seq = P.write_packet(conn, seq, P.build_eof())
+        for row in rows:
+            seq = P.write_packet(
+                conn, seq, P.build_text_row([_render(v) for v in row])
+            )
+        P.write_packet(conn, seq, P.build_eof())
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 3306, **kw) -> MySQLServer:
+    """Start serving ``engine`` and return the (started) server handle."""
+    return MySQLServer(engine, host, port, **kw).start()

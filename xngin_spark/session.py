@@ -65,9 +65,13 @@ def get_spark(
     )
     if os.path.isdir("/root/repo") and os.access("/tmp", os.W_OK):
         builder = builder.config("spark.local.dir", "/tmp/spark-local")
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-    if mem:
-        builder = builder.config("spark.driver.memory", mem)
+    # local[N] runs executors inside the driver JVM, so the 1g Spark
+    # default is the binding memory limit for the whole engine — far
+    # too small beyond sf0.1 (the sf1 scaling probe OOM'd the JVM mid
+    # warmup). 8g is a local-mode default; on a real cluster driver
+    # memory only holds plans + collected scalars and can stay modest.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    builder = builder.config("spark.driver.memory", mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
