@@ -39,8 +39,16 @@ GATE_PRIORITY = [
     "dedup_minhash_checked",
     "dedup_embedding_cosine",
     "embedding_quantize",
-    "pii_scrub",
-    "vocab_topk",
+    # gopher_quality / dedup_span_extract replace pii_scrub /
+    # vocab_topk in the window (round 6): the Gopher rule set is the
+    # published quality-filter surface (Rae et al. 2021) and the span
+    # extractor is the first value-checked SPAN-level dedup row
+    # (gaps-and-islands merge), where pii_scrub/vocab_topk were second
+    # and third rows for map-side regex/token machinery already proven
+    # by text_stats + contamination_ngram — both displaced queries keep
+    # their local oracle compares in test_tpch_parity.py.
+    "gopher_quality",
+    "dedup_span_extract",
     "split_assign",
     # corpus-family representative (contamination; the rest of the
     # family — repetition/chunks/index/tfidf/clusters/pack — is

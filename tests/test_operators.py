@@ -779,6 +779,78 @@ def test_passage_dup_short_doc_single_window(spark):
     assert rows[3]["n_dup_windows"] == 0
 
 
+def test_dup_span_extract_planted(spark):
+    shared = " ".join(f"s{i}" for i in range(1, 11))  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "p1 p2 " + shared + " q1 q2"),  # shared at token pos 3..12
+            (2, shared + " r1 r2 r3"),          # shared at token pos 1..10
+            (3, "totally different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r["doc_id"]: r for r in D.dup_span_extract(docs, w=8).collect()
+    }
+    # doc1: 8-windows fully inside [3,12] start at 3,4,5 -> one island
+    assert spans[1]["span_start"] == 3 and spans[1]["span_end"] == 12
+    assert spans[1]["span_tokens"] == 10 and spans[1]["n_dup_windows"] == 3
+    # doc2: windows start at 1,2,3 -> span [1,10]
+    assert spans[2]["span_start"] == 1 and spans[2]["span_end"] == 10
+    assert spans[2]["n_dup_windows"] == 3
+    assert 3 not in spans  # no duplicated content -> no span row
+
+
+def test_dup_span_extract_two_islands(spark):
+    a = " ".join(f"a{i}" for i in range(1, 9))  # 8 tokens
+    b = " ".join(f"b{i}" for i in range(1, 9))  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, a + " x1 x2 x3 x4 x5 " + b),  # a at 1..8, b at 14..21
+            (2, a + " y1 y2 y3 y4 y5 y6 y7"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 " + b),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["span_start"], r["span_end"])
+        for r in D.dup_span_extract(docs, w=8).collect()
+        if r["doc_id"] == 1
+    )
+    # separated duplicated regions must stay SEPARATE spans
+    assert rows == [(1, 8), (14, 21)]
+
+
+def test_gopher_signals_planted(spark):
+    from xngin_spark.operators import textstats as X
+
+    passing = "the " + " ".join(f"word{i}" for i in range(60))  # 61 words, has 'the'+'a'? no
+    # ensure two distinct stopwords present
+    passing = "the a " + " ".join(f"word{i}" for i in range(60))
+    short = "the a tiny doc"                                  # <50 words
+    longwords = "the a " + " ".join("x" * 30 for _ in range(60))  # mean len >10
+    symbols = "the a " + " ".join("#" * 1 for _ in range(60))  # symbol ratio high, non-alpha
+    docs = spark.createDataFrame(
+        [(1, passing), (2, short), (3, longwords), (4, symbols)],
+        "doc_id long, text string",
+    )
+    sig = X.gopher_signals(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id", *[c.alias(n) for n, c in sig.items()]
+        ).collect()
+    }
+    assert rows[1]["gopher_pass"] is True
+    assert rows[1]["n_distinct_stop"] >= 2 and rows[1]["alpha_frac"] > 0.9
+    assert rows[2]["gopher_pass"] is False      # word-count floor
+    assert rows[3]["gopher_pass"] is False      # mean word length cap
+    assert rows[3]["mean_word_len"] > 10.0
+    assert rows[4]["gopher_pass"] is False      # symbols + non-alpha words
+    assert rows[4]["symbol_ratio"] > 0.1
+    assert rows[4]["alpha_frac"] < 0.8
+
+
 def test_asof_join_tolerance(spark):
     from xngin_spark.operators.temporal import asof_join
 

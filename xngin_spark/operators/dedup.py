@@ -651,6 +651,88 @@ def passage_dup_stats(
     )
 
 
+def dup_span_extract(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """Maximal duplicated token SPANS per document: the positions of
+    every w-token window whose content also occurs in another document,
+    merged (gaps-and-islands) into maximal contiguous spans
+    ``[span_start, span_end]`` (1-based token positions, inclusive).
+
+    This is the span-level upgrade of :func:`passage_dup_stats` — that
+    operator answers "how much of this doc is duplicated", this one
+    answers "WHICH part", which is what a surgical span-removal pass
+    (the remove-the-duplicate-not-the-document strategy of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better")
+    needs as input.
+
+    Scale shape — same linear envelope as passage_dup_stats: one
+    map-side tokenize+md5 pass emits (doc, wpos, 16-byte wkey) rows;
+    the per-key distinct-doc count is a window over one (wkey, doc)
+    collapse, never a self-join; duplicated positions then merge into
+    islands with ONE more per-doc window (``wpos - row_number()`` is
+    constant within a contiguous run — the classic gaps-and-islands
+    key). Three narrow shuffles, all on md5/id keys, linear in corpus
+    size; no window text ever shuffles.
+
+    Reference parity: no native analog (doradb has no text dedup);
+    the generated-rows + windowed-aggregation shape mirrors lgc Aggr
+    over an exploded projection.
+    """
+    from pyspark.sql import Window
+
+    toksed = fan_out(df).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    wkeys = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(F.col("__toks")) - (w - 1), F.lit(1))
+        ),
+        lambda i: F.md5(F.array_join(F.slice(F.col("__toks"), i, w), " ")),
+    )
+    wins = (
+        toksed.select(
+            F.col(id_col), F.posexplode_outer(wkeys).alias("__p0", "wkey")
+        )
+        .filter(F.col("wkey").isNotNull())
+        .select(F.col(id_col), (F.col("__p0") + 1).alias("wpos"), "wkey")
+    )
+    # per-key distinct-doc count without a self-join (window over the
+    # (wkey, doc) collapse), then keep only cross-doc duplicated keys
+    per_key_doc = wins.select("wkey", id_col).distinct()
+    dup_keys = (
+        per_key_doc.withColumn(
+            "__nd", F.count(F.lit(1)).over(Window.partitionBy("wkey"))
+        )
+        .filter(F.col("__nd") >= 2)
+        .select("wkey")
+        .distinct()
+    )
+    dup_pos = wins.join(dup_keys, "wkey").select(F.col(id_col), "wpos")
+    island = F.col("wpos") - F.row_number().over(
+        Window.partitionBy(id_col).orderBy("wpos")
+    )
+    return (
+        dup_pos.withColumn("__island", island)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("wpos").cast("long").alias("span_start"),
+            (F.max("wpos") + (w - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+            "n_dup_windows",
+        )
+    )
+
+
 def minhash_index_persist(
     df: DataFrame,
     path: str,

@@ -178,3 +178,66 @@ def strip_markup(text: Column) -> Column:
 def markup_tag_count(text: Column) -> Column:
     """Number of markup tags present (pre-strip audit column)."""
     return F.size(F.regexp_extract_all(text, F.lit(r"<[^>]*>"), 0)).cast("long")
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", Appendix A1.1) — the published heuristic filter
+# set most pretraining pipelines start from. Kept as module constants
+# so the DuckDB oracle and the planted-document tests share them.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1       # '#' or '...' per word
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8    # words containing >=1 [a-zA-Z]
+GOPHER_MIN_DISTINCT_STOPWORDS = 2
+
+
+def gopher_signals(text: Column) -> dict[str, Column]:
+    """The Gopher quality signals as named Columns — all JVM built-ins
+    (split/filter/length/regexp), one codegen'd projection, no shuffle:
+    a pure scan at 100 TB.
+
+    Line-level Gopher rules (bullet-start / ellipsis-end line
+    fractions) are omitted: the corpus convention here is
+    single-line documents (no '\\n' in the synthetic tables), so those
+    fractions are constant 0 and would be vacuous signals; on real
+    multi-line data add them as two more filter/size expressions over
+    split(text, '\\n').
+    """
+    toks = tokens(text)
+    n_words = F.size(toks).cast("long")
+    n_words_d = n_words.cast("double")
+    n_chars = F.length(text).cast("double")
+    # single-space-joined corpus => total word chars = chars - (n-1)
+    mean_word_len = (n_chars - (n_words_d - 1)) / n_words_d
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words_d
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n_words_d
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_distinct_stop = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(toks, s))
+    ).cast("long")
+    passes = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_WORD_FRAC)
+        & (n_distinct_stop >= GOPHER_MIN_DISTINCT_STOPWORDS)
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_frac": alpha_frac,
+        "n_distinct_stop": n_distinct_stop,
+        "gopher_pass": passes,
+    }

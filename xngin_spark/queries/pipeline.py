@@ -634,6 +634,93 @@ def passage_dedup(spark, sf_dir):
     return D.passage_dup_stats(d, w=8)
 
 
+_SPAN_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+      SELECT doc_id, i AS wpos, md5(array_to_string(t[i:i+7], ' ')) AS wkey
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+    ),
+    kd AS (SELECT wkey, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY wkey),
+    dup AS (SELECT w.doc_id, w.wpos FROM wins w JOIN kd USING (wkey)
+            WHERE nd >= 2),
+    isl AS (SELECT doc_id, wpos,
+            wpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos)
+              AS island
+            FROM dup)
+    SELECT doc_id,
+      CAST(MIN(wpos) AS BIGINT) AS span_start,
+      CAST(MAX(wpos) + 7 AS BIGINT) AS span_end,
+      CAST(MAX(wpos) + 7 - MIN(wpos) + 1 AS BIGINT) AS span_tokens,
+      CAST(COUNT(*) AS BIGINT) AS n_dup_windows
+    FROM isl GROUP BY doc_id, island
+    """
+
+
+@register("dedup_span_extract", _SPAN_ORACLE)
+def dedup_span_extract(spark, sf_dir):
+    """Maximal duplicated token spans per document (gaps-and-islands
+    merge of cross-doc duplicated 8-token windows) — the WHICH-part
+    answer that surgical span removal (Lee et al. 2022) consumes,
+    where passage_dedup only answers HOW-MUCH. Same linear no-self-join
+    envelope; fully value-checked (md5 window keys + integer span
+    arithmetic are engine-portable)."""
+    d = T(spark, sf_dir, "documents")
+    return D.dup_span_extract(d, w=8)
+
+
+_GOPHER_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3
+               AS n_ellipsis
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           (n_chars_d - (CAST(len(toks) AS DOUBLE) - 1))
+             / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+           CAST(n_hash + n_ellipsis AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+             AS symbol_ratio,
+           CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS alpha_frac,
+           CAST(len(list_filter({_STOP_SQL},
+                                s -> list_contains(toks, s))) AS BIGINT)
+             AS n_distinct_stop,
+           (len(toks) >= 50 AND len(toks) <= 100000
+            AND (n_chars_d - (CAST(len(toks) AS DOUBLE) - 1))
+                / CAST(len(toks) AS DOUBLE) >= 3.0
+            AND (n_chars_d - (CAST(len(toks) AS DOUBLE) - 1))
+                / CAST(len(toks) AS DOUBLE) <= 10.0
+            AND CAST(n_hash + n_ellipsis AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) <= 0.1
+            AND CAST(len(list_filter(toks,
+                                     x -> regexp_matches(x, '[A-Za-z]')))
+                     AS DOUBLE) / CAST(len(toks) AS DOUBLE) >= 0.8
+            AND len(list_filter({_STOP_SQL},
+                                s -> list_contains(toks, s))) >= 2)
+             AS gopher_pass
+    FROM t
+    """
+
+
+@register("gopher_quality", _GOPHER_ORACLE)
+def gopher_quality(spark, sf_dir):
+    """Gopher quality-rule filter (Rae et al. 2021, Appendix A1.1):
+    word-count bounds, mean-word-length bounds, symbol ratio,
+    alphabetic-word fraction and distinct-stopword presence, plus the
+    combined pass verdict — the published heuristic pre-filter set for
+    pretraining corpora. One codegen'd projection, no shuffle, a pure
+    scan at 100 TB; every signal is integer/double arithmetic the
+    DuckDB oracle reproduces bit-for-bit."""
+    d = T(spark, sf_dir, "documents")
+    sig = X.gopher_signals(F.col("text"))
+    return d.select(
+        "doc_id", *[c.alias(name) for name, c in sig.items()]
+    )
+
+
 # --- similarity search ----------------------------------------------------
 
 _KNN_ORACLE = """
