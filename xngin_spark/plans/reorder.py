@@ -1,0 +1,309 @@
+"""Greedy Operator Ordering (GOO) join reordering — the JoinGraph analog.
+
+Reference: the one reference subsystem previously delegated wholesale to
+Catalyst — ``doradb-plan/src/join/graph.rs`` (hypergraph of ≤31
+relations), ``join/reorder/greedy.rs:16`` (``Goo`` — "greedily combine
+join trees such that intermediate result is minimal", building a BUSHY
+tree), ``join/reorder/dphyp.rs`` (exact DP over the hypergraph) and
+``join/estimate.rs`` (the ``Estimate`` trait the reorderers consult).
+
+Division of labor with Catalyst, stated precisely:
+
+- For SQL-entry queries (``Engine.sql`` / ``spark.sql``) Catalyst's
+  CBO + AQE already reorder inner-join trees; we deliberately do NOT
+  second-guess it there (SURVEY §4.2 decision, plan-asserted by
+  tests/test_plan_shape.py: no CartesianProduct on q5/q21).
+- For PLAN-BUILDER entry (the ``plans.*`` programmatic API, the analog
+  of the reference's lgc builder), the caller supplies a join ORDER
+  today. This module supplies the missing piece: give it the JOIN GRAPH
+  (vertices + equi-edges, exactly what ``Join::Cross`` +
+  ``JoinGraph`` carry in the reference) and it picks the order, so a
+  caller can hand over an arbitrarily-ordered graph without writing a
+  cartesian product by accident.
+
+Estimation: base-table cardinalities come from Catalyst's own
+optimized-plan statistics (``sizeInBytes`` — filter selectivity and
+column pruning already applied, no extra jobs), and join growth uses
+the System-R PK-FK independence assumption
+``|X ⋈ Y| = |X|·|Y| / max(base(a), base(b))`` for an edge between base
+relations a ∈ X, b ∈ Y (the key domain is the larger side). That is the
+same order of sophistication as the reference's row-count ``Estimate``
+(join/estimate.rs keeps per-vertex-set row estimates, no histograms).
+
+Scale note: GOO is O(V·E) driver-side arithmetic over a dict of
+numbers — nothing here touches data. The output plan still goes through
+Catalyst/AQE, so runtime re-planning (broadcast demotion, skew splits)
+applies on top; GOO only guarantees the DECLARED tree joins along
+edges (never a cartesian) with greedily-minimal intermediate sizes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class CrossJoinNotSupported(ValueError):
+    """Join graph is disconnected — reorder would need a cartesian
+    product (parity with doradb-plan Error::CrossJoinNotSupport,
+    raised by greedy.rs:42 when edges run out before components
+    merge). Pass ``allow_cross=True`` to merge leftovers smallest-first
+    instead."""
+
+
+@dataclass(frozen=True)
+class Edge:
+    """Equi-join edge between two named vertices: ``on`` is a list of
+    (left_col, right_col) name pairs (all ANDed)."""
+
+    a: str
+    b: str
+    on: tuple[tuple[str, str], ...]
+
+    def cond(self):
+        return [F.col(l) == F.col(r) for l, r in self.on]
+
+
+@dataclass
+class _Comp:
+    names: frozenset[str]
+    rows: float
+    df: DataFrame | None = None
+    order: list = field(default_factory=list)  # merge trace (for tests)
+
+
+def catalyst_rows(df: DataFrame) -> float:
+    """Cardinality proxy from Catalyst's optimized-plan statistics:
+    ``sizeInBytes`` after filter/prune pushdown, normalized by an
+    estimated row width so magnitudes compare across tables. Costs no
+    Spark jobs (pure driver-side plan analysis)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    stats = plan.stats()
+    row_count = stats.rowCount()
+    if row_count.isDefined():
+        return float(str(row_count.get()))
+    width = max(
+        8 * len(df.columns), 1
+    )  # bytes/row guess: Catalyst's own default per-col estimate scale
+    return max(float(str(stats.sizeInBytes())) / width, 1.0)
+
+
+def measure_edge_ndv(
+    vertices: dict[str, DataFrame],
+    edges: list[Edge],
+    cache: dict[tuple[str, str], float] | None = None,
+) -> dict[tuple[str, str], float]:
+    """Approximate NDV for every join-key column an edge touches — ONE
+    ``approx_count_distinct`` aggregate per vertex (HLL, map-side
+    partials). This is the measured analog of the stats an ANALYZE pass
+    would persist; pass ``cache`` (caller-owned, e.g. keyed per
+    dataset) to pay each vertex once per session instead of once per
+    query. Without it the naive max-base-rows key-domain guess
+    mis-ranks low-cardinality equi-edges (e.g. a 25-value nationkey
+    joining two 10^4-row tables looks selective but multiplies) —
+    measured 9x slower plans on the q5 graph."""
+    cache = cache if cache is not None else {}
+    need: dict[str, set[str]] = {}
+    for e in edges:
+        for v, c in ((e.a, [l for l, _ in e.on]), (e.b, [r for _, r in e.on])):
+            for col in c:
+                if (v, col) not in cache:
+                    need.setdefault(v, set()).add(col)
+    if not need:
+        return cache
+    # one independent job per vertex — submit them concurrently so the
+    # scheduler interleaves their stages (per-job fixed overhead
+    # dominates these tiny HLL aggregates; measured 3.5s -> ~1s for the
+    # six-vertex q5 graph)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one(item):
+        v, cols = item
+        return v, cols, (
+            vertices[v].agg(
+                F.count(F.lit(1)).alias("__rows__"),
+                *[F.approx_count_distinct(c).alias(c) for c in sorted(cols)],
+            )
+        ).first()
+
+    with ThreadPoolExecutor(max_workers=min(len(need), 8)) as ex:
+        for v, cols, row in ex.map(_one, need.items()):
+            # exact row count rides along for free in the same job —
+            # goo_join prefers it over the sizeInBytes/width guess
+            cache[(v, "__rows__")] = float(row["__rows__"]) or 1.0
+            for c in cols:
+                cache[(v, c)] = float(row[c]) or 1.0
+    return cache
+
+
+def goo_order(
+    rows: dict[str, float],
+    edges: list[Edge],
+    allow_cross: bool = False,
+    ndv: dict[tuple[str, str], float] | None = None,
+) -> list[tuple[frozenset, frozenset, float]]:
+    """Pure GOO on numbers (no Spark): repeatedly merge the component
+    pair, connected by at least one edge, whose merged estimate is
+    minimal. Returns the merge sequence
+    ``[(left_names, right_names, est_rows), ...]`` — deterministic via
+    a (est, sorted-names) tie-break so tests can pin the trace.
+
+    Mirrors greedy.rs:27-66: initialize singleton components, loop
+    ``min_res`` edge selection, purge edges that became internal.
+    """
+    comps: dict[frozenset, float] = {
+        frozenset([n]): float(r) for n, r in rows.items()
+    }
+    base = dict(rows)
+    for e in edges:
+        if e.a not in base or e.b not in base:
+            raise KeyError(f"edge {e.a}-{e.b} references unknown vertex")
+    live = list(edges)
+    trace: list[tuple[frozenset, frozenset, float]] = []
+
+    def edge_sel(e: Edge) -> float:
+        """Selectivity of one edge: 1/max key-domain. With measured
+        NDV (System-R): 1/max(ndv(a.col), ndv(b.col)) per column pair;
+        fallback: 1/max(base rows) — the PK-FK guess, wrong exactly
+        when the key's domain is much smaller than either table."""
+        if ndv is None:
+            return 1.0 / max(base[e.a], base[e.b], 1.0)
+        s = 1.0
+        for lcol, rcol in e.on:
+            s /= max(
+                ndv.get((e.a, lcol), base[e.a]),
+                ndv.get((e.b, rcol), base[e.b]),
+                1.0,
+            )
+        return s
+
+    def find(name: str) -> frozenset:
+        for c in comps:
+            if name in c:
+                return c
+        raise KeyError(name)
+
+    while len(comps) > 1:
+        # candidate pairs = component pairs connected by >=1 live edge;
+        # ALL connecting edges contribute selectivity (the reference's
+        # min_res applies every edge whose vertex sets are covered and
+        # purges them together, greedy.rs:44-50)
+        pair_sel: dict[tuple[frozenset, frozenset], float] = {}
+        for e in live:
+            ca, cb = find(e.a), find(e.b)
+            if ca == cb:
+                continue
+            pair = (ca, cb) if tuple(sorted(ca)) < tuple(sorted(cb)) else (cb, ca)
+            pair_sel[pair] = pair_sel.get(pair, 1.0) * edge_sel(e)
+        best = None
+        for (ca, cb), sel in pair_sel.items():
+            est = comps[ca] * comps[cb] * sel
+            key = (est, tuple(sorted(ca | cb)))
+            if best is None or key < best[0]:
+                best = (key, ca, cb, est)
+        if best is None:
+            if not allow_cross:
+                raise CrossJoinNotSupported(
+                    f"{len(comps)} disconnected components remain: "
+                    f"{sorted(sorted(c) for c in comps)}"
+                )
+            ordered = sorted(comps.items(), key=lambda kv: (kv[1], tuple(sorted(kv[0]))))
+            (ca, ra), (cb, rb) = ordered[0], ordered[1]
+            best = (None, ca, cb, ra * rb)
+        _, ca, cb, est = best
+        trace.append((ca, cb, est))
+        comps[ca | cb] = est
+        del comps[ca], comps[cb]
+        live = [e for e in live if find(e.a) != find(e.b)]
+    return trace
+
+
+def goo_join(
+    vertices: dict[str, DataFrame],
+    edges: list[Edge | tuple],
+    allow_cross: bool = False,
+    rows: dict[str, float] | None = None,
+    ndv: dict[tuple[str, str], float] | None = None,
+    measure_ndv: bool = True,
+    ndv_cache: dict[tuple[str, str], float] | None = None,
+) -> DataFrame:
+    """Join an arbitrarily-ordered graph of DataFrames along its
+    equi-edges in GOO order (bushy tree, greedily-minimal intermediate
+    results). ``edges`` accepts ``Edge`` or ``(a, b, [(lcol, rcol),…])``
+    tuples; ``rows`` overrides the Catalyst-stats cardinalities (for
+    tests / external ANALYZE sources).
+
+    Column names must be globally unique across vertices (the TPC-H
+    prefix convention) — enforced here because join conditions are
+    expressed by name after the merge.
+    """
+    edges = [e if isinstance(e, Edge) else Edge(e[0], e[1], tuple(map(tuple, e[2]))) for e in edges]
+    seen: dict[str, str] = {}
+    for vname, df in vertices.items():
+        for c in df.columns:
+            if c in seen:
+                raise ValueError(
+                    f"ambiguous column '{c}' in both {seen[c]} and {vname}; "
+                    "goo_join requires globally unique column names"
+                )
+            seen[c] = vname
+    if ndv is None and measure_ndv:
+        ndv = measure_edge_ndv(vertices, edges, ndv_cache)
+    est = rows or {
+        n: (
+            ndv[(n, "__rows__")]
+            if ndv is not None and (n, "__rows__") in ndv
+            else catalyst_rows(df)
+        )
+        for n, df in vertices.items()
+    }
+    trace = goo_order(est, edges, allow_cross=allow_cross, ndv=ndv)
+
+    comp_df: dict[frozenset, DataFrame] = {
+        frozenset([n]): df for n, df in vertices.items()
+    }
+    for ca, cb, _ in trace:
+        conds = []
+        for e in edges:
+            if (e.a in ca and e.b in cb) or (e.a in cb and e.b in ca):
+                conds.extend(e.cond())
+        left, right = comp_df.pop(ca), comp_df.pop(cb)
+        if conds:
+            cond = conds[0]
+            for c in conds[1:]:
+                cond = cond & c
+            comp_df[ca | cb] = left.join(right, on=cond, how="inner")
+        else:
+            comp_df[ca | cb] = left.crossJoin(right)
+    (result,) = comp_df.values()
+    return result
+
+
+def tree_cost(
+    rows: dict[str, float],
+    edges: list[Edge],
+    merge_seq: list[tuple[frozenset, frozenset]],
+) -> float:
+    """Sum of estimated intermediate-result sizes for a given merge
+    sequence under the same estimator GOO uses — the comparison metric
+    for reorder-vs-naive tests (C_out cost, the standard join-order
+    objective)."""
+    base = dict(rows)
+    est: dict[frozenset, float] = {frozenset([n]): float(r) for n, r in rows.items()}
+    total = 0.0
+    for ca, cb in merge_seq:
+        sel = 1.0
+        joined = False
+        for e in edges:
+            if (e.a in ca and e.b in cb) or (e.a in cb and e.b in ca):
+                sel /= max(base[e.a], base[e.b], 1.0)
+                joined = True
+        if not joined:
+            sel = 1.0  # cartesian
+        r = est[ca] * est[cb] * sel
+        total += r
+        est[ca | cb] = r
+        del est[ca], est[cb]
+    return total

@@ -1009,3 +1009,71 @@ def constraint_check(spark, sf_dir):
     from xngin_spark.constraints import verify_tpch_constraints
 
     return verify_tpch_constraints(spark, sf_dir)
+
+
+# --- GOO join reorder -----------------------------------------------------
+
+from xngin_spark.functions.aggregates import dsum as _dsum  # noqa: E402
+from xngin_spark.plans.reorder import goo_join  # noqa: E402
+
+# per-dataset NDV memo: the reorderer's one-approx-agg-per-vertex stats
+# pass is paid once per session per sf_dir (ANALYZE-style), not per query
+_GOO_NDV_CACHE: dict[str, dict] = {}
+
+
+@register(
+    "join_reorder_goo",
+    f"""
+    SELECT n_name,
+           {dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def join_reorder_goo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5's six-table join handed over as an UNORDERED join GRAPH
+    (vertices + equi-edges, the reference's Join::Cross + JoinGraph
+    form, join/graph.rs) and ordered by plans.reorder.goo_join — the
+    greedy-operator-ordering reorderer (greedy.rs:16 Goo analog) using
+    Catalyst optimized-plan statistics as its cardinality source. Same
+    oracle as q5: the reorderer must pick SOME valid edge order, never
+    a cartesian, and the result must hash-match regardless of the
+    (deliberately fact-first, worst-case) vertex declaration order."""
+    from xngin_spark.queries.tpch import ts
+
+    vertices = {
+        # fact tables declared FIRST — a left-deep in-declaration-order
+        # join would start with the largest pair; GOO must not care
+        "lineitem": T(spark, sf_dir, "lineitem"),
+        "orders": T(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit(ts("1996-01-01")))
+            & (F.col("o_orderdate") < F.lit(ts("1997-01-01")))
+        ),
+        "customer": T(spark, sf_dir, "customer"),
+        "supplier": T(spark, sf_dir, "supplier"),
+        "nation": T(spark, sf_dir, "nation"),
+        "region": T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+    }
+    edges = [
+        ("customer", "orders", [("c_custkey", "o_custkey")]),
+        ("orders", "lineitem", [("o_orderkey", "l_orderkey")]),
+        ("lineitem", "supplier", [("l_suppkey", "s_suppkey")]),
+        ("customer", "supplier", [("c_nationkey", "s_nationkey")]),
+        ("supplier", "nation", [("s_nationkey", "n_nationkey")]),
+        ("nation", "region", [("n_regionkey", "r_regionkey")]),
+    ]
+    joined = goo_join(
+        vertices, edges, ndv_cache=_GOO_NDV_CACHE.setdefault(sf_dir, {})
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
