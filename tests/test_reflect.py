@@ -44,11 +44,12 @@ def test_tpch_reflection_roundtrip(spark, sf_dir):
     mismatched = {n: r for n, r in results.items() if r.startswith("mismatch")}
     assert not mismatched, f"reflected SQL changed results: {mismatched}"
     ok = [n for n, r in results.items() if r == "ok"]
-    # Out of SQL surface by design: q11 (collected scalar-subquery
-    # literal → LogicalRDD) and q21 (semi-join ON referencing an alias
-    # inside the filtered left side — no faithful SQL scoping exists).
-    # Everything else must stay reflectable.
-    assert len(ok) >= 19, f"reflectable TPC-H coverage shrank: {sorted(ok)}"
+    # Out of SQL surface by design: q11 only (its localCheckpoint
+    # materializes the shared per-part aggregate into a LogicalRDD —
+    # data, not a plan). q21's buried-alias shape reflects since the
+    # renderer learned to flatten pass-through Project/Filter chains
+    # over joins and hoist the filters into the enclosing WHERE.
+    assert len(ok) >= 21, f"reflectable TPC-H coverage shrank: {sorted(ok)}"
 
 
 def test_reflection_roundtrip_micro_surfaces(spark, sf_dir):

@@ -40,6 +40,10 @@ def _name(node) -> str:
 class _Renderer:
     def __init__(self) -> None:
         self.n = 0
+        # per-SELECT stacks of filter conditions hoisted out of
+        # flattened join sides (see _side); the arm that owns the
+        # enclosing SELECT pops its frame and merges into its WHERE
+        self._frames: list[list[str]] = []
 
     def _alias(self) -> str:
         self.n += 1
@@ -67,25 +71,91 @@ class _Renderer:
             return f"({self._join_fragment(node)})"
         return f"({self.select(node)}) AS {self._alias()}"
 
+    def _flatten_side(self, node):
+        """If ``node`` is a chain of pass-through Projects / Filters
+        ending at a Join, flatten it: return ``(fragment_sql,
+        hoisted_conds, exposed_names)`` with the inner join rendered
+        inline (its side aliases stay visible to the OUTER join's ON —
+        the q21 shape: a semi-join condition referencing an alias
+        buried inside the filtered left side) and the chain's filter
+        conditions lifted out for the enclosing SELECT's WHERE.
+        Returns None when the chain doesn't end at a Join."""
+        conds: list[str] = []
+        cur = node
+        while True:
+            k = _name(cur)
+            if k == "Project" and self._is_passthrough_project(cur):
+                cur = cur.children().apply(0)
+                continue
+            if k == "Filter":
+                conds.append(cur.condition().sql())
+                cur = cur.children().apply(0)
+                continue
+            break
+        if _name(cur) != "Join":
+            return None
+        frag = self._join_fragment(cur)
+        return f"({frag})", conds, self._outputs(cur)
+
+    def _side(self, node, jt: str, is_left: bool):
+        """Render one join side → ``(sql, exposed_names)``. Flattening
+        (and thus filter hoisting into the enclosing WHERE) is only
+        legal where the filter commutes with the join: a LEFT-side
+        filter commutes with INNER/CROSS/LEFT SEMI/LEFT ANTI/LEFT
+        OUTER (it only ever removes whole left rows); a RIGHT-side
+        filter only with INNER/CROSS (for outer/semi kinds it changes
+        match semantics, and its columns aren't even visible above a
+        semi join)."""
+        u = jt.upper()
+        may_flatten = u in ("INNER", "CROSS") or (
+            is_left and u in ("LEFT SEMI", "LEFT ANTI", "LEFT OUTER")
+        )
+        if may_flatten and self._frames:
+            flat = self._flatten_side(node)
+            if flat is not None:
+                sql, conds, exposed = flat
+                self._frames[-1].extend(conds)
+                return sql, exposed
+        return self._from_item(node), self._outputs(node)
+
     def _join_fragment(self, node) -> str:
         """Render a Join as a FROM-clause fragment (no SELECT wrapper):
         qualified references from ABOVE the join (filters/projections
         over pass-through columns) resolve only if the join's side
         aliases stay in the same query scope — wrapping every join in a
         derived table would hide them (the q21 shape)."""
-        self._check_join_ambiguity(node)
         jt = node.joinType().sql()
         if "EXISTENCE" in jt.upper():
             raise Unreflectable("ExistenceJoin has no SQL surface")
         ch = node.children()
-        left = self._from_item(ch.apply(0))
-        right = self._from_item(ch.apply(1))
+        left, lexp = self._side(ch.apply(0), jt, True)
+        right, rexp = self._side(ch.apply(1), jt, False)
+        dup = set(lexp) & set(rexp)
+        if dup:
+            raise Unreflectable(f"join sides share output names: {sorted(dup)}")
         cond = node.condition()
         if cond.isDefined():
             return f"{left} {jt} JOIN {right} ON {cond.get().sql()}"
         if jt.upper() in ("INNER", "CROSS"):
             return f"{left} CROSS JOIN {right}"
         raise Unreflectable(f"condition-less {jt} join")
+
+    def _src(self, node) -> tuple[str, str]:
+        """Render ``node`` as this SELECT's FROM source inside a fresh
+        hoist frame; returns ``(src_sql, extra_where)`` where
+        ``extra_where`` collects filter conditions lifted out of
+        flattened join sides ('' when none). The owning arm must AND it
+        into its WHERE clause."""
+        self._frames.append([])
+        try:
+            src = (
+                self._join_fragment(node)
+                if _name(node) == "Join"
+                else self._from_item(node)
+            )
+        finally:
+            conds = self._frames.pop()
+        return src, " AND ".join(f"({c})" for c in conds)
 
     @staticmethod
     def _is_passthrough_project(node) -> bool:
@@ -107,13 +177,6 @@ class _Renderer:
 
     def _outputs(self, node) -> list[str]:
         return [a.name() for a in _seq(node.output())]
-
-    def _check_join_ambiguity(self, node) -> None:
-        lnames = self._outputs(node.children().apply(0))
-        rnames = self._outputs(node.children().apply(1))
-        dup = set(lnames) & set(rnames)
-        if dup:
-            raise Unreflectable(f"join sides share output names: {sorted(dup)}")
 
     # ---- node renderers --------------------------------------------------
 
@@ -139,65 +202,61 @@ class _Renderer:
             child = ch.apply(0)
             if _name(child) == "OneRowRelation":
                 return f"SELECT {exprs}"
-            if _name(child) == "Join":
-                return f"SELECT {exprs} FROM {self._join_fragment(child)}"
+            conds = []
             if _name(child) == "Filter":
                 # Project(Filter(x)): same level — SELECT list and WHERE
                 # share x's scope, keeping join aliases visible
-                cond = child.condition().sql()
-                inner = child.children().apply(0)
-                src = (
-                    self._join_fragment(inner)
-                    if _name(inner) == "Join"
-                    else self._from_item(inner)
-                )
-                return f"SELECT {exprs} FROM {src} WHERE {cond}"
-            return f"SELECT {exprs} FROM {self._from_item(child)}"
+                conds.append(f"({child.condition().sql()})")
+                child = child.children().apply(0)
+            src, extra = self._src(child)
+            if extra:
+                conds.append(extra)
+            where = f" WHERE {' AND '.join(conds)}" if conds else ""
+            return f"SELECT {exprs} FROM {src}{where}"
 
         if kind == "Filter":
-            cond = node.condition().sql()
+            conds = [f"({node.condition().sql()})"]
             child = ch.apply(0)
-            if _name(child) == "Join":
-                return f"SELECT * FROM {self._join_fragment(child)} WHERE {cond}"
+            exprs = "*"
             if _name(child) == "Project" and self._is_passthrough_project(child):
                 # Filter(passthrough-Project(x)): flatten so qualified
                 # refs in the condition still see x's join aliases; a
                 # computed projection can NOT flatten (SQL WHERE cannot
                 # reference SELECT-list aliases) and wraps instead
                 exprs = ", ".join(e.sql() for e in _seq(child.projectList()))
-                inner = child.children().apply(0)
-                src = (
-                    self._join_fragment(inner)
-                    if _name(inner) == "Join"
-                    else self._from_item(inner)
-                )
-                return f"SELECT {exprs} FROM {src} WHERE {cond}"
-            return f"SELECT * FROM {self._from_item(child)} WHERE {cond}"
+                child = child.children().apply(0)
+            src, extra = self._src(child)
+            if extra:
+                conds.append(extra)
+            return f"SELECT {exprs} FROM {src} WHERE {' AND '.join(conds)}"
 
         if kind == "Aggregate":
             groups = [e.sql() for e in _seq(node.groupingExpressions())]
             aggs = ", ".join(e.sql() for e in _seq(node.aggregateExpressions()))
             child = ch.apply(0)
-            where = ""
+            conds = []
             if _name(child) == "Filter":
-                where = f" WHERE {child.condition().sql()}"
+                conds.append(f"({child.condition().sql()})")
                 child = child.children().apply(0)
-            src = (
-                self._join_fragment(child)
-                if _name(child) == "Join"
-                else self._from_item(child)
-            )
+            src, extra = self._src(child)
+            if extra:
+                conds.append(extra)
+            where = f" WHERE {' AND '.join(conds)}" if conds else ""
             sql = f"SELECT {aggs} FROM {src}{where}"
             if groups:
                 sql += " GROUP BY " + ", ".join(groups)
             return sql
 
         if kind == "Join":
-            return f"SELECT * FROM {self._join_fragment(node)}"
+            src, extra = self._src(node)
+            where = f" WHERE {extra}" if extra else ""
+            return f"SELECT * FROM {src}{where}"
 
         if kind == "Sort":
             order = ", ".join(o.sql() for o in _seq(node.order()))
-            return f"SELECT * FROM {self._from_item(ch.apply(0))} ORDER BY {order}"
+            src, extra = self._src(ch.apply(0))
+            where = f" WHERE {extra}" if extra else ""
+            return f"SELECT * FROM {src}{where} ORDER BY {order}"
 
         if kind in ("GlobalLimit", "LocalLimit"):
             n = node.limitExpr().sql()
@@ -209,9 +268,12 @@ class _Renderer:
             # guaranteed to survive into the outer query)
             if _name(child) == "Sort":
                 order = ", ".join(o.sql() for o in _seq(child.order()))
-                inner = self._from_item(child.children().apply(0))
-                return f"SELECT * FROM {inner} ORDER BY {order} LIMIT {n}"
-            return f"SELECT * FROM {self._from_item(child)} LIMIT {n}"
+                src, extra = self._src(child.children().apply(0))
+                where = f" WHERE {extra}" if extra else ""
+                return f"SELECT * FROM {src}{where} ORDER BY {order} LIMIT {n}"
+            src, extra = self._src(child)
+            where = f" WHERE {extra}" if extra else ""
+            return f"SELECT * FROM {src}{where} LIMIT {n}"
 
         if kind == "Offset":
             # Plan Offset(m, Limit(n, c)) means "rows m..n of c" (limit
@@ -230,24 +292,33 @@ class _Renderer:
                     inner = inner.children().apply(0)
                 if _name(inner) == "Sort":
                     order = ", ".join(o.sql() for o in _seq(inner.order()))
-                    src = self._from_item(inner.children().apply(0))
+                    src, extra = self._src(inner.children().apply(0))
+                    where = f" WHERE {extra}" if extra else ""
                     return (
-                        f"SELECT * FROM {src} ORDER BY {order}"
+                        f"SELECT * FROM {src}{where} ORDER BY {order}"
                         f" LIMIT {max(k, 0)} OFFSET {off_sql}"
                     )
+                src, extra = self._src(inner)
+                where = f" WHERE {extra}" if extra else ""
                 return (
-                    f"SELECT * FROM {self._from_item(inner)}"
+                    f"SELECT * FROM {src}{where}"
                     f" LIMIT {max(k, 0)} OFFSET {off_sql}"
                 )
-            return f"SELECT * FROM {self._from_item(child)} OFFSET {off_sql}"
+            src, extra = self._src(child)
+            where = f" WHERE {extra}" if extra else ""
+            return f"SELECT * FROM {src}{where} OFFSET {off_sql}"
 
         if kind == "Distinct":
-            return f"SELECT DISTINCT * FROM {self._from_item(ch.apply(0))}"
+            src, extra = self._src(ch.apply(0))
+            where = f" WHERE {extra}" if extra else ""
+            return f"SELECT DISTINCT * FROM {src}{where}"
 
         if kind == "Deduplicate":
             keys = {a.name() for a in _seq(node.keys())}
             if keys == set(self._outputs(ch.apply(0))):
-                return f"SELECT DISTINCT * FROM {self._from_item(ch.apply(0))}"
+                src, extra = self._src(ch.apply(0))
+                where = f" WHERE {extra}" if extra else ""
+                return f"SELECT DISTINCT * FROM {src}{where}"
             raise Unreflectable("dropDuplicates on a key subset")
 
         if kind == "Union":
@@ -263,7 +334,9 @@ class _Renderer:
 
         if kind == "Window":
             wexprs = ", ".join(e.sql() for e in _seq(node.windowExpressions()))
-            return f"SELECT *, {wexprs} FROM {self._from_item(ch.apply(0))}"
+            src, extra = self._src(ch.apply(0))
+            where = f" WHERE {extra}" if extra else ""
+            return f"SELECT *, {wexprs} FROM {src}{where}"
 
         if kind == "OneRowRelation":
             return "SELECT 1"
@@ -292,10 +365,10 @@ def roundtrip_equivalent(df: DataFrame, check_rows: int = 100_000) -> bool:
         twin = df.sparkSession.sql(sql)
         twin.schema  # force analysis
     except AnalysisException as e:
-        # Plans whose qualified references cross a derived-table
-        # boundary (e.g. a semi-join ON referencing an alias buried
-        # inside the filtered left side — the TPC-H q21 shape) have no
-        # faithful SQL scoping. Surface as Unreflectable, never as a
+        # A plan whose qualified references cross a derived-table
+        # boundary the renderer could not flatten (the side-flattening
+        # in _side covers the known shapes; anything left is an
+        # unhandled scoping) surfaces as Unreflectable, never as a
         # silently-different query.
         raise Unreflectable(
             f"generated SQL failed analysis: {str(e).splitlines()[0][:200]}"
