@@ -75,7 +75,11 @@ def _union_find_components(edges, nodes):
     return {v: min(vs) for r, vs in comp.items() for v in vs}
 
 
-def test_connected_components_random_graphs(spark):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("cap", [0, 1_000_000])  # distributed + driver paths
+def test_connected_components_random_graphs(spark, cap):
     rng = random.Random(42)
     for trial in range(3):
         n = 60
@@ -89,7 +93,9 @@ def test_connected_components_random_graphs(spark):
         n_df = spark.createDataFrame([(v,) for v in nodes], "id long")
         got = {
             r.id: r.component
-            for r in connected_components(e_df, n_df, max_iter=20).collect()
+            for r in connected_components(
+                e_df, n_df, max_iter=20, driver_cap=cap
+            ).collect()
         }
         assert got == want, f"trial {trial}"
 

@@ -159,6 +159,26 @@ def test_ivf_topk_recall(spark):
     assert recall >= 0.8, f"IVF recall {recall}"
 
 
+def test_kmeans_driver_and_distributed_paths_agree(spark):
+    import random
+
+    from xngin_spark.operators import clustering as C
+
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 5) for _ in range(8)] for _ in range(3)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.2) for x in centers[i % 3]]) for i in range(45)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = C.kmeans_fit(emb, 3, max_iter=6)  # numpy driver path (n <= cap)
+    b = C.kmeans_fit(emb, 3, max_iter=6, driver_cap=0)  # distributed loop
+    # identical init (same hash order) + identical update/tie rules ->
+    # the same fixed point up to float summation order
+    for ca, cb in zip(a, b):
+        for xa, xb in zip(ca, cb):
+            assert abs(xa - xb) < 1e-6
+
+
 def test_ivf_persisted_prunes_partitions(spark, tmp_path):
     import random
 
@@ -460,7 +480,9 @@ def test_connected_components_path_graph_converges(spark):
     nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
     got = {
         r.id: r.component
-        for r in connected_components(edges, nodes, max_iter=25).collect()
+        for r in connected_components(
+            edges, nodes, max_iter=25, driver_cap=0  # force distributed loop
+        ).collect()
     }
     assert got == {i: 0 for i in range(20)}
 
@@ -477,7 +499,7 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(20)], "id long")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, nodes, max_iter=2)
+        connected_components(edges, nodes, max_iter=2, driver_cap=0)
 
 
 def test_release_checkpoint_frees_storage(spark):
@@ -509,7 +531,7 @@ def test_iterative_operators_do_not_leak_checkpoints(spark):
         [(i, i + 1) for i in range(9)], "src long, dst long"
     )
     nodes = spark.createDataFrame([(i,) for i in range(10)], "id long")
-    connected_components(edges, nodes, max_iter=15).collect()
+    connected_components(edges, nodes, max_iter=15, driver_cap=0).collect()
     # the final labels checkpoint survives (the caller holds it); the
     # per-iteration + edge-list ones must be gone
     assert jsc.getPersistentRDDs().size() <= before + 1

@@ -359,14 +359,16 @@ class TestStarContraction:
         # a 60-hop path needs 60 label-propagation rounds (the default
         # max_iter=10 raises); star contraction finishes in O(log n)
         chain = [(i, i + 1) for i in range(59)]
-        comp = self._run(spark, chain, 60, max_rounds=10)
+        comp = self._run(spark, chain, 60, max_rounds=10, driver_cap=0)
         assert set(comp.values()) == {0}
         from xngin_spark.operators.corpus import connected_components
 
         edges = spark.createDataFrame(chain, "src long, dst long")
         nodes = spark.range(60).withColumnRenamed("id", "doc_id")
         with pytest.raises(RuntimeError, match="did not converge"):
-            connected_components(edges, nodes, id_col="doc_id").collect()
+            connected_components(
+                edges, nodes, id_col="doc_id", driver_cap=0
+            ).collect()
 
     def test_matches_label_propagation_on_random_graphs(self, spark):
         import random
@@ -376,7 +378,7 @@ class TestStarContraction:
             n = 30
             edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
             edges = [(a, b) for a, b in edges if a != b]
-            star = self._run(spark, edges, n)
+            star = self._run(spark, edges, n, driver_cap=0)
             from xngin_spark.operators.corpus import connected_components
 
             e = spark.createDataFrame(edges, "src long, dst long")
@@ -384,7 +386,7 @@ class TestStarContraction:
             prop = {
                 r.doc_id: r.component
                 for r in connected_components(
-                    e, nodes, id_col="doc_id", max_iter=40
+                    e, nodes, id_col="doc_id", max_iter=40, driver_cap=0
                 ).collect()
             }
             assert star == prop

@@ -69,6 +69,32 @@ def _nearest(vec_col, centroids: list[list[float]]):
     return F.array_min(scored)  # struct compare: min d, then min c
 
 
+def _lloyd_numpy(X, k: int, max_iter: int, tol: float) -> list[list[float]]:
+    """Driver-side Lloyd iterations on a collected sample — same rules
+    as the distributed loop: init = first k rows (caller pre-orders),
+    squared-L2 argmin with lowest-index tie-break (np.argmin), empty
+    clusters keep their previous centroid, stop when the max
+    per-coordinate shift < tol."""
+    import numpy as np
+
+    cents = X[:k].copy()
+    for _ in range(max_iter):
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is constant
+        # per row so argmin needs only the last two terms (BLAS matmul)
+        d2 = (cents * cents).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+        assign = np.argmin(d2, axis=1)
+        new = cents.copy()
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        shift = float(np.abs(new - cents).max(initial=0.0))
+        cents = new
+        if shift < tol:
+            break
+    return [[float(x) for x in row] for row in cents]
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int,
@@ -77,6 +103,7 @@ def kmeans_fit(
     sample_fraction: float | None = None,
     seed: int = 42,
     tol: float = 1e-4,
+    driver_cap: int = 100_000,
 ) -> list[list[float]]:
     """Lloyd's k-means; returns centroids as plain lists (driver-side
     k×d floats — broadcastable by literal).
@@ -96,6 +123,21 @@ def kmeans_fit(
     vecs = df.select(F.col(vec_col).alias("v"))
     if sample_fraction:
         vecs = vecs.sample(fraction=sample_fraction, seed=seed)
+    if vecs.count() <= driver_cap:
+        # the (sampled) training set is driver-sized: collect once in
+        # the SAME deterministic hash order the distributed init uses
+        # (first k rows = identical init) and run Lloyd in numpy —
+        # O(iters) BLAS passes replace O(iters) Spark jobs whose fixed
+        # cost dominates at sample scale. This IS the stated design
+        # ("fit on a bounded sample, index the corpus with frozen
+        # centroids"); corpora above the cap keep the distributed loop,
+        # and the fan_out/checkpoint cost is skipped entirely here (two
+        # source-scan jobs total: the count and the ordered collect).
+        import numpy as np
+
+        rows = vecs.orderBy(F.xxhash64(F.col("v").cast("string"))).collect()
+        X = np.array([r.v for r in rows], dtype=np.float64)
+        return _lloyd_numpy(X, k, max_iter, tol)
     vecs = fan_out(vecs).localCheckpoint(eager=True)
     centroids = [
         [float(x) for x in r.v]

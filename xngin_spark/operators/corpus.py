@@ -291,11 +291,64 @@ def tfidf_topk(
     )
 
 
+#: Default edge-count ceiling for solving components driver-side. A
+#: collected edge is two ids (~24 B object overhead each): 1M edges is
+#: ~50 MB of driver heap and a few hundred ms of union-find — far under
+#: one distributed round's fixed cost. Graphs above the cap run the
+#: distributed loops unchanged.
+CC_DRIVER_CAP = 1_000_000
+
+
+def _driver_components(edges_uv: DataFrame, nodes, id_col: str) -> DataFrame:
+    """Exact components of a SMALL edge set via driver-side union-find
+    with min-id roots — identical output contract to the distributed
+    loops (component = min reachable node id). The dedup pipelines'
+    edge sets are usually tiny relative to the corpus (near-dup pairs,
+    not the corpus itself), so the common case skips every contraction
+    round's shuffle + checkpoint + fingerprint job; the caller gates
+    entry on an exact count of the materialized edge set.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    utype = edges_uv.schema.fields[0].dataType
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges_uv.collect():
+        ru, rv = find(row[0]), find(row[1])
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru  # larger root attaches under smaller -> root=min
+    labels = [(x, find(x)) for x in parent]
+    schema = StructType(
+        [StructField("nid", utype), StructField("comp", utype)]
+    )
+    spark = edges_uv.sparkSession
+    comp_df = spark.createDataFrame(labels, schema)
+    return (
+        nodes.select(F.col(id_col).alias("nid"))
+        .join(F.broadcast(comp_df), "nid", "left")
+        .select(
+            F.col("nid").alias(id_col),
+            F.coalesce("comp", F.col("nid")).alias("component"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,
     id_col: str = "id",
     max_iter: int = 10,
+    driver_cap: int = CC_DRIVER_CAP,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation — the
     step that turns near-dup PAIRS (minhash/simhash/cosine output) into
@@ -321,11 +374,21 @@ def connected_components(
     # it, and without materialization each round re-executes the whole
     # upstream edge pipeline (for dedup_pipeline that is minhash LSH +
     # winnowing per iteration — measured ~2x the total query cost)
+    # materialize the (expensive) upstream edge pipeline ONCE, then
+    # decide the strategy from its exact size: under driver_cap the
+    # whole component structure fits driver memory and union-find beats
+    # any number of distributed rounds (see _driver_components)
+    E = edges.selectExpr("src", "dst").localCheckpoint(eager=True)
+    if E.count() <= driver_cap:
+        try:
+            return _driver_components(E, nodes, id_col)
+        finally:
+            release_checkpoint(E)
     sym = (
-        edges.selectExpr("src", "dst")
-        .union(edges.selectExpr("dst AS src", "src AS dst"))
+        E.union(E.selectExpr("dst AS src", "src AS dst"))
         .localCheckpoint(eager=True)
     )
+    release_checkpoint(E)
     # localCheckpoint (eager) per iteration: an iterative join's lineage
     # otherwise doubles every round and the analyzed plan tree blows the
     # driver/codegen heap near ~10 iterations. Checkpointing stores the
@@ -685,6 +748,7 @@ def connected_components_star(
     nodes: DataFrame,
     id_col: str = "id",
     max_rounds: int = 25,
+    driver_cap: int = CC_DRIVER_CAP,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -717,6 +781,13 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # small edge sets (the common dedup case — pairs, not corpus) solve
+    # exactly on the driver instead of paying contraction rounds
+    if E.count() <= driver_cap:
+        try:
+            return _driver_components(E, nodes, id_col)
+        finally:
+            release_checkpoint(E)
 
     def fingerprint(e: DataFrame) -> tuple:
         row = (
