@@ -843,6 +843,44 @@ def test_dup_span_extract_two_islands(spark):
     assert rows == [(1, 8), (14, 21)]
 
 
+def test_dup_span_removal_planted(spark):
+    shared = " ".join(f"s{i}" for i in range(1, 11))  # 10 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "p1 p2 " + shared + " q1 q2"),  # span at 3..12
+            (2, shared + " r1 r2 r3"),          # span at 1..10
+            (3, "totally different words with no overlap at all here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in D.dup_span_removal(docs, w=8).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert rows[1]["n_removed"] == 10
+    assert rows[1]["clean_fp"] == md5("p1 p2 q1 q2")
+    assert rows[2]["n_removed"] == 10
+    assert rows[2]["clean_fp"] == md5("r1 r2 r3")
+    assert rows[3]["n_removed"] == 0  # untouched doc keeps its text
+    assert rows[3]["clean_fp"] == md5(
+        "totally different words with no overlap at all here now"
+    )
+
+
+def test_dup_span_removal_full_doc_empties_cleanly(spark):
+    # two identical docs: the whole text is one duplicated span; the
+    # rebuilt text must be EMPTY on both engines (md5('') convention)
+    import hashlib
+
+    t = " ".join(f"w{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [(1, t), (2, t)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in D.dup_span_removal(docs, w=8).collect()}
+    assert rows[1]["n_removed"] == 12
+    assert rows[1]["clean_fp"] == hashlib.md5(b"").hexdigest()
+
+
 def test_gopher_signals_planted(spark):
     from xngin_spark.operators import textstats as X
 

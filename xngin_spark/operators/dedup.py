@@ -733,6 +733,60 @@ def dup_span_extract(
     )
 
 
+def dup_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 8,
+) -> DataFrame:
+    """APPLY the spans :func:`dup_span_extract` finds: rebuild each
+    document with every cross-doc duplicated span deleted, emitting the
+    cleaned-text fingerprint and removal counts — the execution half of
+    surgical span removal (detect → remove), under the conservative
+    remove-EVERY-occurrence policy (boilerplate strip; keeping one
+    canonical occurrence per span is a policy variant that needs a
+    global keeper choice, exactly what dedup_best_keeper does at
+    document granularity).
+
+    Scale shape: the span table is tiny (one row per maximal span);
+    collect_list packs a doc's few spans into one array column, and the
+    rebuild is ONE projection — token positions filtered by an
+    any-span-covers predicate (order-independent, so collect_list's
+    nondeterministic order is harmless), then re-joined. Linear, no
+    self-join, one narrow groupBy on doc_id beyond span extraction.
+    """
+    spans = dup_span_extract(df, text_col, id_col, w)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("__spans")
+    )
+    empty = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    toks = tokens(F.col(text_col))
+    joined = df.select(F.col(id_col), toks.alias("__toks")).join(
+        sp, id_col, "left"
+    )
+    spans_c = F.coalesce(F.col("__spans"), empty)
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("__toks")),
+        lambda i: F.size(
+            F.filter(spans_c, lambda x: (i >= x.s) & (i <= x.e))
+        )
+        == 0,
+    )
+    clean = F.array_join(
+        F.transform(kept, lambda i: F.element_at(F.col("__toks"), i)), " "
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size("__toks").cast("long").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(clean).alias("clean_fp"),
+    )
+
+
 def minhash_index_persist(
     df: DataFrame,
     path: str,

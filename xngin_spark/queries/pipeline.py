@@ -668,6 +668,54 @@ def dedup_span_extract(spark, sf_dir):
     return D.dup_span_extract(d, w=8)
 
 
+_SPAN_REMOVAL_ORACLE = """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    wins AS (
+      SELECT doc_id, i AS wpos, md5(array_to_string(t[i:i+7], ' ')) AS wkey
+      FROM toks, UNNEST(generate_series(1, greatest(len(t) - 7, 1))) AS u(i)
+    ),
+    kd AS (SELECT wkey, COUNT(DISTINCT doc_id) AS nd FROM wins GROUP BY wkey),
+    dup AS (SELECT w.doc_id, w.wpos FROM wins w JOIN kd USING (wkey)
+            WHERE nd >= 2),
+    isl AS (SELECT doc_id, wpos,
+            wpos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wpos)
+              AS island
+            FROM dup),
+    spans AS (SELECT doc_id, MIN(wpos) AS s, MAX(wpos) + 7 AS e
+              FROM isl GROUP BY doc_id, island),
+    sp AS (SELECT doc_id, list({'s': s, 'e': e}) AS spans
+           FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - len(list_filter(generate_series(1, len(t.t)),
+                i -> len(list_filter(
+                       coalesce(sp.spans,
+                                CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                       x -> i >= x.s AND i <= x.e)) = 0)) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(array_to_string(
+             list_transform(
+               list_filter(generate_series(1, len(t.t)),
+                 i -> len(list_filter(
+                        coalesce(sp.spans,
+                                 CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                        x -> i >= x.s AND i <= x.e)) = 0),
+               i -> t.t[i]), ' '), '')) AS clean_fp
+    FROM toks t LEFT JOIN sp USING (doc_id)
+    """
+
+
+@register("dedup_span_removal", _SPAN_REMOVAL_ORACLE)
+def dedup_span_removal(spark, sf_dir):
+    """The execution half of surgical span removal (Lee et al. 2022):
+    rebuild every document with its cross-doc duplicated spans deleted
+    (remove-every-occurrence boilerplate policy), emitting removal
+    counts and the cleaned-text md5 — so the whole detect→remove loop
+    is value-checked end-to-end, not just the detection."""
+    d = T(spark, sf_dir, "documents")
+    return D.dup_span_removal(d, w=8)
+
+
 _GOPHER_ORACLE = f"""
     WITH t AS (
       SELECT doc_id,
