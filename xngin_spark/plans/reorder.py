@@ -220,6 +220,99 @@ def goo_order(
     return trace
 
 
+def dp_order(
+    rows: dict[str, float],
+    edges: list[Edge],
+    ndv: dict[tuple[str, str], float] | None = None,
+    max_vertices: int = 12,
+) -> list[tuple[frozenset, frozenset, float]]:
+    """EXACT join-order DP (DPsize over connected subgraphs, Moerkotte
+    & Neumann's DPccp family — the reference's dphyp.rs is the
+    hypergraph member of the same family; its dpsize.rs is literally
+    this) minimizing C_out (sum of intermediate result sizes) under
+    the same estimator as GOO. Bitmask DP over connected vertex
+    subsets: O(3^V · E) driver arithmetic, so it's capped at
+    ``max_vertices`` (12 ≈ 7M steps in pure Python); larger graphs should fall back
+    to :func:`goo_order` (greedy, linear), the same greedy-vs-DP split
+    the reference ships. Returns the same merge-trace format as
+    goo_order. Trees are BUSHY: any connected/connected split is
+    considered, not just left-deep."""
+    names = sorted(rows)
+    if len(names) > max_vertices:
+        raise ValueError(
+            f"{len(names)} vertices > max_vertices={max_vertices}; "
+            "use goo_order for large graphs"
+        )
+    idx = {n: i for i, n in enumerate(names)}
+    base = {n: float(r) for n, r in rows.items()}
+
+    def esel(e: Edge) -> float:
+        if ndv is None:
+            return 1.0 / max(base[e.a], base[e.b], 1.0)
+        s = 1.0
+        for lcol, rcol in e.on:
+            s /= max(
+                ndv.get((e.a, lcol), base[e.a]),
+                ndv.get((e.b, rcol), base[e.b]),
+                1.0,
+            )
+        return s
+    emasks = [
+        (1 << idx[e.a], 1 << idx[e.b], esel(e)) for e in edges
+    ]
+    # best[mask] = (cost, est_rows, (lmask, rmask) | None)
+    best: dict[int, tuple[float, float, tuple | None]] = {
+        1 << i: (0.0, base[n], None) for n, i in idx.items()
+    }
+    full = (1 << len(names)) - 1
+    for mask in range(3, full + 1):
+        if mask in best or (mask & (mask - 1)) == 0:
+            continue
+        # enumerate submask splits L | R = mask, L < R canonical
+        sub = (mask - 1) & mask
+        cand = None
+        while sub:
+            L, R = sub, mask ^ sub
+            if L < R and L in best and R in best:
+                sel, crosses = 1.0, False
+                for am, bm, s in emasks:
+                    if (am & L and bm & R) or (am & R and bm & L):
+                        sel *= s
+                        crosses = True
+                if crosses:
+                    cl, rl, _ = best[L]
+                    cr, rr, _ = best[R]
+                    est = rl * rr * sel
+                    cost = cl + cr + est
+                    key = (cost, est, L)
+                    if cand is None or key < cand[0]:
+                        cand = (key, est, (L, R))
+            sub = (sub - 1) & mask
+        if cand is not None:
+            best[mask] = (cand[0][0], cand[1], cand[2])
+    if full not in best:
+        raise CrossJoinNotSupported(
+            "join graph is disconnected (no edge-covered DP plan)"
+        )
+
+    def to_names(mask: int) -> frozenset:
+        return frozenset(n for n, i in idx.items() if mask & (1 << i))
+
+    trace: list[tuple[frozenset, frozenset, float]] = []
+
+    def walk(mask: int) -> None:
+        cost, est, split = best[mask]
+        if split is None:
+            return
+        L, R = split
+        walk(L)
+        walk(R)
+        trace.append((to_names(L), to_names(R), est))
+
+    walk(full)
+    return trace
+
+
 def goo_join(
     vertices: dict[str, DataFrame],
     edges: list[Edge | tuple],
@@ -260,7 +353,12 @@ def goo_join(
         for n, df in vertices.items()
     }
     trace = goo_order(est, edges, allow_cross=allow_cross, ndv=ndv)
+    return _build_join(vertices, edges, trace)
 
+
+def _build_join(vertices, edges, trace) -> DataFrame:
+    """Materialize a merge trace as an inner-join tree (every edge
+    connecting the two merged components goes into that join's ON)."""
     comp_df: dict[frozenset, DataFrame] = {
         frozenset([n]): df for n, df in vertices.items()
     }
@@ -279,6 +377,46 @@ def goo_join(
             comp_df[ca | cb] = left.crossJoin(right)
     (result,) = comp_df.values()
     return result
+
+
+def dp_join(
+    vertices: dict[str, DataFrame],
+    edges: list[Edge | tuple],
+    rows: dict[str, float] | None = None,
+    ndv: dict[tuple[str, str], float] | None = None,
+    measure_ndv: bool = True,
+    ndv_cache: dict[tuple[str, str], float] | None = None,
+    max_vertices: int = 12,
+) -> DataFrame:
+    """Exact-DP twin of :func:`goo_join` — same graph input, same
+    stats source, C_out-OPTIMAL bushy order via :func:`dp_order`
+    (dpsize.rs/dphyp.rs analog). Use for graphs up to ``max_vertices``
+    relations; beyond that, GOO."""
+    edges = [
+        e if isinstance(e, Edge) else Edge(e[0], e[1], tuple(map(tuple, e[2])))
+        for e in edges
+    ]
+    seen: dict[str, str] = {}
+    for vname, df in vertices.items():
+        for c in df.columns:
+            if c in seen:
+                raise ValueError(
+                    f"ambiguous column '{c}' in both {seen[c]} and {vname}; "
+                    "dp_join requires globally unique column names"
+                )
+            seen[c] = vname
+    if ndv is None and measure_ndv:
+        ndv = measure_edge_ndv(vertices, edges, ndv_cache)
+    est = rows or {
+        n: (
+            ndv[(n, "__rows__")]
+            if ndv is not None and (n, "__rows__") in ndv
+            else catalyst_rows(df)
+        )
+        for n, df in vertices.items()
+    }
+    trace = dp_order(est, edges, ndv=ndv, max_vertices=max_vertices)
+    return _build_join(vertices, edges, trace)
 
 
 def tree_cost(

@@ -1021,6 +1021,41 @@ from xngin_spark.plans.reorder import goo_join  # noqa: E402
 _GOO_NDV_CACHE: dict[str, dict] = {}
 
 
+def _q5_join_graph(spark, sf_dir):
+    """Q5's six-table join as an UNORDERED graph (vertices declared
+    fact-first — worst case for a declaration-order join)."""
+    from xngin_spark.queries.tpch import ts
+
+    vertices = {
+        "lineitem": T(spark, sf_dir, "lineitem"),
+        "orders": T(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit(ts("1996-01-01")))
+            & (F.col("o_orderdate") < F.lit(ts("1997-01-01")))
+        ),
+        "customer": T(spark, sf_dir, "customer"),
+        "supplier": T(spark, sf_dir, "supplier"),
+        "nation": T(spark, sf_dir, "nation"),
+        "region": T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
+    }
+    edges = [
+        ("customer", "orders", [("c_custkey", "o_custkey")]),
+        ("orders", "lineitem", [("o_orderkey", "l_orderkey")]),
+        ("lineitem", "supplier", [("l_suppkey", "s_suppkey")]),
+        ("customer", "supplier", [("c_nationkey", "s_nationkey")]),
+        ("supplier", "nation", [("s_nationkey", "n_nationkey")]),
+        ("nation", "region", [("n_regionkey", "r_regionkey")]),
+    ]
+    return vertices, edges
+
+
+def _q5_revenue(joined: DataFrame) -> DataFrame:
+    return (
+        joined.groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 @register(
     "join_reorder_goo",
     f"""
@@ -1046,34 +1081,40 @@ def join_reorder_goo(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle as q5: the reorderer must pick SOME valid edge order, never
     a cartesian, and the result must hash-match regardless of the
     (deliberately fact-first, worst-case) vertex declaration order."""
-    from xngin_spark.queries.tpch import ts
-
-    vertices = {
-        # fact tables declared FIRST — a left-deep in-declaration-order
-        # join would start with the largest pair; GOO must not care
-        "lineitem": T(spark, sf_dir, "lineitem"),
-        "orders": T(spark, sf_dir, "orders").filter(
-            (F.col("o_orderdate") >= F.lit(ts("1996-01-01")))
-            & (F.col("o_orderdate") < F.lit(ts("1997-01-01")))
-        ),
-        "customer": T(spark, sf_dir, "customer"),
-        "supplier": T(spark, sf_dir, "supplier"),
-        "nation": T(spark, sf_dir, "nation"),
-        "region": T(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"),
-    }
-    edges = [
-        ("customer", "orders", [("c_custkey", "o_custkey")]),
-        ("orders", "lineitem", [("o_orderkey", "l_orderkey")]),
-        ("lineitem", "supplier", [("l_suppkey", "s_suppkey")]),
-        ("customer", "supplier", [("c_nationkey", "s_nationkey")]),
-        ("supplier", "nation", [("s_nationkey", "n_nationkey")]),
-        ("nation", "region", [("n_regionkey", "r_regionkey")]),
-    ]
+    vertices, edges = _q5_join_graph(spark, sf_dir)
     joined = goo_join(
         vertices, edges, ndv_cache=_GOO_NDV_CACHE.setdefault(sf_dir, {})
     )
-    return (
-        joined.groupBy("n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
+    return _q5_revenue(joined)
+
+
+@register(
+    "join_reorder_dp",
+    f"""
+    SELECT n_name,
+           {dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def join_reorder_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same unordered q5 graph through the EXACT-DP reorderer
+    (plans.reorder.dp_join — dpsize.rs/dphyp.rs analog, C_out-optimal
+    bushy tree under the shared NDV estimator, capped at 12 relations
+    with GOO as the large-graph fallback, the same greedy-vs-DP split
+    the reference ships). Same oracle as q5; DP-vs-GOO cost dominance
+    is property-tested on random graphs in tests/test_reorder.py."""
+    from xngin_spark.plans.reorder import dp_join
+
+    vertices, edges = _q5_join_graph(spark, sf_dir)
+    joined = dp_join(
+        vertices, edges, ndv_cache=_GOO_NDV_CACHE.setdefault(sf_dir, {})
     )
+    return _q5_revenue(joined)
