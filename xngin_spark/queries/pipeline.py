@@ -495,6 +495,137 @@ def dedup_semantic(spark, sf_dir):
     )
 
 
+# Frozen 4-centroid codebook for the value-checked SemDeDup twin:
+# +/-0.1 in the first two dimensions, zero elsewhere — data-independent
+# (stable across testdata regeneration), and an L2 argmin against it is
+# the sign-quadrant of dims 1-2, so it blocks the synthetic embeddings
+# into 4 roughly even clusters.
+_SEM_CODEBOOK = [
+    [0.1, 0.1] + [0.0] * 62,
+    [0.1, -0.1] + [0.0] * 62,
+    [-0.1, 0.1] + [0.0] * 62,
+    [-0.1, -0.1] + [0.0] * 62,
+]
+
+
+def _sem_checked_oracle() -> str:
+    cents = ", ".join(
+        "(" + str(ci) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for ci, c in enumerate(_SEM_CODEBOOK)
+    )
+    return f"""
+    WITH RECURSIVE
+    cents(cid, cv) AS (VALUES {cents}),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST((CAST(e.embedding[t.i] AS DOUBLE) - c.cv[t.i])
+                      * (CAST(e.embedding[t.i] AS DOUBLE) - c.cv[t.i])
+                      AS DECIMAL(25,9))) AS dist
+      FROM embeddings e, cents c, generate_series(1, 64) t(i)
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM d) WHERE rk = 1
+    ),
+    n AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9)))
+                  AS DOUBLE)) AS nrm
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY vec_id
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(SUM(CAST(CAST(ea.embedding[t.i] AS DOUBLE)
+                  * CAST(eb.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9)))
+                  AS DOUBLE) AS dot
+      FROM assigned a JOIN assigned b
+             ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+           JOIN embeddings ea ON ea.vec_id = a.vec_id
+           JOIN embeddings eb ON eb.vec_id = b.vec_id,
+           generate_series(1, 64) t(i)
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT p.id_a, p.id_b
+      FROM p JOIN n na ON na.vec_id = p.id_a JOIN n nb ON nb.vec_id = p.id_b
+      WHERE p.dot / (na.nrm * nb.nrm) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(node, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS vec_id, MIN(lbl) AS component,
+           node = MIN(lbl) AS is_keeper
+    FROM reach GROUP BY node
+    """
+
+
+@register("dedup_semantic_checked", _sem_checked_oracle())
+def dedup_semantic_checked(spark, sf_dir):
+    """SemDeDup under a FULL value oracle: the same
+    cluster-block → within-cluster cosine → connected-components →
+    keeper pipeline as dedup_semantic, with the k-means codebook FROZEN
+    to data-independent constants (the production deployment shape —
+    centroids come from a one-off training run and are then fixed) so
+    every stage is deterministic and DuckDB-expressible. Assignment
+    distance and cosine both accumulate through DECIMAL(25,9) (exact,
+    order-independent) with the (dist, cid) tie-break mirrored on both
+    engines; the component labels are recomputed by the oracle with a
+    recursive reachability CTE. Upgrades the semantic-dedup family from
+    rows-only to a value-checked row — the trained-codebook variant
+    keeps its planted tests."""
+    from xngin_spark.operators.clustering import _lit_matrix
+    from xngin_spark.operators.corpus import connected_components_star
+    from xngin_spark.operators.similarity import DEC9 as dec9
+
+    emb = T(spark, sf_dir, "embeddings")
+
+    carr = _lit_matrix(_SEM_CODEBOOK)
+    vec = F.col("embedding")
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(len(_SEM_CODEBOOK) - 1)),
+        lambda i: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.element_at(carr, i + 1),
+                    lambda x, c: (
+                        (x.cast("double") - c) * (x.cast("double") - c)
+                    ).cast(dec9),
+                ),
+                F.lit(0).cast(dec9),
+                lambda a, x: (a + x).cast(dec9),
+            ).alias("d"),
+            i.alias("c"),
+        ),
+    )
+    assigned = emb.withColumn("cluster", F.array_min(scored)["c"])
+    pairs = S.cosine_dup_pairs(assigned, threshold=0.4, block_col="cluster")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comps = connected_components_star(
+        edges, emb.select("vec_id"), id_col="vec_id"
+    )
+    return comps.select(
+        "vec_id",
+        "component",
+        (F.col("vec_id") == F.col("component")).alias("is_keeper"),
+    )
+
+
 def _best_keeper_oracle() -> str:
     quality = """
              0.4 * least(n_chars_d / 200.0, 1.0)
