@@ -586,32 +586,13 @@ def dedup_semantic_checked(spark, sf_dir):
     recursive reachability CTE. Upgrades the semantic-dedup family from
     rows-only to a value-checked row — the trained-codebook variant
     keeps its planted tests."""
-    from xngin_spark.operators.clustering import _lit_matrix
+    from xngin_spark.operators.clustering import nearest_dec
     from xngin_spark.operators.corpus import connected_components_star
-    from xngin_spark.operators.similarity import DEC9 as dec9
 
     emb = T(spark, sf_dir, "embeddings")
-
-    carr = _lit_matrix(_SEM_CODEBOOK)
-    vec = F.col("embedding")
-    scored = F.transform(
-        F.sequence(F.lit(0), F.lit(len(_SEM_CODEBOOK) - 1)),
-        lambda i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.element_at(carr, i + 1),
-                    lambda x, c: (
-                        (x.cast("double") - c) * (x.cast("double") - c)
-                    ).cast(dec9),
-                ),
-                F.lit(0).cast(dec9),
-                lambda a, x: (a + x).cast(dec9),
-            ).alias("d"),
-            i.alias("c"),
-        ),
+    assigned = emb.withColumn(
+        "cluster", nearest_dec(F.col("embedding"), _SEM_CODEBOOK)
     )
-    assigned = emb.withColumn("cluster", F.array_min(scored)["c"])
     pairs = S.cosine_dup_pairs(assigned, threshold=0.4, block_col="cluster")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -1117,6 +1098,115 @@ def knn_cosine_ivf(spark, sf_dir):
     # of data size; 2 suffice for a meaningful index here. In production
     # fit once (sampled), freeze centroids, and reuse the index.
     return C.cosine_topk_ivf(emb, queries, k=10, nlist=8, nprobe=3, max_iter=2)
+
+
+def _ivf_checked_oracle() -> str:
+    cents = ", ".join(
+        "(" + str(ci) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for ci, c in enumerate(_SEM_CODEBOOK)
+    )
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {cents}),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST((CAST(e.embedding[t.i] AS DOUBLE) - c.cv[t.i])
+                      * (CAST(e.embedding[t.i] AS DOUBLE) - c.cv[t.i])
+                      AS DECIMAL(25,9))) AS dist
+      FROM embeddings e, cents c, generate_series(1, 64) t(i)
+      GROUP BY e.vec_id, c.cid
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM d) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, cid AS ivf_list FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM d WHERE vec_id < 5) WHERE rk <= 2
+    ),
+    n AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9)))
+                  AS DOUBLE)) AS nrm
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT p.qid, a.vec_id
+      FROM probes p JOIN assigned a USING (ivf_list)
+    ),
+    dots AS (
+      SELECT c.qid, c.vec_id,
+             CAST(SUM(CAST(CAST(eq.embedding[t.i] AS DOUBLE)
+                  * CAST(ec.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9)))
+                  AS DOUBLE) AS dot
+      FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
+           JOIN embeddings ec ON ec.vec_id = c.vec_id,
+           generate_series(1, 64) t(i)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT d.qid, d.vec_id,
+             d.dot / (nq.nrm * nc.nrm) AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.qid
+                    ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.vec_id)
+                  AS BIGINT) AS rank
+      FROM dots d JOIN n nq ON nq.vec_id = d.qid
+           JOIN n nc ON nc.vec_id = d.vec_id
+    )
+    SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@register("knn_cosine_ivf_checked", _ivf_checked_oracle())
+def knn_cosine_ivf_checked(spark, sf_dir):
+    """IVF ANN under a FULL value oracle: the same
+    assign → probe-nearest-lists → score-candidates → top-k pipeline
+    as knn_cosine_ivf, with the codebook FROZEN (deployed shape) and
+    BOTH the assignment and the probe ranking accumulated through
+    DECIMAL(25,9), so DuckDB reproduces list membership, probe sets,
+    cosines and ranks bit-for-bit. Upgrades the ANN family from
+    rows-only (iterative training / recall-bounded tests) to a
+    value-checked row; the trained variants keep their recall tests."""
+    from pyspark.sql import Window
+
+    from xngin_spark.operators.clustering import nearest_dec, probe_lists_dec
+    from xngin_spark.operators.similarity import vec_dot, vec_norm
+
+    emb = T(spark, sf_dir, "embeddings")
+    indexed = emb.select(
+        "vec_id",
+        "embedding",
+        nearest_dec(F.col("embedding"), _SEM_CODEBOOK).alias("ivf_list"),
+    )
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qvec"),
+            F.explode_outer(
+                probe_lists_dec(F.col("embedding"), _SEM_CODEBOOK, nprobe=2)
+            ).alias("ivf_list"),
+        )
+        .filter(F.col("ivf_list").isNotNull())
+    )
+    scored = indexed.join(F.broadcast(q), "ivf_list").withColumn(
+        "cosine",
+        vec_dot(F.col("embedding"), F.col("qvec"))
+        / (vec_norm(F.col("embedding")) * vec_norm(F.col("qvec"))),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.select("qid", "vec_id", "cosine")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
 
 
 # --- round-2 additions: quantization, PII scrub, vocab, split -------------
