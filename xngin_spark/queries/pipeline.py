@@ -1209,6 +1209,90 @@ def knn_cosine_ivf_checked(spark, sf_dir):
     )
 
 
+_LSH_CHECKED_ORACLE = """
+    WITH b AS (
+      SELECT vec_id, embedding,
+             CAST(SUM(CASE WHEN CAST(embedding[i] AS DOUBLE) >= 0
+                           THEN 1 << (i - 1) ELSE 0 END) AS BIGINT) AS bucket
+      FROM embeddings, generate_series(1, 8) t(i)
+      GROUP BY vec_id, embedding
+    ),
+    n AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9)))
+                  AS DOUBLE)) AS nrm
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT q.vec_id AS qid, c.vec_id
+      FROM b q JOIN b c ON q.bucket = c.bucket
+      WHERE q.vec_id < 5
+    ),
+    dots AS (
+      SELECT c.qid, c.vec_id,
+             CAST(SUM(CAST(CAST(eq.embedding[t.i] AS DOUBLE)
+                  * CAST(ec.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9)))
+                  AS DOUBLE) AS dot
+      FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
+           JOIN embeddings ec ON ec.vec_id = c.vec_id,
+           generate_series(1, 64) t(i)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT d.qid, d.vec_id,
+             d.dot / (nq.nrm * nc.nrm) AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.qid
+                    ORDER BY d.dot / (nq.nrm * nc.nrm) DESC, d.vec_id)
+                  AS BIGINT) AS rank
+      FROM dots d JOIN n nq ON nq.vec_id = d.qid
+           JOIN n nc ON nc.vec_id = d.vec_id
+    )
+    SELECT qid, vec_id, cosine, rank FROM ranked WHERE rank <= 10
+    """
+
+
+@register("knn_cosine_lsh_checked", _LSH_CHECKED_ORACLE)
+def knn_cosine_lsh_checked(spark, sf_dir):
+    """Hyperplane-LSH ANN under a FULL value oracle: the planes are
+    FROZEN to the first 8 coordinate axes (e_i·x >= 0 — still genuine
+    hyperplanes, chosen so the signature bit is one float-sign test
+    with NO accumulation sensitivity at all), the bucket is the packed
+    8-bit sign pattern, candidates are same-bucket pairs, and scoring
+    is the decimal-deterministic cosine. DuckDB reproduces buckets,
+    candidate sets, cosines and ranks bit-for-bit. Production keeps
+    random Gaussian planes + multiprobe (knn_cosine_lsh, recall-tested);
+    this row value-checks the bucket-join machinery itself."""
+    from pyspark.sql import Window
+
+    from xngin_spark.operators.similarity import vec_dot, vec_norm
+
+    emb = T(spark, sf_dir, "embeddings")
+    bucket = F.expr(
+        "aggregate(transform(sequence(1, 8), i -> "
+        "IF(CAST(element_at(embedding, i) AS DOUBLE) >= 0, "
+        "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
+    )
+    b = emb.select("vec_id", "embedding", bucket.alias("bucket"))
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        "bucket",
+    )
+    scored = b.join(F.broadcast(q), "bucket").withColumn(
+        "cosine",
+        vec_dot(F.col("embedding"), F.col("qvec"))
+        / (vec_norm(F.col("embedding")) * vec_norm(F.col("qvec"))),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.select("qid", "vec_id", "cosine")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
 # --- round-2 additions: quantization, PII scrub, vocab, split -------------
 
 
