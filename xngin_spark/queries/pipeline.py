@@ -1293,6 +1293,143 @@ def knn_cosine_lsh_checked(spark, sf_dir):
     )
 
 
+# 4-codeword 8-dim codebook shared by all 8 PQ subspaces (±0.1 quadrant
+# constants in the subspace's first two dims — data-independent, same
+# rationale as _SEM_CODEBOOK).
+_PQ_CODEBOOK = [
+    [0.1, 0.1] + [0.0] * 6,
+    [0.1, -0.1] + [0.0] * 6,
+    [-0.1, 0.1] + [0.0] * 6,
+    [-0.1, -0.1] + [0.0] * 6,
+]
+
+
+def _pq_checked_oracle() -> str:
+    cents = ", ".join(
+        "(" + str(ci) + ", [" + ", ".join(repr(x) for x in c) + "])"
+        for ci, c in enumerate(_PQ_CODEBOOK)
+    )
+    return f"""
+    WITH cents(cid, cv) AS (VALUES {cents}),
+    sd AS (
+      SELECT e.vec_id, s.s, c.cid,
+             SUM(CAST((CAST(e.embedding[(s.s - 1) * 8 + t.i] AS DOUBLE)
+                       - c.cv[t.i])
+                      * (CAST(e.embedding[(s.s - 1) * 8 + t.i] AS DOUBLE)
+                         - c.cv[t.i]) AS DECIMAL(25,9))) AS dist
+      FROM embeddings e, generate_series(1, 8) s(s), cents c,
+           generate_series(1, 8) t(i)
+      GROUP BY e.vec_id, s.s, c.cid
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cid) AS rk
+        FROM sd) WHERE rk = 1
+    ),
+    dt AS (SELECT vec_id AS qid, s, cid, dist FROM sd WHERE vec_id < 5),
+    adc AS (
+      SELECT dt.qid, c.vec_id,
+             CAST(SUM(dt.dist) AS DOUBLE) AS adc_dist
+      FROM codes c JOIN dt ON dt.s = c.s AND dt.cid = c.code
+      GROUP BY 1, 2
+    )
+    SELECT qid, vec_id, adc_dist,
+           CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY adc_dist, vec_id) AS BIGINT) AS rank
+    FROM adc QUALIFY rank <= 10
+    """
+
+
+@register("knn_l2_pq_checked", _pq_checked_oracle())
+def knn_l2_pq_checked(spark, sf_dir):
+    """Product quantization under a FULL value oracle: 64 dims split
+    into 8 subspaces, each encoded against a FROZEN 4-codeword
+    codebook (deployed shape — codebooks train once), queries scored
+    by asymmetric distance (ADC: per-subspace query→codeword distance
+    table, candidate distance = sum over subspaces of the table entry
+    at the candidate's code). Per-subspace assignment distances and
+    the ADC sum both accumulate through DECIMAL(25,9) with the
+    (dist, cid) tie-break mirrored, so DuckDB reproduces codes, ADC
+    distances and ranks bit-for-bit. The trained-PQ variant
+    (knn_l2_pq) keeps its recall-bounded tests."""
+    from pyspark.sql import Window
+
+    from xngin_spark.operators.clustering import DEC9, _lit_matrix
+
+    emb = T(spark, sf_dir, "embeddings")
+    carr = _lit_matrix(_PQ_CODEBOOK)
+
+    def sub(vec, s):
+        # subspace s (1-based Column) of a 64-dim vector, 8 dims
+        return F.slice(vec, (s - 1) * 8 + 1, 8)
+
+    def dist_dec(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, c: (
+                    (x.cast("double") - c) * (x.cast("double") - c)
+                ).cast(DEC9),
+            ),
+            F.lit(0).cast(DEC9),
+            lambda acc, x: (acc + x).cast(DEC9),
+        )
+
+    def scored_sub(vec, s):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(len(_PQ_CODEBOOK) - 1)),
+            lambda c: F.struct(
+                dist_dec(sub(vec, s), F.element_at(carr, c + 1)).alias("d"),
+                c.alias("c"),
+            ),
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda s: F.array_min(scored_sub(F.col("embedding"), s))["c"],
+    )
+    encoded = emb.select("vec_id", codes.alias("codes"))
+    # per-query distance table: 8 subspaces × 4 codewords of decimals
+    dtable = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(len(_PQ_CODEBOOK) - 1)),
+            lambda c: dist_dec(
+                sub(F.col("qvec"), s), F.element_at(carr, c + 1)
+            ),
+        ),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+    ).select("qid", dtable.alias("dt"))
+    adc = (
+        encoded.crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("dt"),
+                    F.col("codes"),
+                    lambda row, code: F.element_at(row, code + 1),
+                ),
+                F.lit(0).cast(DEC9),
+                lambda acc, x: (acc + x).cast(DEC9),
+            )
+            .cast("double")
+            .alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return adc.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= 10)
+
+
 # --- round-2 additions: quantization, PII scrub, vocab, split -------------
 
 
