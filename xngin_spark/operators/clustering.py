@@ -59,50 +59,6 @@ def _sq_dist(a, b):
 DEC9 = "decimal(25,9)"
 
 
-def _scored_dec(vec_col, centroids: list[list[float]]):
-    """array<struct<d: decimal, c: int>> of DECIMAL(25,9)-accumulated
-    squared distances to a FROZEN codebook — the cross-engine-exact
-    variant of the plain-double scoring below (decimal addition is
-    order-independent, so a DuckDB oracle reproduces every distance and
-    the (d, c) tie-break bit-for-bit)."""
-    carr = _lit_matrix(centroids)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
-        lambda i: F.struct(
-            F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.element_at(carr, i + 1),
-                    lambda x, c: (
-                        (x.cast("double") - c) * (x.cast("double") - c)
-                    ).cast(DEC9),
-                ),
-                F.lit(0).cast(DEC9),
-                lambda a, x: (a + x).cast(DEC9),
-            ).alias("d"),
-            i.alias("c"),
-        ),
-    )
-
-
-def nearest_dec(vec_col, centroids: list[list[float]]):
-    """Nearest-centroid id under decimal-exact distances (frozen
-    codebook assignment; min d, then min c)."""
-    return F.array_min(_scored_dec(vec_col, centroids))["c"]
-
-
-def probe_lists_dec(vec_col, centroids: list[list[float]], nprobe: int):
-    """The ``nprobe`` nearest list ids under decimal-exact distances
-    (deterministic IVF probe selection for the value-checked twin)."""
-    return F.slice(
-        F.transform(
-            F.array_sort(_scored_dec(vec_col, centroids)), lambda s: s["c"]
-        ),
-        1,
-        nprobe,
-    )
-
-
 def _nearest(vec_col, centroids: list[list[float]]):
     """(cluster_id, sq_dist) struct of the nearest centroid — map-side
     argmin over a centroid array literal."""

@@ -495,34 +495,66 @@ def dedup_semantic(spark, sf_dir):
     )
 
 
-# Frozen 4-centroid codebook for the value-checked SemDeDup twin:
-# +/-0.1 in the first two dimensions, zero elsewhere — data-independent
-# (stable across testdata regeneration), and an L2 argmin against it is
-# the sign-quadrant of dims 1-2, so it blocks the synthetic embeddings
-# into 4 roughly even clusters.
-_SEM_CODEBOOK = [
-    [0.1, 0.1] + [0.0] * 62,
-    [0.1, -0.1] + [0.0] * 62,
-    [-0.1, 0.1] + [0.0] * 62,
-    [-0.1, -0.1] + [0.0] * 62,
+# Frozen 16-centroid codebook for the value-checked SemDeDup/IVF
+# twins: ±0.1 in the first FOUR dimensions, zero elsewhere —
+# data-independent (stable across testdata regeneration), blocking the
+# embeddings into 16 roughly even sign-quadrant clusters (~n/16
+# occupancy). Because every centroid has the same norm, the L2 argmin
+# against this codebook CLOSED-FORMS to an argmax of the 4-term dot
+# product s1·x1 + s2·x2 + s3·x3 + s4·x4 — both engines evaluate that
+# one fixed-association double expression (no aggregation, no
+# higher-order functions), which is bit-identical IEEE arithmetic, so
+# assignment and probe ranking need no decimal accumulation at all.
+_SEM_SIGNS = [
+    (s1, s2, s3, s4)
+    for s1 in (0.1, -0.1)
+    for s2 in (0.1, -0.1)
+    for s3 in (0.1, -0.1)
+    for s4 in (0.1, -0.1)
 ]
+_SEM_CODEBOOK = [list(s) + [0.0] * 60 for s in _SEM_SIGNS]
+
+
+def _quadrant_scores_expr(vec_sql: str = "embedding") -> str:
+    """Spark SQL: array<struct<d,c>> of NEGATED codebook dots (so the
+    L2 argmin is array_min / ascending sort) — fixed left-association
+    4-term double arithmetic, mirrored verbatim by the oracle."""
+    entries = ", ".join(
+        "struct(-("
+        f"CAST({s1} AS DOUBLE) * CAST(element_at({vec_sql}, 1) AS DOUBLE)"
+        f" + CAST({s2} AS DOUBLE) * CAST(element_at({vec_sql}, 2) AS DOUBLE)"
+        f" + CAST({s3} AS DOUBLE) * CAST(element_at({vec_sql}, 3) AS DOUBLE)"
+        f" + CAST({s4} AS DOUBLE) * CAST(element_at({vec_sql}, 4) AS DOUBLE)"
+        f") AS d, {ci} AS c)"
+        for ci, (s1, s2, s3, s4) in enumerate(_SEM_SIGNS)
+    )
+    return f"array({entries})"
+
+
+def _quadrant_cents_sql() -> str:
+    """DuckDB: cents(cid, s1..s4) VALUES list for the same codebook."""
+    return ", ".join(
+        f"({ci}, {s1}, {s2}, {s3}, {s4})"
+        for ci, (s1, s2, s3, s4) in enumerate(_SEM_SIGNS)
+    )
+
+
+_QUADRANT_DIST_SQL = """
+             -(CAST(c.s1 AS DOUBLE) * CAST(e.embedding[1] AS DOUBLE)
+               + CAST(c.s2 AS DOUBLE) * CAST(e.embedding[2] AS DOUBLE)
+               + CAST(c.s3 AS DOUBLE) * CAST(e.embedding[3] AS DOUBLE)
+               + CAST(c.s4 AS DOUBLE) * CAST(e.embedding[4] AS DOUBLE))
+"""
 
 
 def _sem_checked_oracle() -> str:
-    cents = ", ".join(
-        "(" + str(ci) + ", [" + ", ".join(repr(x) for x in c) + "])"
-        for ci, c in enumerate(_SEM_CODEBOOK)
-    )
     return f"""
     WITH RECURSIVE
-    cents(cid, cv) AS (VALUES {cents}),
+    cents(cid, s1, s2, s3, s4) AS (VALUES {_quadrant_cents_sql()}),
     d AS (
       SELECT e.vec_id, c.cid,
-             SUM(CAST((CAST(e.embedding[t.i] AS DOUBLE) - c.cv[t.i])
-                      * (CAST(e.embedding[t.i] AS DOUBLE) - c.cv[t.i])
-                      AS DECIMAL(25,9))) AS dist
-      FROM embeddings e, cents c, generate_series(1, 64) t(i)
-      GROUP BY e.vec_id, c.cid
+             {_QUADRANT_DIST_SQL} AS dist
+      FROM embeddings e, cents c
     ),
     assigned AS (
       SELECT vec_id, cid AS cluster FROM (
@@ -586,12 +618,11 @@ def dedup_semantic_checked(spark, sf_dir):
     recursive reachability CTE. Upgrades the semantic-dedup family from
     rows-only to a value-checked row — the trained-codebook variant
     keeps its planted tests."""
-    from xngin_spark.operators.clustering import nearest_dec
     from xngin_spark.operators.corpus import connected_components_star
 
     emb = T(spark, sf_dir, "embeddings")
     assigned = emb.withColumn(
-        "cluster", nearest_dec(F.col("embedding"), _SEM_CODEBOOK)
+        "cluster", F.expr(f"array_min({_quadrant_scores_expr()}).c")
     )
     pairs = S.cosine_dup_pairs(assigned, threshold=0.4, block_col="cluster")
     edges = pairs.select(
@@ -1101,19 +1132,12 @@ def knn_cosine_ivf(spark, sf_dir):
 
 
 def _ivf_checked_oracle() -> str:
-    cents = ", ".join(
-        "(" + str(ci) + ", [" + ", ".join(repr(x) for x in c) + "])"
-        for ci, c in enumerate(_SEM_CODEBOOK)
-    )
     return f"""
-    WITH cents(cid, cv) AS (VALUES {cents}),
+    WITH cents(cid, s1, s2, s3, s4) AS (VALUES {_quadrant_cents_sql()}),
     d AS (
       SELECT e.vec_id, c.cid,
-             SUM(CAST((CAST(e.embedding[t.i] AS DOUBLE) - c.cv[t.i])
-                      * (CAST(e.embedding[t.i] AS DOUBLE) - c.cv[t.i])
-                      AS DECIMAL(25,9))) AS dist
-      FROM embeddings e, cents c, generate_series(1, 64) t(i)
-      GROUP BY e.vec_id, c.cid
+             {_QUADRANT_DIST_SQL} AS dist
+      FROM embeddings e, cents c
     ),
     assigned AS (
       SELECT vec_id, cid AS ivf_list FROM (
@@ -1176,14 +1200,14 @@ def knn_cosine_ivf_checked(spark, sf_dir):
     value-checked row; the trained variants keep their recall tests."""
     from pyspark.sql import Window
 
-    from xngin_spark.operators.clustering import nearest_dec, probe_lists_dec
     from xngin_spark.operators.similarity import vec_dot, vec_norm
 
     emb = T(spark, sf_dir, "embeddings")
+    scores = _quadrant_scores_expr()
     indexed = emb.select(
         "vec_id",
         "embedding",
-        nearest_dec(F.col("embedding"), _SEM_CODEBOOK).alias("ivf_list"),
+        F.expr(f"array_min({scores}).c").alias("ivf_list"),
     )
     q = (
         emb.filter(F.col("vec_id") < 5)
@@ -1191,7 +1215,9 @@ def knn_cosine_ivf_checked(spark, sf_dir):
             F.col("vec_id").alias("qid"),
             F.col("embedding").alias("qvec"),
             F.explode_outer(
-                probe_lists_dec(F.col("embedding"), _SEM_CODEBOOK, nprobe=2)
+                F.expr(
+                    f"slice(transform(array_sort({scores}), s -> s.c), 1, 2)"
+                )
             ).alias("ivf_list"),
         )
         .filter(F.col("ivf_list").isNotNull())
