@@ -548,20 +548,20 @@ _QUADRANT_DIST_SQL = """
 
 
 def _sem_checked_oracle() -> str:
-    return f"""
+    return """
     WITH RECURSIVE
-    cents(cid, s1, s2, s3, s4) AS (VALUES {_quadrant_cents_sql()}),
-    d AS (
-      SELECT e.vec_id, c.cid,
-             {_QUADRANT_DIST_SQL} AS dist
-      FROM embeddings e, cents c
+    cfg AS (
+      SELECT greatest(CAST(ceil(log2(greatest(COUNT(*) / 250.0, 2.0)))
+                      AS INT), 3) AS bits
+      FROM embeddings
     ),
     assigned AS (
-      SELECT vec_id, cid AS cluster FROM (
-        SELECT vec_id, cid,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY dist, cid) AS rk
-        FROM d) WHERE rk = 1
+      SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(1, cfg.bits),
+                  i -> CASE WHEN CAST(embedding[i] AS DOUBLE) < 0
+                            THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT)
+               AS cluster
+      FROM embeddings, cfg
     ),
     n AS (
       SELECT vec_id,
@@ -618,11 +618,26 @@ def dedup_semantic_checked(spark, sf_dir):
     recursive reachability CTE. Upgrades the semantic-dedup family from
     rows-only to a value-checked row — the trained-codebook variant
     keeps its planted tests."""
+    import math
+
     from xngin_spark.operators.corpus import connected_components_star
 
     emb = T(spark, sf_dir, "embeddings")
+    # occupancy-targeted blocking: 2^bits sign-quadrant clusters sized
+    # so occupancy stays ~250 as the corpus grows (the scale rule the
+    # measured probe forced on the trained variant — a FIXED codebook
+    # makes within-cluster pairs grow n^2/k; here "training" is just
+    # how many leading sign bits to read, so both engines derive bits
+    # from the same count and stay value-identical)
+    n = emb.count()
+    bits = max(3, math.ceil(math.log2(max(n / 250.0, 2.0))))
     assigned = emb.withColumn(
-        "cluster", F.expr(f"array_min({_quadrant_scores_expr()}).c")
+        "cluster",
+        F.expr(
+            f"aggregate(transform(sequence(1, {bits}), i -> "
+            "IF(CAST(element_at(embedding, i) AS DOUBLE) < 0, "
+            "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
+        ),
     )
     pairs = S.cosine_dup_pairs(assigned, threshold=0.4, block_col="cluster")
     edges = pairs.select(
@@ -775,6 +790,182 @@ def passage_dedup(spark, sf_dir):
     window keys make it fully oracle-checked."""
     d = T(spark, sf_dir, "documents")
     return D.passage_dup_stats(d, w=8)
+
+
+_VERDICT_CTES = f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             CAST(length(text) AS DOUBLE) AS n_chars_d,
+             length(text) - length(replace(text, '#', '')) AS n_hash,
+             (length(text) - length(replace(text, '...', ''))) / 3
+               AS n_ellipsis,
+             len(list_filter(string_split(text,' '),
+                 x -> list_contains({_MARK_SQL['en']}, x))) AS en,
+             len(list_filter(string_split(text,' '),
+                 x -> list_contains({_MARK_SQL['es']}, x))) AS es,
+             len(list_filter(string_split(text,' '),
+                 x -> list_contains({_MARK_SQL['de']}, x))) AS de
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             (len(toks) >= 50 AND len(toks) <= 100000
+              AND (n_chars_d - (CAST(len(toks) AS DOUBLE) - 1))
+                  / CAST(len(toks) AS DOUBLE) >= 3.0
+              AND (n_chars_d - (CAST(len(toks) AS DOUBLE) - 1))
+                  / CAST(len(toks) AS DOUBLE) <= 10.0
+              AND CAST(n_hash + n_ellipsis AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) <= 0.1
+              AND CAST(len(list_filter(toks,
+                           x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                  / CAST(len(toks) AS DOUBLE) >= 0.8
+              AND len(list_filter({_STOP_SQL},
+                                  x -> list_contains(toks, x))) >= 2)
+               AS gopher_pass,
+             (CAST(list_max(list_transform(list_distinct(toks),
+                    u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+                / CAST(len(toks) AS DOUBLE) <= 0.12
+              AND 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / CAST(len(toks) AS DOUBLE) <= 0.6) AS rep_ok,
+             (CASE WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                   WHEN es >= de AND es > 0 THEN 'es'
+                   WHEN de > 0 THEN 'de'
+                   ELSE 'unknown' END) <> 'unknown' AS lang_ok,
+             0.4 * least(n_chars_d / 200.0, 1.0)
+             + 0.3 * (CASE WHEN (n_chars_d - (CAST(len(toks) AS DOUBLE) - 1))
+                                / CAST(len(toks) AS DOUBLE) >= 3.0
+                            AND (n_chars_d - (CAST(len(toks) AS DOUBLE) - 1))
+                                / CAST(len(toks) AS DOUBLE) <= 10.0
+                       THEN 1.0 ELSE 0.5 END)
+             + 0.3 * least(CAST(len(list_filter(toks,
+                             x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                           / CAST(len(toks) AS DOUBLE) * 10.0, 1.0)
+               AS quality
+      FROM t)
+    """
+
+_VERDICT_ORACLE = f"""{_VERDICT_CTES}
+    SELECT doc_id, gopher_pass, rep_ok, lang_ok, quality,
+           (quality >= 0.5) AS quality_ok,
+           (gopher_pass AND rep_ok AND lang_ok AND quality >= 0.5) AS keep,
+           CAST((CASE WHEN gopher_pass THEN 0 ELSE 1 END)
+                + (CASE WHEN rep_ok THEN 0 ELSE 1 END)
+                + (CASE WHEN lang_ok THEN 0 ELSE 1 END)
+                + (CASE WHEN quality >= 0.5 THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_fail
+    FROM s
+    """
+
+
+@register("quality_filter_verdict", _VERDICT_ORACLE)
+def quality_filter_verdict(spark, sf_dir):
+    """The FULL quality-filter stack as ONE verdict query — the
+    FineWeb/RefinedWeb-style composition a selection pipeline actually
+    gates on: Gopher rules AND repetition bounds (top-token share
+    <= 0.12, duplicate-token ratio <= 0.6 — thresholds at the corpus
+    p90/median so the verdict has real signal) AND known language AND
+    heuristic quality >= 0.5, plus the per-rule booleans and a
+    failed-rule count for filter-debugging. One codegen'd projection,
+    no shuffle — the whole stack is a pure scan at 100 TB, which is
+    exactly why these cheap filters run FIRST in production pipelines
+    (before any dedup shuffle touches the data)."""
+    d = T(spark, sf_dir, "documents")
+    text = F.col("text")
+    toks = X.tokens(text)
+    sig = X.gopher_signals(text)
+    counts = F.transform(
+        F.array_distinct(toks), lambda u: F.size(F.filter(toks, lambda x: x == u))
+    )
+    top_share = F.array_max(counts).cast("double") / F.size(toks).cast(
+        "double"
+    )
+    dup_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(
+        toks
+    ).cast("double")
+    rep_ok = (top_share <= 0.12) & (dup_ratio <= 0.6)
+    lang_ok = X.lang_id(text) != "unknown"
+    quality = X.quality_score(text)
+    gopher = sig["gopher_pass"]
+    quality_ok = quality >= 0.5
+    keep = gopher & rep_ok & lang_ok & quality_ok
+    n_fail = (
+        (~gopher).cast("int")
+        + (~rep_ok).cast("int")
+        + (~lang_ok).cast("int")
+        + (~quality_ok).cast("int")
+    ).cast("long")
+    return d.select(
+        "doc_id",
+        gopher.alias("gopher_pass"),
+        rep_ok.alias("rep_ok"),
+        lang_ok.alias("lang_ok"),
+        quality.alias("quality"),
+        quality_ok.alias("quality_ok"),
+        keep.alias("keep"),
+        n_fail.alias("n_fail"),
+    )
+
+
+_STREAM_QUALITY_ORACLE = f"""{_VERDICT_CTES}
+    SELECT DISTINCT md5(d.text) AS fp_md5,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+    FROM s JOIN documents d USING (doc_id)
+    WHERE s.gopher_pass AND s.rep_ok AND s.lang_ok AND s.quality >= 0.5
+    """
+
+
+@register("docs_stream_quality", _STREAM_QUALITY_ORACLE)
+def docs_stream_quality(spark, sf_dir):
+    """The quality-filter stack applied AT INGEST: the document stream
+    (delivered twice — the at-least-once failure mode) flows through
+    the same per-row verdict projection as quality_filter_verdict
+    (pure map-side built-ins, so it is streaming-legal with no state),
+    keeps only passing docs, and collapses re-deliveries with
+    dropDuplicates on the content fingerprint. The batch oracle is the
+    kept-document content set, so the streaming answer must match the
+    batch verdict exactly regardless of arrival order — filter-at-
+    ingest is the production shape (reject junk before it ever costs a
+    dedup shuffle or a byte of storage)."""
+    import os
+
+    from xngin_spark.streaming import documents_stream, run_available_now
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    doubled = documents_stream(spark, path).unionAll(
+        documents_stream(spark, path)
+    )
+    text = F.col("text")
+    toks = X.tokens(text)
+    sig = X.gopher_signals(text)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda u: F.size(F.filter(toks, lambda x: x == u)),
+    )
+    top_share = F.array_max(counts).cast("double") / F.size(toks).cast(
+        "double"
+    )
+    dup_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(
+        toks
+    ).cast("double")
+    keep = (
+        sig["gopher_pass"]
+        & (top_share <= 0.12)
+        & (dup_ratio <= 0.6)
+        & (X.lang_id(text) != "unknown")
+        & (X.quality_score(text) >= 0.5)
+    )
+    kept = (
+        doubled.filter(keep)
+        .select(
+            F.md5("text").alias("fp_md5"),
+            F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        )
+        .dropDuplicates(["fp_md5"])
+    )
+    out = run_available_now(
+        kept, "docs_quality_sink", output_mode="append", shuffle_partitions=8
+    )
+    return out.select("fp_md5", "n_words")
 
 
 _SPAN_ORACLE = """
