@@ -792,6 +792,21 @@ def passage_dedup(spark, sf_dir):
     return D.passage_dup_stats(d, w=8)
 
 
+# In-row top-token count via sorted-run-length — O(L log L) per doc
+# (the naive in-row form, count-per-distinct-token, is O(L * distinct):
+# quadratic on long documents, a scale-killer at the Gopher 100k-word
+# cap). The DuckDB oracle computes the same integer relationally
+# (per-token group-by + max), which is its natural linear form.
+_TOP_RUN_EXPR = (
+    "aggregate(array_sort(split(text, ' ')), "
+    "struct(CAST(NULL AS STRING) AS prev, 0L AS cur, 0L AS best), "
+    "(a, x) -> struct(x AS prev, "
+    "IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1L, 1L) AS cur, "
+    "greatest(a.best, "
+    "IF(a.prev IS NOT NULL AND x = a.prev, a.cur + 1L, 1L)) AS best), "
+    "a -> a.best)"
+)
+
 _VERDICT_CTES = f"""
     WITH t AS (
       SELECT doc_id,
@@ -822,8 +837,9 @@ _VERDICT_CTES = f"""
               AND len(list_filter({_STOP_SQL},
                                   x -> list_contains(toks, x))) >= 2)
                AS gopher_pass,
-             (CAST(list_max(list_transform(list_distinct(toks),
-                    u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+             (CAST((SELECT MAX(c) FROM (
+                      SELECT COUNT(*) AS c FROM unnest(toks) AS u(tok)
+                      GROUP BY tok)) AS DOUBLE)
                 / CAST(len(toks) AS DOUBLE) <= 0.12
               AND 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
                         / CAST(len(toks) AS DOUBLE) <= 0.6) AS rep_ok,
@@ -873,10 +889,7 @@ def quality_filter_verdict(spark, sf_dir):
     text = F.col("text")
     toks = X.tokens(text)
     sig = X.gopher_signals(text)
-    counts = F.transform(
-        F.array_distinct(toks), lambda u: F.size(F.filter(toks, lambda x: x == u))
-    )
-    top_share = F.array_max(counts).cast("double") / F.size(toks).cast(
+    top_share = F.expr(_TOP_RUN_EXPR).cast("double") / F.size(toks).cast(
         "double"
     )
     dup_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(
@@ -937,11 +950,7 @@ def docs_stream_quality(spark, sf_dir):
     text = F.col("text")
     toks = X.tokens(text)
     sig = X.gopher_signals(text)
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda u: F.size(F.filter(toks, lambda x: x == u)),
-    )
-    top_share = F.array_max(counts).cast("double") / F.size(toks).cast(
+    top_share = F.expr(_TOP_RUN_EXPR).cast("double") / F.size(toks).cast(
         "double"
     )
     dup_ratio = 1.0 - F.size(F.array_distinct(toks)).cast("double") / F.size(
