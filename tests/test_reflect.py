@@ -80,6 +80,109 @@ def test_reflect_sql_is_runnable_text(spark, sf_dir):
     assert spark.sql(sql).count() == 1
 
 
+@pytest.fixture(scope="module")
+def _xyza(spark, tmp_path_factory):
+    """Four tiny single-alias parquet tables for join-shape tests."""
+    d = str(tmp_path_factory.mktemp("reflect_xyza"))
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(5)], "xk long, xv long"
+    ).write.parquet(d + "/x")
+    spark.createDataFrame(
+        [(i, i * 100) for i in range(5)], "yk long, yv long"
+    ).write.parquet(d + "/y")
+    spark.createDataFrame(
+        [(i, f"z{i}") for i in range(8)], "zk long, zs string"
+    ).write.parquet(d + "/z")
+    spark.createDataFrame(
+        [(i, f"a{i}") for i in range(8)], "ak long, av string"
+    ).write.parquet(d + "/a")
+    tables = {
+        n: spark.read.parquet(f"{d}/{n}").alias(n) for n in ("x", "y", "z", "a")
+    }
+    # second scan of y under its own alias (same columns — collision bait)
+    tables["y2"] = spark.read.parquet(f"{d}/y").alias("y2")
+    return tables
+
+
+def test_no_hoist_across_outer_join_boundary(spark, _xyza):
+    """Regression: a Filter buried on the null-supplying side of a LEFT
+    OUTER join must NOT hoist into the top-level WHERE (that filters
+    out the preserved null-extended rows). The renderer merges it into
+    the inner INNER join's ON instead — exact semantics, aliases kept
+    in scope."""
+    import pyspark.sql.functions as F
+
+    t = _xyza
+    inner = (
+        t["x"]
+        .join(t["y"], F.col("xk") == F.col("yk"))
+        .filter(F.col("xv") >= 20)
+        .join(t["z"], F.col("xk") == F.col("zk"))
+    )
+    df = t["a"].join(inner, F.col("ak") == F.col("xk"), "left_outer")
+    sql = reflect_sql(df)
+    # the filter must live inside the join fragment, not the outer WHERE
+    assert "WHERE" not in sql.upper().split("LEFT OUTER JOIN")[0]
+    assert roundtrip_equivalent(df)
+    assert spark.sql(sql).count() == df.count() == 8  # null-extended rows kept
+
+
+def test_pruning_project_between_joins_keeps_schema(spark, _xyza):
+    """Regression: a column-pruning select() between two joins must not
+    reflect to a wider SELECT * — the twin's schema and the duplicate-
+    name check must see the PRUNED output."""
+    import pyspark.sql.functions as F
+
+    t = _xyza
+    df = (
+        t["x"]
+        .join(t["y"], F.col("xk") == F.col("yk"))
+        .select("xk", "yv")
+        .join(t["z"], F.col("xk") == F.col("zk"))
+    )
+    assert roundtrip_equivalent(df)
+    twin = spark.sql(reflect_sql(df))
+    assert [f.name for f in twin.schema.fields] == ["xk", "yv", "zk", "zs"]
+
+
+def test_pruning_project_dedups_would_be_ambiguous_columns(spark, _xyza):
+    """A projection that drops the columns that WOULD collide across
+    join sides must not raise a spurious Unreflectable: the dup check
+    runs on the PRUNED output, and the explicit select list renders
+    qualified refs (bare ``yk`` is ambiguous in the SQL scope because
+    the pruned-away ``y.yk`` is still visible inside the inline
+    fragment)."""
+    import pyspark.sql.functions as F
+
+    t = _xyza
+    y2 = t["y2"]
+    # left prunes away y.yk / y.yv, which collide with y2's columns
+    left = t["x"].join(t["y"], F.col("xk") == F.col("yk")).select("xk", "xv")
+    df = left.join(y2, left["xk"] == y2["yk"])
+    assert df.columns == ["xk", "xv", "yk", "yv"]
+    assert roundtrip_equivalent(df)
+
+
+def test_filtered_outer_join_side_under_outer_boundary(spark, _xyza):
+    """A filtered LEFT OUTER join chain on the null-supplying side of
+    another LEFT OUTER join can't hoist OR ON-merge; it must either
+    render a locally-filtered derived table or raise Unreflectable —
+    never silently change results."""
+    import pyspark.sql.functions as F
+
+    t = _xyza
+    inner = (
+        t["x"]
+        .join(t["y"], F.col("xk") == F.col("yk"), "left_outer")
+        .filter(F.col("xk") >= 2)
+    )
+    df = t["a"].join(inner, F.col("ak") == F.col("xk"), "left_outer")
+    try:
+        assert roundtrip_equivalent(df)
+    except Unreflectable:
+        pass  # explicit refusal is within contract; silent change is not
+
+
 def test_unreflectable_raises_not_garbage(spark, sf_dir):
     # a plan with collected-literal LogicalRDD must raise, not emit SQL
     # that silently reads the wrong thing

@@ -188,3 +188,67 @@ def test_dp_join_matches_goo_join_results(spark, sf_dir):
     )
     plan = dp._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_tree_cost_shares_ndv_estimator_with_order():
+    """tree_cost(ndv=...) must evaluate a trace under the SAME
+    estimator that produced it: the per-merge estimates goo_order
+    emits must sum exactly to tree_cost of the same trace."""
+    from xngin_spark.plans.reorder import dp_order
+
+    rows = {"l": 600_000, "o": 150_000, "c": 15_000, "n": 25}
+    edges = [
+        E("l", "o", ("lo", "oo")),
+        E("o", "c", ("oc", "cc")),
+        E("c", "n", ("cn", "nn")),
+    ]
+    # NDV far below base rows — the case the fallback estimator gets wrong
+    ndv = {
+        ("l", "lo"): 150_000.0, ("o", "oo"): 150_000.0,
+        ("o", "oc"): 15_000.0, ("c", "cc"): 15_000.0,
+        ("c", "cn"): 25.0, ("n", "nn"): 25.0,
+    }
+    g = goo_order(rows, edges, ndv=ndv)
+    cost_ndv = tree_cost(rows, edges, [(a, b) for a, b, _ in g], ndv=ndv)
+    assert cost_ndv == pytest.approx(sum(est for _, _, est in g))
+    # under the naive estimator the same trace costs differently
+    assert cost_ndv != pytest.approx(
+        tree_cost(rows, edges, [(a, b) for a, b, _ in g])
+    )
+    # DP remains dominant under the ndv estimator too
+    d = dp_order(rows, edges, ndv=ndv)
+    cd = tree_cost(rows, edges, [(a, b) for a, b, _ in d], ndv=ndv)
+    assert cd <= cost_ndv + 1e-9
+
+
+def test_ndv_cache_keys_by_plan_fingerprint(spark, sf_dir):
+    """The shared NDV cache must NOT serve stats measured under one
+    query's predicates to a vertex with different predicates on the
+    same table — entries key on the canonicalized-plan fingerprint,
+    and an identical rebuilt plan still hits the cache."""
+    from xngin_spark.plans.reorder import measure_edge_ndv, plan_fingerprint
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    filt = orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01"))
+    assert plan_fingerprint(orders) != plan_fingerprint(filt)
+    rebuilt = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01")
+    )
+    assert plan_fingerprint(filt) == plan_fingerprint(rebuilt)
+
+    edges = [E("orders", "customer", ("o_custkey", "c_custkey"))]
+    cache: dict = {}
+    full = measure_edge_ndv({"orders": orders, "customer": customer}, edges, cache)
+    n_full = len(cache)
+    part = measure_edge_ndv({"orders": filt, "customer": customer}, edges, cache)
+    # different predicate → re-measured, not served stale
+    assert len(cache) > n_full
+    assert part[("orders", "__rows__")] < full[("orders", "__rows__")]
+    # identical rebuilt plan → pure cache hit
+    n_now = len(cache)
+    again = measure_edge_ndv(
+        {"orders": rebuilt, "customer": customer}, edges, cache
+    )
+    assert len(cache) == n_now
+    assert again[("orders", "__rows__")] == part[("orders", "__rows__")]

@@ -51,41 +51,67 @@ class _Renderer:
 
     # ---- helpers ---------------------------------------------------------
 
-    def _from_item(self, node) -> str:
-        """Render a node as something legal after FROM. A user-supplied
-        DataFrame alias (SubqueryAlias) is PRESERVED: Catalyst renders
-        qualified attribute references (``l1.l_orderkey``) against it,
-        so replacing it with a generated alias would unresolve them."""
+    def _from_item(self, node, may_hoist: bool = True) -> tuple[str, bool]:
+        """Render a node as something legal after FROM → ``(sql,
+        pruned)``. ``pruned`` is True when the rendered scope exposes
+        MORE columns than the plan node outputs (an inline join whose
+        side dropped columns via a peeled pruning Project), so a ``*``
+        over it would be unfaithful. A user-supplied DataFrame alias
+        (SubqueryAlias) is PRESERVED: Catalyst renders qualified
+        attribute references (``l1.l_orderkey``) against it, so
+        replacing it with a generated alias would unresolve them."""
         if _name(node) == "SubqueryAlias":
             alias = node.alias()
             child = node.children().apply(0)
             if _name(child) == "LogicalRelation":
-                return f"{self._relation(child)} AS {alias}"
-            return f"({self.select(child)}) AS {alias}"
+                return f"{self._relation(child)} AS {alias}", False
+            return f"({self.select(child)}) AS {alias}", False
         if _name(node) == "LogicalRelation":
-            return self._relation(node)
+            return self._relation(node), False
         if _name(node) == "Join":
             # joined-table fragment, parenthesized so it nests as one
             # FROM item while its side aliases stay visible to outer
             # ON/WHERE clauses (SQL scope, unlike a derived table)
-            return f"({self._join_fragment(node)})"
-        return f"({self.select(node)}) AS {self._alias()}"
+            frag, pruned = self._join_fragment(node, may_hoist)
+            return f"({frag})", pruned
+        return f"({self.select(node)}) AS {self._alias()}", False
 
-    def _flatten_side(self, node):
+    def _flatten_side(self, node, may_hoist: bool):
         """If ``node`` is a chain of pass-through Projects / Filters
         ending at a Join, flatten it: return ``(fragment_sql,
-        hoisted_conds, exposed_names)`` with the inner join rendered
-        inline (its side aliases stay visible to the OUTER join's ON —
-        the q21 shape: a semi-join condition referencing an alias
-        buried inside the filtered left side) and the chain's filter
-        conditions lifted out for the enclosing SELECT's WHERE.
+        hoisted_conds, exposed_names, pruned)`` with the inner join
+        rendered inline (its side aliases stay visible to the OUTER
+        join's ON — the q21 shape: a semi-join condition referencing an
+        alias buried inside the filtered left side) and the chain's
+        filter conditions lifted out for the enclosing SELECT's WHERE.
+
+        ``exposed_names`` is the PLAN output of the chain top (so a
+        peeled pruning Project narrows it); ``pruned`` marks that the
+        SQL scope still exposes the unpruned columns.
+
+        When ``may_hoist`` is False (this side sits under the
+        null-supplying / semi side of an outer join somewhere above —
+        lifting its filters into the enclosing WHERE would change
+        semantics), filter conditions are merged into the ending
+        INNER/CROSS join's ON instead, which is exactly equivalent
+        (``Filter(c, InnerJoin(a,b,on)) ≡ InnerJoin(a,b,on AND c)``).
+        A filtered chain ending at a NON-inner join has no inline
+        rendering that keeps both semantics and alias scope; it falls
+        back to a derived table with a local WHERE (qualified outer
+        references into it then fail analysis → Unreflectable, never a
+        silently-different query).
+
         Returns None when the chain doesn't end at a Join."""
         conds: list[str] = []
+        pruned = False
         cur = node
         while True:
             k = _name(cur)
             if k == "Project" and self._is_passthrough_project(cur):
-                cur = cur.children().apply(0)
+                child = cur.children().apply(0)
+                if set(self._outputs(cur)) != set(self._outputs(child)):
+                    pruned = True
+                cur = child
                 continue
             if k == "Filter":
                 conds.append(cur.condition().sql())
@@ -94,68 +120,101 @@ class _Renderer:
             break
         if _name(cur) != "Join":
             return None
-        frag = self._join_fragment(cur)
-        return f"({frag})", conds, self._outputs(cur)
-
-    def _side(self, node, jt: str, is_left: bool):
-        """Render one join side → ``(sql, exposed_names)``. Flattening
-        (and thus filter hoisting into the enclosing WHERE) is only
-        legal where the filter commutes with the join: a LEFT-side
-        filter commutes with INNER/CROSS/LEFT SEMI/LEFT ANTI/LEFT
-        OUTER (it only ever removes whole left rows); a RIGHT-side
-        filter only with INNER/CROSS (for outer/semi kinds it changes
-        match semantics, and its columns aren't even visible above a
-        semi join)."""
-        u = jt.upper()
-        may_flatten = u in ("INNER", "CROSS") or (
-            is_left and u in ("LEFT SEMI", "LEFT ANTI", "LEFT OUTER")
+        exposed = self._outputs(node)
+        if may_hoist or not conds:
+            frag, fp = self._join_fragment(cur, may_hoist)
+            return f"({frag})", conds, exposed, pruned or fp
+        if cur.joinType().sql().upper() in ("INNER", "CROSS"):
+            frag, fp = self._join_fragment(cur, False, extra_on=conds)
+            return f"({frag})", [], exposed, pruned or fp
+        frag, _ = self._join_fragment(cur, False)
+        where = " AND ".join(f"({c})" for c in conds)
+        cols = self._output_select_list(node)
+        return (
+            f"(SELECT {cols} FROM ({frag}) WHERE {where}) AS {self._alias()}",
+            [],
+            exposed,
+            False,
         )
-        if may_flatten and self._frames:
-            flat = self._flatten_side(node)
-            if flat is not None:
-                sql, conds, exposed = flat
-                self._frames[-1].extend(conds)
-                return sql, exposed
-        return self._from_item(node), self._outputs(node)
 
-    def _join_fragment(self, node) -> str:
-        """Render a Join as a FROM-clause fragment (no SELECT wrapper):
-        qualified references from ABOVE the join (filters/projections
-        over pass-through columns) resolve only if the join's side
-        aliases stay in the same query scope — wrapping every join in a
-        derived table would hide them (the q21 shape)."""
+    def _side(self, node, jt: str, is_left: bool, may_hoist: bool):
+        """Render one join side → ``(sql, exposed_names, pruned)``.
+        Flattening WITH filter hoisting into the enclosing WHERE is
+        only legal where the filter commutes with every join between
+        here and the owning SELECT: a LEFT-side filter commutes with
+        INNER/CROSS/LEFT SEMI/LEFT ANTI/LEFT OUTER (it only ever
+        removes whole left rows); a RIGHT-side filter only with
+        INNER/CROSS (for outer/semi kinds it changes match semantics,
+        and its columns aren't even visible above a semi join).
+        ``may_hoist`` carries the verdict from ABOVE this join — once
+        any ancestor side was non-hoistable, everything beneath it is
+        barred from the enclosing WHERE and must bind filters locally
+        (ON-merge or derived table, see _flatten_side)."""
+        u = jt.upper()
+        hoist_ok = may_hoist and (
+            u in ("INNER", "CROSS")
+            or (is_left and u in ("LEFT SEMI", "LEFT ANTI", "LEFT OUTER"))
+        )
+        flat = self._flatten_side(node, hoist_ok and bool(self._frames))
+        if flat is not None:
+            sql, conds, exposed, pruned = flat
+            if conds:
+                self._frames[-1].extend(conds)
+            return sql, exposed, pruned
+        sql, pruned = self._from_item(node, hoist_ok)
+        return sql, self._outputs(node), pruned
+
+    def _join_fragment(
+        self, node, may_hoist: bool = True, extra_on: list[str] | None = None
+    ) -> tuple[str, bool]:
+        """Render a Join as a FROM-clause fragment (no SELECT wrapper)
+        → ``(sql, pruned)``: qualified references from ABOVE the join
+        (filters/projections over pass-through columns) resolve only if
+        the join's side aliases stay in the same query scope — wrapping
+        every join in a derived table would hide them (the q21 shape).
+        ``extra_on`` ANDs extra conditions into this join's ON (the
+        no-hoist filter sink for INNER/CROSS, see _flatten_side)."""
         jt = node.joinType().sql()
         if "EXISTENCE" in jt.upper():
             raise Unreflectable("ExistenceJoin has no SQL surface")
         ch = node.children()
-        left, lexp = self._side(ch.apply(0), jt, True)
-        right, rexp = self._side(ch.apply(1), jt, False)
+        left, lexp, lpr = self._side(ch.apply(0), jt, True, may_hoist)
+        right, rexp, rpr = self._side(ch.apply(1), jt, False, may_hoist)
+        pruned = lpr or rpr
         dup = set(lexp) & set(rexp)
         if dup:
             raise Unreflectable(f"join sides share output names: {sorted(dup)}")
         cond = node.condition()
-        if cond.isDefined():
-            return f"{left} {jt} JOIN {right} ON {cond.get().sql()}"
+        on = [f"({cond.get().sql()})"] if cond.isDefined() else []
+        on += [f"({c})" for c in (extra_on or [])]
+        if on:
+            u = "INNER" if jt.upper() == "CROSS" else jt
+            return f"{left} {u} JOIN {right} ON {' AND '.join(on)}", pruned
         if jt.upper() in ("INNER", "CROSS"):
-            return f"{left} CROSS JOIN {right}"
+            return f"{left} CROSS JOIN {right}", pruned
         raise Unreflectable(f"condition-less {jt} join")
 
-    def _src(self, node) -> tuple[str, str]:
+    def _src(self, node) -> tuple[str, str, str]:
         """Render ``node`` as this SELECT's FROM source inside a fresh
-        hoist frame; returns ``(src_sql, extra_where)`` where
+        hoist frame; returns ``(src_sql, extra_where, cols)`` where
         ``extra_where`` collects filter conditions lifted out of
-        flattened join sides ('' when none). The owning arm must AND it
-        into its WHERE clause."""
+        flattened join sides ('' when none) and ``cols`` is what a
+        faithful ``SELECT *`` over this source must say: literally
+        ``*`` normally, or an explicit column list when an inline join
+        side peeled a pruning Project (the SQL scope then exposes
+        columns the plan had projected away). The owning arm must AND
+        ``extra_where`` into its WHERE clause and use ``cols`` wherever
+        it would have written ``*``."""
         self._frames.append([])
         try:
-            src = (
-                self._join_fragment(node)
-                if _name(node) == "Join"
-                else self._from_item(node)
-            )
+            if _name(node) == "Join":
+                src, pruned = self._join_fragment(node)
+            else:
+                src, pruned = self._from_item(node)
         finally:
             conds = self._frames.pop()
-        return src, " AND ".join(f"({c})" for c in conds)
+        cols = self._output_select_list(node) if pruned else "*"
+        return src, " AND ".join(f"({c})" for c in conds), cols
 
     @staticmethod
     def _is_passthrough_project(node) -> bool:
@@ -177,6 +236,18 @@ class _Renderer:
 
     def _outputs(self, node) -> list[str]:
         return [a.name() for a in _seq(node.output())]
+
+    def _output_select_list(self, node) -> str:
+        """Explicit SELECT list reproducing ``node``'s plan output —
+        the faithful replacement for ``*`` over a scope that exposes
+        more columns than the plan (a peeled pruning Project).
+        QUALIFIED references (``y2.yk AS yk``): a pruned-away column
+        may share its bare name with a surviving one from the other
+        join side, so bare names would be ambiguous in SQL even though
+        the plan output is unambiguous."""
+        return ", ".join(
+            f"{a.sql()} AS `{a.name()}`" for a in _seq(node.output())
+        )
 
     # ---- node renderers --------------------------------------------------
 
@@ -208,7 +279,7 @@ class _Renderer:
                 # share x's scope, keeping join aliases visible
                 conds.append(f"({child.condition().sql()})")
                 child = child.children().apply(0)
-            src, extra = self._src(child)
+            src, extra, _ = self._src(child)
             if extra:
                 conds.append(extra)
             where = f" WHERE {' AND '.join(conds)}" if conds else ""
@@ -217,7 +288,7 @@ class _Renderer:
         if kind == "Filter":
             conds = [f"({node.condition().sql()})"]
             child = ch.apply(0)
-            exprs = "*"
+            exprs = None
             if _name(child) == "Project" and self._is_passthrough_project(child):
                 # Filter(passthrough-Project(x)): flatten so qualified
                 # refs in the condition still see x's join aliases; a
@@ -225,10 +296,10 @@ class _Renderer:
                 # reference SELECT-list aliases) and wraps instead
                 exprs = ", ".join(e.sql() for e in _seq(child.projectList()))
                 child = child.children().apply(0)
-            src, extra = self._src(child)
+            src, extra, cols = self._src(child)
             if extra:
                 conds.append(extra)
-            return f"SELECT {exprs} FROM {src} WHERE {' AND '.join(conds)}"
+            return f"SELECT {exprs or cols} FROM {src} WHERE {' AND '.join(conds)}"
 
         if kind == "Aggregate":
             groups = [e.sql() for e in _seq(node.groupingExpressions())]
@@ -238,7 +309,7 @@ class _Renderer:
             if _name(child) == "Filter":
                 conds.append(f"({child.condition().sql()})")
                 child = child.children().apply(0)
-            src, extra = self._src(child)
+            src, extra, _ = self._src(child)
             if extra:
                 conds.append(extra)
             where = f" WHERE {' AND '.join(conds)}" if conds else ""
@@ -248,15 +319,15 @@ class _Renderer:
             return sql
 
         if kind == "Join":
-            src, extra = self._src(node)
+            src, extra, cols = self._src(node)
             where = f" WHERE {extra}" if extra else ""
-            return f"SELECT * FROM {src}{where}"
+            return f"SELECT {cols} FROM {src}{where}"
 
         if kind == "Sort":
             order = ", ".join(o.sql() for o in _seq(node.order()))
-            src, extra = self._src(ch.apply(0))
+            src, extra, cols = self._src(ch.apply(0))
             where = f" WHERE {extra}" if extra else ""
-            return f"SELECT * FROM {src}{where} ORDER BY {order}"
+            return f"SELECT {cols} FROM {src}{where} ORDER BY {order}"
 
         if kind in ("GlobalLimit", "LocalLimit"):
             n = node.limitExpr().sql()
@@ -268,12 +339,12 @@ class _Renderer:
             # guaranteed to survive into the outer query)
             if _name(child) == "Sort":
                 order = ", ".join(o.sql() for o in _seq(child.order()))
-                src, extra = self._src(child.children().apply(0))
+                src, extra, cols = self._src(child.children().apply(0))
                 where = f" WHERE {extra}" if extra else ""
-                return f"SELECT * FROM {src}{where} ORDER BY {order} LIMIT {n}"
-            src, extra = self._src(child)
+                return f"SELECT {cols} FROM {src}{where} ORDER BY {order} LIMIT {n}"
+            src, extra, cols = self._src(child)
             where = f" WHERE {extra}" if extra else ""
-            return f"SELECT * FROM {src}{where} LIMIT {n}"
+            return f"SELECT {cols} FROM {src}{where} LIMIT {n}"
 
         if kind == "Offset":
             # Plan Offset(m, Limit(n, c)) means "rows m..n of c" (limit
@@ -292,33 +363,33 @@ class _Renderer:
                     inner = inner.children().apply(0)
                 if _name(inner) == "Sort":
                     order = ", ".join(o.sql() for o in _seq(inner.order()))
-                    src, extra = self._src(inner.children().apply(0))
+                    src, extra, cols = self._src(inner.children().apply(0))
                     where = f" WHERE {extra}" if extra else ""
                     return (
-                        f"SELECT * FROM {src}{where} ORDER BY {order}"
+                        f"SELECT {cols} FROM {src}{where} ORDER BY {order}"
                         f" LIMIT {max(k, 0)} OFFSET {off_sql}"
                     )
-                src, extra = self._src(inner)
+                src, extra, cols = self._src(inner)
                 where = f" WHERE {extra}" if extra else ""
                 return (
-                    f"SELECT * FROM {src}{where}"
+                    f"SELECT {cols} FROM {src}{where}"
                     f" LIMIT {max(k, 0)} OFFSET {off_sql}"
                 )
-            src, extra = self._src(child)
+            src, extra, cols = self._src(child)
             where = f" WHERE {extra}" if extra else ""
-            return f"SELECT * FROM {src}{where} OFFSET {off_sql}"
+            return f"SELECT {cols} FROM {src}{where} OFFSET {off_sql}"
 
         if kind == "Distinct":
-            src, extra = self._src(ch.apply(0))
+            src, extra, cols = self._src(ch.apply(0))
             where = f" WHERE {extra}" if extra else ""
-            return f"SELECT DISTINCT * FROM {src}{where}"
+            return f"SELECT DISTINCT {cols} FROM {src}{where}"
 
         if kind == "Deduplicate":
             keys = {a.name() for a in _seq(node.keys())}
             if keys == set(self._outputs(ch.apply(0))):
-                src, extra = self._src(ch.apply(0))
+                src, extra, cols = self._src(ch.apply(0))
                 where = f" WHERE {extra}" if extra else ""
-                return f"SELECT DISTINCT * FROM {src}{where}"
+                return f"SELECT DISTINCT {cols} FROM {src}{where}"
             raise Unreflectable("dropDuplicates on a key subset")
 
         if kind == "Union":
@@ -334,9 +405,9 @@ class _Renderer:
 
         if kind == "Window":
             wexprs = ", ".join(e.sql() for e in _seq(node.windowExpressions()))
-            src, extra = self._src(ch.apply(0))
+            src, extra, cols = self._src(ch.apply(0))
             where = f" WHERE {extra}" if extra else ""
-            return f"SELECT *, {wexprs} FROM {src}{where}"
+            return f"SELECT {cols}, {wexprs} FROM {src}{where}"
 
         if kind == "OneRowRelation":
             return "SELECT 1"

@@ -74,6 +74,40 @@ class _Comp:
     order: list = field(default_factory=list)  # merge trace (for tests)
 
 
+def _edge_selectivity(
+    e: Edge,
+    base: dict[str, float],
+    ndv: dict[tuple[str, str], float] | None,
+) -> float:
+    """Selectivity of one equi-edge under the SHARED estimator all
+    reorderers (and tree_cost) must agree on. With measured NDV
+    (System-R): 1/max(ndv(a.col), ndv(b.col)) per column pair;
+    fallback: 1/max(base rows) — the PK-FK guess, wrong exactly when
+    the key's domain is much smaller than either table."""
+    if ndv is None:
+        return 1.0 / max(base[e.a], base[e.b], 1.0)
+    s = 1.0
+    for lcol, rcol in e.on:
+        s /= max(
+            ndv.get((e.a, lcol), base[e.a]),
+            ndv.get((e.b, rcol), base[e.b]),
+            1.0,
+        )
+    return s
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """Stable driver-side fingerprint of a DataFrame's OPTIMIZED plan
+    (canonicalized, so expression IDs — which differ every time the
+    same query is re-built — don't perturb it). Used to key cached
+    per-vertex statistics: two vertices over the same table but with
+    DIFFERENT predicates must not share NDV/rowcount entries."""
+    import hashlib
+
+    s = df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    return hashlib.md5(s.encode()).hexdigest()[:16]
+
+
 def catalyst_rows(df: DataFrame) -> float:
     """Cardinality proxy from Catalyst's optimized-plan statistics:
     ``sizeInBytes`` after filter/prune pushdown, normalized by an
@@ -103,16 +137,33 @@ def measure_edge_ndv(
     query. Without it the naive max-base-rows key-domain guess
     mis-ranks low-cardinality equi-edges (e.g. a 25-value nationkey
     joining two 10^4-row tables looks selective but multiplies) —
-    measured 9x slower plans on the q5 graph."""
+    measured 9x slower plans on the q5 graph.
+
+    ``cache`` entries are keyed by ``(plan_fingerprint, col)`` — NOT by
+    vertex name: a vertex carries its query's predicates (q5 filters
+    orders to one year), and a different query reusing the cache with a
+    different filter on the same table name must re-measure, not reuse
+    stale cardinalities. The RETURNED dict is name-keyed for the
+    current graph (what goo_order/dp_order consume)."""
     cache = cache if cache is not None else {}
-    need: dict[str, set[str]] = {}
+    touched: set[str] = set()
+    want: dict[str, set[str]] = {}
     for e in edges:
         for v, c in ((e.a, [l for l, _ in e.on]), (e.b, [r for _, r in e.on])):
-            for col in c:
-                if (v, col) not in cache:
-                    need.setdefault(v, set()).add(col)
+            touched.add(v)
+            want.setdefault(v, set()).update(c)
+    fp = {v: plan_fingerprint(vertices[v]) for v in touched}
+    need: dict[str, set[str]] = {}
+    for v, cols in want.items():
+        missing = {c for c in cols if (fp[v], c) not in cache}
+        if missing or (fp[v], "__rows__") not in cache:
+            need[v] = missing
     if not need:
-        return cache
+        return {
+            (v, c): cache[(fp[v], c)]
+            for v, cols in want.items()
+            for c in cols | {"__rows__"}
+        }
     # one independent job per vertex — submit them concurrently so the
     # scheduler interleaves their stages (per-job fixed overhead
     # dominates these tiny HLL aggregates; measured 3.5s -> ~1s for the
@@ -132,10 +183,14 @@ def measure_edge_ndv(
         for v, cols, row in ex.map(_one, need.items()):
             # exact row count rides along for free in the same job —
             # goo_join prefers it over the sizeInBytes/width guess
-            cache[(v, "__rows__")] = float(row["__rows__"]) or 1.0
+            cache[(fp[v], "__rows__")] = float(row["__rows__"]) or 1.0
             for c in cols:
-                cache[(v, c)] = float(row[c]) or 1.0
-    return cache
+                cache[(fp[v], c)] = float(row[c]) or 1.0
+    return {
+        (v, c): cache[(fp[v], c)]
+        for v, cols in want.items()
+        for c in cols | {"__rows__"}
+    }
 
 
 def goo_order(
@@ -164,20 +219,7 @@ def goo_order(
     trace: list[tuple[frozenset, frozenset, float]] = []
 
     def edge_sel(e: Edge) -> float:
-        """Selectivity of one edge: 1/max key-domain. With measured
-        NDV (System-R): 1/max(ndv(a.col), ndv(b.col)) per column pair;
-        fallback: 1/max(base rows) — the PK-FK guess, wrong exactly
-        when the key's domain is much smaller than either table."""
-        if ndv is None:
-            return 1.0 / max(base[e.a], base[e.b], 1.0)
-        s = 1.0
-        for lcol, rcol in e.on:
-            s /= max(
-                ndv.get((e.a, lcol), base[e.a]),
-                ndv.get((e.b, rcol), base[e.b]),
-                1.0,
-            )
-        return s
+        return _edge_selectivity(e, base, ndv)
 
     def find(name: str) -> frozenset:
         for c in comps:
@@ -247,16 +289,7 @@ def dp_order(
     base = {n: float(r) for n, r in rows.items()}
 
     def esel(e: Edge) -> float:
-        if ndv is None:
-            return 1.0 / max(base[e.a], base[e.b], 1.0)
-        s = 1.0
-        for lcol, rcol in e.on:
-            s /= max(
-                ndv.get((e.a, lcol), base[e.a]),
-                ndv.get((e.b, rcol), base[e.b]),
-                1.0,
-            )
-        return s
+        return _edge_selectivity(e, base, ndv)
     emasks = [
         (1 << idx[e.a], 1 << idx[e.b], esel(e)) for e in edges
     ]
@@ -423,11 +456,14 @@ def tree_cost(
     rows: dict[str, float],
     edges: list[Edge],
     merge_seq: list[tuple[frozenset, frozenset]],
+    ndv: dict[tuple[str, str], float] | None = None,
 ) -> float:
     """Sum of estimated intermediate-result sizes for a given merge
-    sequence under the same estimator GOO uses — the comparison metric
-    for reorder-vs-naive tests (C_out cost, the standard join-order
-    objective)."""
+    sequence (C_out cost, the standard join-order objective). Pass the
+    SAME ``ndv`` dict that produced the trace (goo_order/dp_order):
+    costing a trace under a different estimator than the one that
+    generated it mis-ranks orders, so the estimator is shared
+    (:func:`_edge_selectivity`), not duplicated."""
     base = dict(rows)
     est: dict[frozenset, float] = {frozenset([n]): float(r) for n, r in rows.items()}
     total = 0.0
@@ -436,7 +472,7 @@ def tree_cost(
         joined = False
         for e in edges:
             if (e.a in ca and e.b in cb) or (e.a in cb and e.b in ca):
-                sel /= max(base[e.a], base[e.b], 1.0)
+                sel *= _edge_selectivity(e, base, ndv)
                 joined = True
         if not joined:
             sel = 1.0  # cartesian

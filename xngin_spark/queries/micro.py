@@ -1017,7 +1017,10 @@ from xngin_spark.functions.aggregates import dsum as _dsum  # noqa: E402
 from xngin_spark.plans.reorder import goo_join  # noqa: E402
 
 # per-dataset NDV memo: the reorderer's one-approx-agg-per-vertex stats
-# pass is paid once per session per sf_dir (ANALYZE-style), not per query
+# pass is paid once per session per sf_dir (ANALYZE-style), not per query.
+# Entries inside each per-sf_dir dict key on the vertex's canonicalized
+# PLAN fingerprint (measure_edge_ndv), so two queries sharing this cache
+# with different predicates on the same table never reuse stale stats.
 _GOO_NDV_CACHE: dict[str, dict] = {}
 
 
