@@ -34,6 +34,53 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def write_results(
+    path: str,
+    rows: dict[str, dict],
+    ratio: float,
+    small_dir: str,
+    big_dir: str,
+) -> dict:
+    """MERGE-update ``path`` with this run's per-query entries. A
+    subset probe (the common iterate-on-one-query flow) must extend
+    the standing document, never clobber it: a full-corpus probe is a
+    multi-hour artifact, and round 6 lost its 151-query results to a
+    single-query re-run that opened the file with \"w\" and dumped only
+    itself. Top-level metadata is refreshed only when compatible;
+    mixing runs of DIFFERENT ratio/dirs raises rather than silently
+    blending incomparable alphas."""
+    doc = {
+        "ratio": ratio,
+        "small_dir": small_dir,
+        "big_dir": big_dir,
+        "design": "interleaved per-query A/B, one session",
+        "queries": {},
+    }
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            prev = {}
+        if prev.get("queries"):
+            if (
+                prev.get("ratio") not in (None, ratio)
+                or prev.get("big_dir") not in (None, big_dir)
+            ):
+                raise SystemExit(
+                    f"{path} holds results for ratio={prev.get('ratio')} "
+                    f"big_dir={prev.get('big_dir')}; refusing to blend with "
+                    f"ratio={ratio} big_dir={big_dir} — move the old file "
+                    "aside first"
+                )
+            doc["queries"] = dict(prev["queries"])
+    doc["queries"].update(rows)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    return doc
+
+
 def main(small_dir: str, big_dir: str, ratio: float, only: set[str]) -> None:
     from xngin_spark import queries as Q
     from xngin_spark.operators.dedup import release_persisted
@@ -86,16 +133,7 @@ def main(small_dir: str, big_dir: str, ratio: float, only: set[str]) -> None:
             flush=True,
         )
 
-    doc = {
-        "ratio": ratio,
-        "small_dir": small_dir,
-        "big_dir": big_dir,
-        "design": "interleaved per-query A/B, one session",
-        "queries": rows,
-    }
-    with open("BENCH_SCALING.json", "w") as f:
-        json.dump(doc, f, indent=1, sort_keys=True)
-        f.write("\n")
+    write_results("BENCH_SCALING.json", rows, ratio, small_dir, big_dir)
     for q, r in sorted(rows.items(), key=lambda kv: -kv[1]["alpha"]):
         flag = "  <-- SUPER-LINEAR" if r["alpha"] > 1.05 and r["t_big"] > 1 else ""
         print(
