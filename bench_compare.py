@@ -65,6 +65,12 @@ def main() -> int:
     old, new = _load(args.old), _load(args.new)
     c_old, c_new = _canary(old), _canary(new)
     qo, qn = old["queries"], new["queries"]
+    # Measured per-query noise bands (max/min over a run's repeat
+    # passes, bench.py --repeats): a move is a regression only if it
+    # exceeds BOTH the fixed threshold and what the two runs' own
+    # jitter can produce (old at its min, new at its max). Artifacts
+    # without spreads (pre-r07, single-pass) fall back to threshold-only.
+    so, sn = old.get("queries_spread") or {}, new.get("queries_spread") or {}
     shared = sorted(k for k in qo if k in qn and qo[k] >= 0 and qn[k] >= 0)
 
     print(
@@ -72,14 +78,18 @@ def main() -> int:
         f"(host speed ratio {c_new / c_old:.2f}x)"
     )
     flagged: list[tuple[str, float, float, float]] = []
+    noisy: list[tuple[str, float, float]] = []
     improved: list[tuple[str, float]] = []
     for k in shared:
         if qo[k] < args.min_sec and qn[k] < args.min_sec:
             continue
         no, nn = qo[k] / c_old, qn[k] / c_new
         ratio = nn / no if no else float("inf")
-        if ratio > args.threshold:
+        band = max(args.threshold, so.get(k, 1.0) * sn.get(k, 1.0))
+        if ratio > band:
             flagged.append((k, qo[k], qn[k], ratio))
+        elif ratio > args.threshold:
+            noisy.append((k, ratio, band))
         elif ratio < 1 / args.threshold:
             improved.append((k, ratio))
 
@@ -91,6 +101,11 @@ def main() -> int:
     )
     for k, r in sorted(improved, key=lambda x: x[1]):
         print(f"improved  {k}: {r:.2f}x normalized")
+    for k, r, band in sorted(noisy, key=lambda x: -x[1]):
+        print(
+            f"noisy     {k}: {r:.2f}x normalized, inside measured "
+            f"jitter band {band:.2f}x — not flagged"
+        )
     for k, so, sn, r in sorted(flagged, key=lambda x: -x[3]):
         print(
             f"REGRESSED {k}: {so}s -> {sn}s raw, {r:.2f}x normalized "

@@ -105,18 +105,29 @@ def events_stream(
 
 
 def to_memory_sink(
-    sdf: DataFrame, name: str, output_mode: str = "append"
+    sdf: DataFrame,
+    name: str,
+    output_mode: str = "append",
+    checkpoint_location: str | None = None,
 ):
     """Start ``sdf`` into an in-memory table (test/demo sink) with an
     availableNow trigger: process everything currently in the source,
-    respecting maxFilesPerTrigger pacing, then stop."""
-    return (
+    respecting maxFilesPerTrigger pacing, then stop.
+
+    ``checkpoint_location``: pass an explicit dir to OWN the checkpoint
+    lifecycle. Without it Spark creates a temp checkpoint and deletes
+    it asynchronously, best-effort, AFTER the query ends — that
+    background small-file I/O lands on whatever query runs next (and
+    leaks the dir entirely on a crash)."""
+    w = (
         sdf.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    if checkpoint_location is not None:
+        w = w.option("checkpointLocation", checkpoint_location)
+    return w.start()
 
 
 def run_available_now(
@@ -159,12 +170,24 @@ def run_available_now(
     old = spark.conf.get(key) if shuffle_partitions is not None else None
     if shuffle_partitions is not None:
         spark.conf.set(key, str(shuffle_partitions))
+    # own the checkpoint dir and delete it SYNCHRONOUSLY after the run:
+    # Spark's auto temp checkpoint is removed by a background thread
+    # after query end, and that small-file I/O burst lands on the NEXT
+    # query's wall time (measured ~0.5-1s on the bench neighbor of each
+    # streaming query). Paying it here keeps cost attribution honest
+    # and never leaks the dir on a crash.
+    import shutil
+    import tempfile
+
+    ckpt = tempfile.mkdtemp(prefix=f"xngin-ckpt-{name}-")
     try:
-        q = to_memory_sink(sdf, name, output_mode)
+        q = to_memory_sink(sdf, name, output_mode, checkpoint_location=ckpt)
         if not q.awaitTermination(timeout_s):
             q.stop()
             raise TimeoutError(f"stream {name!r} did not finish in {timeout_s}s")
     finally:
         if old is not None:
             spark.conf.set(key, old)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.streams.resetTerminated()
     return spark.table(name)
