@@ -252,3 +252,152 @@ def test_ndv_cache_keys_by_plan_fingerprint(spark, sf_dir):
     )
     assert len(cache) == n_now
     assert again[("orders", "__rows__")] == part[("orders", "__rows__")]
+
+
+# --- non-inner hyperedges (dphyp.rs:12-17 TES treatment) ------------------
+
+
+def EK(a, b, kind, *on):
+    return Edge(a, b, tuple(on), kind)
+
+
+def test_hyper_tes_regions_and_list_order_nesting():
+    from xngin_spark.plans.reorder import hyper_tes
+
+    # (A ⋈ B) LEFT (C ⋈ D) LEFT E — inner regions {A,B} {C,D} {E};
+    # the second left edge's preserved side is everything built so far
+    edges = [
+        E("a", "b", ("ak", "bk")),
+        E("c", "d", ("ck", "dk")),
+        EK("a", "c", "left", ("ak2", "ck2")),
+        EK("b", "e", "left", ("bk2", "ek")),
+    ]
+    tes = hyper_tes(["a", "b", "c", "d", "e"], edges)
+    assert tes[edges[2]] == (frozenset("ab"), frozenset("cd"))
+    assert tes[edges[3]] == (frozenset("abcd"), frozenset("e"))
+
+
+def test_hyper_tes_rejects_inner_connected_endpoints():
+    from xngin_spark.plans.reorder import hyper_tes
+
+    with pytest.raises(ValueError, match="inner-connected"):
+        hyper_tes(
+            ["a", "b"],
+            [E("a", "b", ("ak", "bk")), EK("a", "b", "left", ("x", "y"))],
+        )
+
+
+def test_goo_order_rejects_non_inner_edges():
+    with pytest.raises(ValueError, match="dp_order"):
+        goo_order(
+            {"a": 10, "b": 10},
+            [EK("a", "b", "left", ("ak", "bk"))],
+        )
+
+
+def test_dp_outer_boundary_never_commutes():
+    from xngin_spark.plans.reorder import dp_order
+
+    # A LEFT (B ⋈ C): C is tiny and would be the tempting first join
+    # for A if the boundary were ignored; the hyperedge forces B⋈C to
+    # assemble first and keeps A on the preserved side.
+    rows = {"a": 1e6, "b": 1000.0, "c": 5.0}
+    edges = [
+        EK("a", "b", "left", ("ak", "bk")),
+        E("b", "c", ("bk2", "ck")),
+    ]
+    trace = dp_order(rows, edges)
+    assert trace[0] == (frozenset("b"), frozenset("c"), trace[0][2]) or (
+        trace[0][0] | trace[0][1] == frozenset("bc")
+    )
+    left, right, _ = trace[-1]
+    assert left == frozenset("a") and right == frozenset("bc")
+
+
+def test_dp_outer_orientation_survives_cardinality_pressure():
+    from xngin_spark.plans.reorder import dp_order
+
+    # even when the preserved side is tiny and the null-supplying side
+    # huge (flipping would look cheaper), orientation is pinned
+    rows = {"a": 5.0, "b": 1e6, "c": 1e6}
+    edges = [
+        EK("a", "b", "left", ("ak", "bk")),
+        E("b", "c", ("bk2", "ck")),
+    ]
+    left, right, _ = dp_order(rows, edges)[-1]
+    assert left == frozenset("a") and right == frozenset("bc")
+
+
+def test_dp_inner_region_reorders_under_outer_barrier():
+    from xngin_spark.plans.reorder import dp_order
+
+    # (A ⋈ B ⋈ C) LEFT D regardless of where the left edge sits in the
+    # declaration list; the inner region still gets DP treatment
+    rows = {"a": 1e6, "b": 10.0, "c": 1e5, "d": 100.0}
+    edges = [
+        EK("c", "d", "left", ("ck2", "dk")),
+        E("a", "b", ("ak", "bk")),
+        E("b", "c", ("bk2", "ck")),
+    ]
+    trace = dp_order(rows, edges)
+    left, right, _ = trace[-1]
+    assert left == frozenset("abc") and right == frozenset("d")
+    # inner merges happened strictly inside the region
+    for ca, cb, _ in trace[:-1]:
+        assert "d" not in ca | cb
+
+
+def test_dp_semi_anti_estimates_bounded_by_left():
+    from xngin_spark.plans.reorder import dp_order
+
+    rows = {"a": 100.0, "b": 1e6}
+    semi = dp_order(rows, [EK("a", "b", "semi", ("ak", "bk"))])
+    anti = dp_order(rows, [EK("a", "b", "anti", ("ak", "bk"))])
+    assert semi[-1][2] <= 100.0
+    assert anti[-1][2] <= 100.0
+
+
+def test_tree_cost_kind_aware_left_preserves_rows():
+    rows = {"a": 1000.0, "b": 10.0}
+    e_inner = [E("a", "b", ("ak", "bk"))]
+    e_left = [EK("a", "b", "left", ("ak", "bk"))]
+    seq = [(frozenset("a"), frozenset("b"))]
+    # left join never estimates below the preserved side's rows
+    assert tree_cost(rows, e_left, seq) >= 1000.0
+    assert tree_cost(rows, e_inner, seq) <= tree_cost(rows, e_left, seq)
+
+
+def test_dp_join_left_semi_anti_end_to_end(spark):
+    from xngin_spark.plans.reorder import dp_join
+
+    a = spark.createDataFrame(
+        [(i, i % 4) for i in range(12)], "ak long, agrp long"
+    )
+    b = spark.createDataFrame([(0,), (1,)], "bk long")
+    c = spark.createDataFrame(
+        [(0, "x"), (1, "y"), (9, "z")], "ck long, cv string"
+    )
+
+    def graph(kind):
+        return (
+            {"a": a, "b": b, "c": c},
+            [
+                ("a", "b", [("agrp", "bk")], kind),
+                ("b", "c", [("bk", "ck")]),
+            ],
+        )
+
+    for kind, how in (("left", "left_outer"), ("semi", "left_semi"),
+                      ("anti", "left_anti")):
+        v, e = graph(kind)
+        out = dp_join(v, e, measure_ndv=False)
+        expected = a.join(
+            b.join(c, F.col("bk") == F.col("ck")),
+            F.col("agrp") == F.col("bk"),
+            how,
+        )
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, expected.collect())
+        ), kind
+        if kind in ("semi", "anti"):
+            assert out.columns == a.columns

@@ -53,17 +53,125 @@ class CrossJoinNotSupported(ValueError):
     instead."""
 
 
+#: edge kinds and their Spark join strings. Non-inner kinds are
+#: ORDER-CONSTRAINING (dphyp.rs:12-17 — the hypergraph exists exactly
+#: so outer/semi joins constrain reorder): ``a``'s side is the
+#: preserved/probe side, ``b``'s side the null-supplying/build side.
+_JOIN_HOW = {
+    "inner": "inner",
+    "left": "left_outer",
+    "full": "full_outer",
+    "semi": "left_semi",
+    "anti": "left_anti",
+}
+
+
 @dataclass(frozen=True)
 class Edge:
     """Equi-join edge between two named vertices: ``on`` is a list of
-    (left_col, right_col) name pairs (all ANDed)."""
+    (left_col, right_col) name pairs (all ANDed). ``kind`` defaults to
+    ``inner`` (freely reorderable); ``left``/``full``/``semi``/``anti``
+    edges are hyperedges — their two sides' inner regions must each be
+    fully assembled before the join applies, and the orientation
+    (``a`` = preserved side) never commutes."""
 
     a: str
     b: str
     on: tuple[tuple[str, str], ...]
+    kind: str = "inner"
+
+    def __post_init__(self):
+        if self.kind not in _JOIN_HOW:
+            raise ValueError(
+                f"unknown edge kind {self.kind!r}; one of {sorted(_JOIN_HOW)}"
+            )
 
     def cond(self):
         return [F.col(l) == F.col(r) for l, r in self.on]
+
+
+def _as_edge(e) -> Edge:
+    if isinstance(e, Edge):
+        return e
+    a, b, on, *rest = e
+    return Edge(a, b, tuple(map(tuple, on)), *(rest or ()))
+
+
+def hyper_tes(
+    names, edges: list[Edge]
+) -> dict[Edge, tuple[frozenset, frozenset]]:
+    """Total eligibility sets (TES) for every non-inner edge — the
+    dphyp.rs:12-17 hyperedge treatment: a non-inner join may only fire
+    once its ENTIRE left operand region sits on the preserved side and
+    its entire right operand region on the other, so reorder can move
+    freely WITHIN each region but never commute across the boundary.
+
+    Regions are the connected components of the inner-edge subgraph.
+    Non-inner edges then nest in LIST ORDER (each merges the two
+    super-regions its endpoints currently belong to — the same
+    convention as writing the joins left-to-right in SQL), so a chain
+    ``A LEFT B LEFT C`` gives the second edge TES_left = {A, B}.
+    Raises when a non-inner edge's endpoints share an inner-connected
+    region (the inner predicate would contradict the outer join)."""
+    parent = {n: n for n in names}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for e in edges:
+        if e.kind == "inner":
+            parent[find(e.a)] = find(e.b)
+    members: dict[str, set[str]] = {}
+    for n in names:
+        members.setdefault(find(n), set()).add(n)
+    # super-regions start as inner regions and merge per non-inner edge
+    super_of = {r: r for r in members}
+
+    def sfind(r: str) -> str:
+        while super_of[r] != r:
+            super_of[r] = super_of[super_of[r]]
+            r = super_of[r]
+        return r
+
+    super_members = {r: frozenset(m) for r, m in members.items()}
+    tes: dict[Edge, tuple[frozenset, frozenset]] = {}
+    for e in edges:
+        if e.kind == "inner":
+            continue
+        sa, sb = sfind(find(e.a)), sfind(find(e.b))
+        if sa == sb:
+            raise ValueError(
+                f"non-inner edge {e.a}-{e.b} ({e.kind}) endpoints are "
+                "already inner-connected — the inner predicate would "
+                "contradict the outer/semi join"
+            )
+        tes[e] = (super_members[sa], super_members[sb])
+        super_of[sb] = sa
+        super_members[sa] = super_members[sa] | super_members[sb]
+    return tes
+
+
+def _combine_rows(kind: str, rl: float, rr: float, sel: float) -> float:
+    """Row estimate of ``left KIND-join right`` under edge selectivity
+    ``sel`` — the reference keeps the same order of sophistication
+    (per-vertex-set row estimates, join/estimate.rs): left preserves
+    at least its left side, semi is capped by it, anti is its
+    complement, full preserves both."""
+    m = rl * rr * sel  # matching pairs (the inner estimate)
+    if kind == "inner":
+        return m
+    if kind == "left":
+        return max(rl, m)
+    if kind == "full":
+        return max(rl, rr, m)
+    if kind == "semi":
+        return min(rl, m)
+    if kind == "anti":
+        return max(1.0, rl - min(rl, m))
+    raise ValueError(kind)
 
 
 @dataclass
@@ -208,6 +316,12 @@ def goo_order(
     Mirrors greedy.rs:27-66: initialize singleton components, loop
     ``min_res`` edge selection, purge edges that became internal.
     """
+    if any(e.kind != "inner" for e in edges):
+        raise ValueError(
+            "goo_order handles inner equi-edges only; graphs with "
+            "outer/semi/anti hyperedges go through dp_order (the "
+            "greedy reorderer has no eligibility-set machinery)"
+        )
     comps: dict[frozenset, float] = {
         frozenset([n]): float(r) for n, r in rows.items()
     }
@@ -277,8 +391,17 @@ def dp_order(
     ``max_vertices`` (12 ≈ 7M steps in pure Python); larger graphs should fall back
     to :func:`goo_order` (greedy, linear), the same greedy-vs-DP split
     the reference ships. Returns the same merge-trace format as
-    goo_order. Trees are BUSHY: any connected/connected split is
-    considered, not just left-deep."""
+    goo_order, with each step ORIENTED (left names = preserved side).
+    Trees are BUSHY: any connected/connected split is considered, not
+    just left-deep.
+
+    Non-inner edges (``kind`` left/full/semi/anti) are handled as
+    HYPEREDGES per dphyp.rs:12-17: :func:`hyper_tes` computes each
+    edge's total eligibility sets, and a split may apply the edge only
+    when the full preserved-side region ⊆ L and the full other region
+    ⊆ R — so DP reorders freely WITHIN each inner region but never
+    commutes a relation across an outer/semi boundary, and never flips
+    the non-commutative join's sides."""
     names = sorted(rows)
     if len(names) > max_vertices:
         raise ValueError(
@@ -287,13 +410,26 @@ def dp_order(
         )
     idx = {n: i for i, n in enumerate(names)}
     base = {n: float(r) for n, r in rows.items()}
+    tes = hyper_tes(names, edges)
+
+    def vmask(vs) -> int:
+        m = 0
+        for v in vs:
+            m |= 1 << idx[v]
+        return m
 
     def esel(e: Edge) -> float:
         return _edge_selectivity(e, base, ndv)
+
     emasks = [
-        (1 << idx[e.a], 1 << idx[e.b], esel(e)) for e in edges
+        (1 << idx[e.a], 1 << idx[e.b], esel(e))
+        for e in edges
+        if e.kind == "inner"
     ]
-    # best[mask] = (cost, est_rows, (lmask, rmask) | None)
+    hypers = [
+        (vmask(tl), vmask(tr), esel(e), e.kind) for e, (tl, tr) in tes.items()
+    ]
+    # best[mask] = (cost, est_rows, oriented (lmask, rmask) | None)
     best: dict[int, tuple[float, float, tuple | None]] = {
         1 << i: (0.0, base[n], None) for n, i in idx.items()
     }
@@ -301,25 +437,49 @@ def dp_order(
     for mask in range(3, full + 1):
         if mask in best or (mask & (mask - 1)) == 0:
             continue
-        # enumerate submask splits L | R = mask, L < R canonical
+        # enumerate submask splits L | R = mask, L < R canonical, then
+        # consider BOTH orientations (hyperedges fix which side is
+        # preserved; inner edges are orientation-free)
         sub = (mask - 1) & mask
         cand = None
         while sub:
             L, R = sub, mask ^ sub
             if L < R and L in best and R in best:
-                sel, crosses = 1.0, False
+                isel, crosses = 1.0, False
                 for am, bm, s in emasks:
                     if (am & L and bm & R) or (am & R and bm & L):
-                        sel *= s
+                        isel *= s
                         crosses = True
-                if crosses:
-                    cl, rl, _ = best[L]
-                    cr, rr, _ = best[R]
-                    est = rl * rr * sel
-                    cost = cl + cr + est
-                    key = (cost, est, L)
+                # at most one hyperedge can span a split (regions nest)
+                hyper = None
+                for tl, tr, s, kind in hypers:
+                    if tl & mask == tl and tr & mask == tr and (
+                        (tl & R == 0 and tr & L == 0)
+                        or (tl & L == 0 and tr & R == 0)
+                    ):
+                        hyper = (tl, tr, s, kind)
+                        break
+                for X, Y in ((L, R), (R, L)):
+                    if hyper is not None:
+                        tl, tr, hsel, kind = hyper
+                        # preserved side must fully sit in X, other in Y
+                        if not (tl & X == tl and tr & Y == tr):
+                            continue
+                        cx, rx, _ = best[X]
+                        cy, ry, _ = best[Y]
+                        est = _combine_rows(kind, rx, ry, hsel * isel)
+                    elif crosses:
+                        if X > Y:
+                            continue  # inner joins commute; dedup
+                        cx, rx, _ = best[X]
+                        cy, ry, _ = best[Y]
+                        est = rx * ry * isel
+                    else:
+                        continue
+                    cost = cx + cy + est
+                    key = (cost, est, X)
                     if cand is None or key < cand[0]:
-                        cand = (key, est, (L, R))
+                        cand = (key, est, (X, Y))
             sub = (sub - 1) & mask
         if cand is not None:
             best[mask] = (cand[0][0], cand[1], cand[2])
@@ -365,7 +525,7 @@ def goo_join(
     prefix convention) — enforced here because join conditions are
     expressed by name after the merge.
     """
-    edges = [e if isinstance(e, Edge) else Edge(e[0], e[1], tuple(map(tuple, e[2]))) for e in edges]
+    edges = [_as_edge(e) for e in edges]
     seen: dict[str, str] = {}
     for vname, df in vertices.items():
         for c in df.columns:
@@ -390,22 +550,32 @@ def goo_join(
 
 
 def _build_join(vertices, edges, trace) -> DataFrame:
-    """Materialize a merge trace as an inner-join tree (every edge
-    connecting the two merged components goes into that join's ON)."""
+    """Materialize a merge trace as a join tree (every edge connecting
+    the two merged components goes into that join's ON). A non-inner
+    edge dictates the join type and orientation — the trace's left
+    component must hold its preserved side (dp_order emits oriented
+    splits; goo_order never produces non-inner merges)."""
     comp_df: dict[frozenset, DataFrame] = {
         frozenset([n]): df for n, df in vertices.items()
     }
     for ca, cb, _ in trace:
-        conds = []
+        conds, how = [], "inner"
         for e in edges:
             if (e.a in ca and e.b in cb) or (e.a in cb and e.b in ca):
                 conds.extend(e.cond())
+                if e.kind != "inner":
+                    if e.a not in ca and e.kind != "full":
+                        raise AssertionError(
+                            f"trace step {sorted(ca)}|{sorted(cb)} flips "
+                            f"non-commutative {e.kind} edge {e.a}-{e.b}"
+                        )
+                    how = _JOIN_HOW[e.kind]
         left, right = comp_df.pop(ca), comp_df.pop(cb)
         if conds:
             cond = conds[0]
             for c in conds[1:]:
                 cond = cond & c
-            comp_df[ca | cb] = left.join(right, on=cond, how="inner")
+            comp_df[ca | cb] = left.join(right, on=cond, how=how)
         else:
             comp_df[ca | cb] = left.crossJoin(right)
     (result,) = comp_df.values()
@@ -425,10 +595,7 @@ def dp_join(
     stats source, C_out-OPTIMAL bushy order via :func:`dp_order`
     (dpsize.rs/dphyp.rs analog). Use for graphs up to ``max_vertices``
     relations; beyond that, GOO."""
-    edges = [
-        e if isinstance(e, Edge) else Edge(e[0], e[1], tuple(map(tuple, e[2])))
-        for e in edges
-    ]
+    edges = [_as_edge(e) for e in edges]
     seen: dict[str, str] = {}
     for vname, df in vertices.items():
         for c in df.columns:
@@ -470,13 +637,16 @@ def tree_cost(
     for ca, cb in merge_seq:
         sel = 1.0
         joined = False
+        kind = "inner"
         for e in edges:
             if (e.a in ca and e.b in cb) or (e.a in cb and e.b in ca):
                 sel *= _edge_selectivity(e, base, ndv)
                 joined = True
+                if e.kind != "inner":
+                    kind = e.kind
         if not joined:
             sel = 1.0  # cartesian
-        r = est[ca] * est[cb] * sel
+        r = _combine_rows(kind, est[ca], est[cb], sel)
         total += r
         est[ca | cb] = r
         del est[ca], est[cb]

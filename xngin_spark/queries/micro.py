@@ -1121,3 +1121,56 @@ def join_reorder_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         vertices, edges, ndv_cache=_GOO_NDV_CACHE.setdefault(sf_dir, {})
     )
     return _q5_revenue(joined)
+
+@register(
+    "join_reorder_outer",
+    """
+    SELECT n_name,
+           count(o_orderkey) AS order_cnt,
+           count(*) AS cust_rows
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    LEFT JOIN (
+        SELECT * FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    ) o ON c_custkey = o_custkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def join_reorder_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-kind join graph through the DP reorderer: an inner region
+    (customer ⋈ nation) plus a LEFT hyperedge to filtered orders —
+    the dphyp.rs:12-17 treatment (total eligibility sets) that round 6
+    lacked. DP reorders the inner region freely but must assemble it
+    completely before the outer join fires, and must keep customer on
+    the preserved side (null-extended customers with zero 1996 orders
+    survive into the counts — any boundary violation changes the
+    result, so the oracle catches it)."""
+    from xngin_spark.plans.reorder import dp_join
+    from xngin_spark.queries.tpch import ts
+
+    vertices = {
+        "customer": T(spark, sf_dir, "customer"),
+        "nation": T(spark, sf_dir, "nation"),
+        "orders": T(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit(ts("1996-01-01")))
+            & (F.col("o_orderdate") < F.lit(ts("1997-01-01")))
+        ),
+    }
+    edges = [
+        ("customer", "nation", [("c_nationkey", "n_nationkey")]),
+        ("customer", "orders", [("c_custkey", "o_custkey")], "left"),
+    ]
+    joined = dp_join(
+        vertices, edges, ndv_cache=_GOO_NDV_CACHE.setdefault(sf_dir, {})
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.count("o_orderkey").alias("order_cnt"),
+            count_star().alias("cust_rows"),
+        )
+        .orderBy("n_name")
+    )
