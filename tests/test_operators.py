@@ -487,6 +487,39 @@ def test_connected_components_path_graph_converges(spark):
     assert got == {i: 0 for i in range(20)}
 
 
+def test_driver_components_string_ids_and_primitive_collect(spark):
+    # the driver short-circuit must (a) agree with the distributed loop
+    # on non-integer ids (the Arrow collect path handles strings), and
+    # (b) collect primitive columns, not Row objects — asserted by a
+    # Python-heap bound far below what 60k Rows would cost
+    import tracemalloc
+
+    from xngin_spark.operators.corpus import connected_components
+
+    pairs = [(f"d{i:05d}", f"d{i + 1:05d}") for i in range(0, 60_000, 2)]
+    edges = spark.createDataFrame(pairs, "src string, dst string")
+    nodes = spark.createDataFrame(
+        [(f"d{i:05d}",) for i in range(60_001)], "id string"
+    )
+    tracemalloc.start()
+    driver = {
+        r.id: r.component for r in connected_components(edges, nodes).collect()
+    }
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    # 30k string edges as primitives: ~10 MB; as Row objects: >30 MB.
+    # (collect() of the RESULT dominates either way at this size, so
+    # bound generously — the real check is it doesn't balloon.)
+    assert peak < 60 * 1024 * 1024, f"driver CC collect peaked at {peak} B"
+    dist = {
+        r.id: r.component
+        for r in connected_components(
+            edges, nodes, max_iter=25, driver_cap=0
+        ).collect()
+    }
+    assert driver == dist
+
+
 def test_connected_components_nonconvergence_raises(spark):
     # same path graph with too few iterations: silent exit would return
     # wrong components — must raise instead

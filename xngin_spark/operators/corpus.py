@@ -291,11 +291,15 @@ def tfidf_topk(
     )
 
 
-#: Default edge-count ceiling for solving components driver-side. A
-#: collected edge is two ids (~24 B object overhead each): 1M edges is
-#: ~50 MB of driver heap and a few hundred ms of union-find — far under
-#: one distributed round's fixed cost. Graphs above the cap run the
-#: distributed loops unchanged.
+#: Default edge-count ceiling for solving components driver-side.
+#: Measured (tracemalloc, 1M random int edges over 300k nodes): ~103 MB
+#: peak Python heap for the two endpoint lists + union-find parent dict
+#: + label list; string ids roughly double that. The Arrow collect in
+#: _driver_components transfers primitive columns (never 1M PySpark Row
+#: objects, which cost several hundred bytes each), so the cap is
+#: honest on a production driver with a normal few-GB Python heap, not
+#: just this sandbox. Graphs above the cap run the distributed loops
+#: unchanged.
 CC_DRIVER_CAP = 1_000_000
 
 
@@ -321,8 +325,15 @@ def _driver_components(edges_uv: DataFrame, nodes, id_col: str) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges_uv.collect():
-        ru, rv = find(row[0]), find(row[1])
+    # Arrow-batched collect of the two endpoint columns as primitive
+    # lists — toPandas ships columnar buffers and .tolist() yields
+    # plain ints/strs (28 B ints), where .collect() would materialize
+    # one PySpark Row object (~several hundred bytes) per edge.
+    # Measured at the 1M-edge cap: ~103 MB peak heap total (see
+    # CC_DRIVER_CAP note) vs several hundred MB of Rows.
+    pdf = edges_uv.toPandas()
+    for u, v in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
+        ru, rv = find(u), find(v)
         if ru != rv:
             if rv < ru:
                 ru, rv = rv, ru
