@@ -163,3 +163,30 @@ def test_e2e_null_and_type_rendering(served_engine):
     assert dt == "2024-01-02"
     assert ts.startswith("2024-01-02 03:04:05")
     assert miss is None
+
+
+def test_e2e_com_field_list(served_engine):
+    # COM_FIELD_LIST (0x04) — MyCmd::FieldList analog
+    # (doradb-protocol/src/mysql/cmd/mod.rs:89-92): column-definition
+    # packets for the named table, optional LIKE wildcard, EOF-terminated
+    with _connect(served_engine) as conn:
+        cols = conn.field_list("nation")
+        assert cols == ["n_nationkey", "n_name", "n_regionkey"]
+        assert conn.field_list("nation", "n_n%") == ["n_nationkey", "n_name"]
+        assert conn.field_list("nation", "nope%") == []
+        # the connection stays usable for normal queries afterwards
+        names, rows = conn.query("SELECT COUNT(*) AS n FROM nation")
+        assert names == ["n"] and int(rows[0][0]) > 0
+
+
+def test_e2e_com_field_list_unknown_table_errs(served_engine):
+    from xngin_spark.server.client import MySQLError
+
+    with _connect(served_engine) as conn:
+        with pytest.raises(MySQLError) as ei:
+            conn.field_list("no_such_table")
+        assert ei.value.errno == 1146
+        with pytest.raises(MySQLError) as ei2:
+            conn.field_list("bad;name")
+        assert ei2.value.errno == 1103
+        assert conn.ping()

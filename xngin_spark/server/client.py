@@ -113,6 +113,23 @@ class Connection:
                 ]
             )
 
+    def field_list(self, table: str, wildcard: str = "") -> list[str]:
+        """COM_FIELD_LIST (legacy metadata command); returns the
+        table's column names matching the optional LIKE wildcard."""
+        P.write_packet(
+            self.sock,
+            0,
+            bytes([P.COM_FIELD_LIST]) + table.encode() + b"\x00" + wildcard.encode(),
+        )
+        names: list[str] = []
+        while True:
+            _, payload = P.read_packet(self.sock)
+            if P.is_eof(payload):
+                return names
+            if P.is_err(payload):
+                raise MySQLError(*P.parse_err(payload))
+            names.append(self._column_name(payload))
+
     def ping(self) -> bool:
         P.write_packet(self.sock, 0, bytes([P.COM_PING]))
         _, payload = P.read_packet(self.sock)

@@ -47,6 +47,7 @@ SERVER_CAPABILITIES = (
 COM_QUIT = 0x01
 COM_INIT_DB = 0x02
 COM_QUERY = 0x03
+COM_FIELD_LIST = 0x04
 COM_PING = 0x0E
 
 # column types (text protocol sends all values as strings; the type
@@ -273,9 +274,15 @@ def parse_err(payload: bytes) -> tuple[int, str]:
 
 
 def build_column_definition(
-    name: str, type_byte: int, decimals: int = 0, table: str = ""
+    name: str,
+    type_byte: int,
+    decimals: int = 0,
+    table: str = "",
+    with_default: bool = False,
 ) -> bytes:
-    """Protocol::ColumnDefinition41 (text resultset header entry)."""
+    """Protocol::ColumnDefinition41 (text resultset header entry).
+    ``with_default`` appends the lenenc default-value field the spec
+    requires when the definition answers COM_FIELD_LIST."""
     return b"".join(
         [
             lenenc_str(b"def"),  # catalog, always "def"
@@ -292,6 +299,7 @@ def build_column_definition(
             bytes([decimals]),
             b"\x00\x00",
         ]
+        + ([lenenc_int(0)] if with_default else [])  # zero-length default
     )
 
 

@@ -183,10 +183,49 @@ class MySQLServer:
                 self._run_query(conn, seq, f"USE {body.decode(errors='replace')}")
             elif cmd == P.COM_QUERY:
                 self._run_query(conn, seq, body.decode(errors="replace"))
+            elif cmd == P.COM_FIELD_LIST:
+                self._field_list(conn, seq, body)
             else:
                 P.write_packet(
                     conn, seq + 1, P.build_err(1047, f"unsupported command {cmd:#x}")
                 )
+
+    def _field_list(self, conn: socket.socket, seq: int, body: bytes) -> None:
+        """COM_FIELD_LIST (0x04): NUL-terminated table name + optional
+        LIKE wildcard; respond with one column-definition packet per
+        (matching) column, then EOF — the ``MyCmd::FieldList`` surface
+        (doradb-protocol/src/mysql/cmd/mod.rs:89-92) legacy clients
+        (``mysql`` CLI tab-completion) still drive."""
+        import fnmatch
+
+        table, _, wildcard = body.partition(b"\x00")
+        name = table.decode(errors="replace").strip()
+        pat = wildcard.rstrip(b"\x00").decode(errors="replace")
+        if not name.replace("_", "").replace(".", "").isalnum():
+            P.write_packet(conn, seq + 1, P.build_err(1103, f"bad table name {name!r}", "42000"))
+            return
+        try:
+            df = self.engine.sql(f"SELECT * FROM {name} LIMIT 0")
+        except Exception as e:
+            msg = str(e).split("\n", 1)[0][:400]
+            P.write_packet(conn, seq + 1, P.build_err(1146, msg, "42S02"))
+            return
+        fields = df.schema.fields
+        if pat:
+            # SQL LIKE wildcard -> fnmatch (% -> *, _ -> ?)
+            fn = pat.replace("%", "*").replace("_", "?")
+            fields = [f for f in fields if fnmatch.fnmatch(f.name, fn)]
+        seq += 1
+        for f in fields:
+            tb, dec = _type_byte(f.dataType.simpleString())
+            seq = P.write_packet(
+                conn,
+                seq,
+                P.build_column_definition(
+                    f.name, tb, dec, table=name, with_default=True
+                ),
+            )
+        P.write_packet(conn, seq, P.build_eof())
 
     def _run_query(self, conn: socket.socket, seq: int, sql: str) -> None:
         try:
