@@ -223,13 +223,14 @@ def main() -> None:
     # capture buffer (BENCH_r02-r04 recorded "parsed": null because the
     # full 121-query line outgrew it; the gate-priority subset keeps the
     # line parseable while BENCH_FULL.json preserves every timing).
+    out_name = os.environ.get("SPARK_GRAFT_OUT", "BENCH_FULL.json")
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json"), "w") as f:
+                               out_name), "w") as f:
             json.dump(payload, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError as e:
-        print(f"# BENCH_FULL.json not written: {e}", file=sys.stderr)
+        print(f"# {out_name} not written: {e}", file=sys.stderr)
     print("# full: " + json.dumps(payload), file=sys.stderr)
     print(json.dumps(_fit_line(payload), separators=(",", ":")))
 

@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Per-round sf1 bench point (VERDICT r06 task 7): run the gate-priority
+query subset against the synthesized 10x dataset and record
+BENCH_SF1.json, so scale regressions show up as committed numbers
+round-over-round, not as alpha extrapolations.
+
+- Synthesizes /tmp/xngin_scale/sf1 via tools/make_sf.py if absent
+  (10x self-union of $SPARK_GRAFT_SF_DIR, see make_sf.py's contract).
+- Reuses bench.py verbatim (SPARK_GRAFT_OUT redirects the full-payload
+  artifact away from BENCH_FULL.json); single pass — the sf1 point is
+  a trend line, the noise-band machinery lives at sf0.1.
+- Compare rounds with: python bench_compare.py BENCH_SF1_prev.json
+  BENCH_SF1.json (same canary normalization applies).
+
+Usage: python tools/bench_sf1.py [extra query names...]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_DIR = os.environ.get("XNGIN_SF1_DIR", "/tmp/xngin_scale/sf1")
+SRC_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main(extra: list[str]) -> int:
+    if not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")):
+        print(f"# synthesizing {SF1_DIR} from {SRC_DIR} (10x)", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "make_sf.py"),
+             SRC_DIR, SF1_DIR, "10"],
+            check=True,
+        )
+    sys.path.insert(0, REPO)
+    from __spark_entry__ import GATE_PRIORITY
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=SF1_DIR,
+        SPARK_GRAFT_REPEATS="1",
+        SPARK_GRAFT_OUT="BENCH_SF1.json",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), *GATE_PRIORITY, *extra],
+        env=env, cwd=REPO,
+    )
+    return proc.returncode
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
