@@ -52,24 +52,64 @@ def test_tpch_reflection_roundtrip(spark, sf_dir):
     assert len(ok) >= 21, f"reflectable TPC-H coverage shrank: {sorted(ok)}"
 
 
+#: Families that MUST reflect (round-7 coverage growth: all six
+#: setops, the window family, quantified ANY/ALL, grouping sets /
+#: rollup / cube with GROUPING() marker re-spelling, VALUES literal
+#: tables, range(), inlined temp views). A name dropping out of this
+#: list is a reflection regression, not an acceptable skip.
+MUST_REFLECT = [
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_except_all",
+    "setop_except_distinct",
+    "setop_intersect_all",
+    "setop_intersect_distinct",
+    "limit_offset",
+    "topk_fused",
+    "window_frames",
+    "window_rank",
+    "window_agg_per_group",
+    "window_distribution",
+    "quantified_cmp",
+    "mark_join_q",
+    "cross_join_q",
+    "rollup_agg",
+    "cube_agg",
+    "grouping_sets_agg",
+    "cast_matrix",        # VALUES literal table under a user alias
+    "distinct_predicates",
+    "row_select",         # range() table function
+    "dialect_qualify",    # QUALIFY shim: window + filter + view inline
+    "modern_aggregates",
+    "scalar_funcs",       # extract-field re-spelling
+    "predicates",
+    "agg_distinct",
+    "percentile_agg",
+    "bit_ops",
+    "bool_tests",
+]
+
+
 def test_reflection_roundtrip_micro_surfaces(spark, sf_dir):
-    # one representative per rendered node kind beyond TPC-H coverage:
-    # setops, distinct, window, offset, cross join
-    names = [
-        "setop_union_all",
-        "setop_except_distinct",
-        "setop_intersect_distinct",
-        "limit_offset",
-        "window_frames",
-    ]
-    for name in names:
+    failures = {}
+    for name in MUST_REFLECT:
         if name not in Q.QUERIES:
             continue
         df = Q.QUERIES[name](spark, sf_dir)
         try:
-            assert roundtrip_equivalent(df), f"{name}: reflected SQL diverged"
-        except Unreflectable:
-            pass  # acceptable: shape has no SQL surface at this node mix
+            if not roundtrip_equivalent(df):
+                failures[name] = "reflected SQL diverged"
+        except Unreflectable as e:
+            failures[name] = f"Unreflectable: {str(e)[:100]}"
+    assert not failures, failures
+
+
+def test_known_unreflectable_shapes_still_raise(spark, sf_dir):
+    # the uniqueness-guarded single join embeds an internal raise_error
+    # whose analyzed arity has no parseable SQL spelling — it must
+    # surface as Unreflectable, never as silently-different SQL
+    with pytest.raises(Unreflectable):
+        roundtrip_equivalent(Q.QUERIES["single_join_q"](spark, sf_dir))
 
 
 def test_reflect_sql_is_runnable_text(spark, sf_dir):

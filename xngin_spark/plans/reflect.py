@@ -38,8 +38,9 @@ def _name(node) -> str:
 
 
 class _Renderer:
-    def __init__(self) -> None:
+    def __init__(self, jvm=None) -> None:
         self.n = 0
+        self._jvm = jvm  # for Literal rendering of LocalRelation data
         # per-SELECT stacks of filter conditions hoisted out of
         # flattened join sides (see _side); the arm that owns the
         # enclosing SELECT pops its frame and merges into its WHERE
@@ -60,21 +61,52 @@ class _Renderer:
         (SubqueryAlias) is PRESERVED: Catalyst renders qualified
         attribute references (``l1.l_orderkey``) against it, so
         replacing it with a generated alias would unresolve them."""
+        # peel pass-through Projects when a user alias (SubqueryAlias)
+        # or literal table sits underneath, so IT stays the FROM item's
+        # name — qualified references above (``t.s``) would otherwise
+        # dangle against a generated derived-table alias. Guarded: the
+        # peel must not re-expose duplicate column names the project
+        # was disambiguating, and anything not ending at an
+        # alias-preserving node renders unpeeled as before. A narrowing
+        # peel marks ``pruned`` so the owning arm emits an explicit
+        # select list instead of ``*``.
+        peeled_prune = False
+        probe, narrow = node, False
+        while _name(probe) == "Project" and self._is_passthrough_project(probe):
+            child = probe.children().apply(0)
+            if set(self._outputs(probe)) != set(self._outputs(child)):
+                narrow = True
+            probe = child
+        if probe is not node and _name(probe) in ("SubqueryAlias", "LocalRelation"):
+            exposed = self._outputs(probe)
+            if len(set(exposed)) == len(exposed):
+                node, peeled_prune = probe, narrow
         if _name(node) == "SubqueryAlias":
             alias = node.alias()
             child = node.children().apply(0)
             if _name(child) == "LogicalRelation":
-                return f"{self._relation(child)} AS {alias}", False
-            return f"({self.select(child)}) AS {alias}", False
+                return f"{self._relation(child)} AS {alias}", peeled_prune
+            if _name(child) == "LocalRelation":
+                return self._values_item(child, alias), peeled_prune
+            return f"({self.select(child)}) AS {alias}", peeled_prune
         if _name(node) == "LogicalRelation":
-            return self._relation(node), False
+            return self._relation(node), peeled_prune
+        if _name(node) == "LocalRelation":
+            return self._values_item(node, self._alias()), peeled_prune
         if _name(node) == "Join":
             # joined-table fragment, parenthesized so it nests as one
             # FROM item while its side aliases stay visible to outer
             # ON/WHERE clauses (SQL scope, unlike a derived table)
             frag, pruned = self._join_fragment(node, may_hoist)
-            return f"({frag})", pruned
-        return f"({self.select(node)}) AS {self._alias()}", False
+            return f"({frag})", pruned or peeled_prune
+        # name the derived table after the single user qualifier its
+        # output carries (if any): expressions ABOVE this node qualify
+        # their references by that name (``customer.c_custkey``), and a
+        # generated alias would strand them. Nested reuse of the same
+        # alias is legal SQL shadowing; a same-scope collision fails
+        # analysis -> Unreflectable, never silently-different.
+        alias = self._common_qualifier(node) or self._alias()
+        return f"({self.select(node)}) AS {alias}", peeled_prune
 
     def _flatten_side(self, node, may_hoist: bool):
         """If ``node`` is a chain of pass-through Projects / Filters
@@ -217,6 +249,22 @@ class _Renderer:
         return src, " AND ".join(f"({c})" for c in conds), cols
 
     @staticmethod
+    def _common_qualifier(node) -> str | None:
+        """The single user alias qualifying ``node``'s qualified output
+        attributes, or None when outputs carry two different qualifiers
+        (a join — no one name can stand for both sides). Unqualified
+        outputs (window/computed columns like ``_we0``) don't vote:
+        they are referenced bare above and resolve under any alias."""
+        quals = set()
+        for a in _seq(node.output()):
+            q = _seq(a.qualifier())
+            if q:
+                quals.add(q[-1])
+        if len(quals) == 1:
+            return quals.pop()
+        return None
+
+    @staticmethod
     def _is_passthrough_project(node) -> bool:
         """True if every projected expression is a bare attribute —
         reordering/pruning only, safe to flatten a WHERE over."""
@@ -248,6 +296,94 @@ class _Renderer:
         return ", ".join(
             f"{a.sql()} AS `{a.name()}`" for a in _seq(node.output())
         )
+
+    def _grouping_sets(self, agg, expand) -> str:
+        """Render Aggregate-over-Expand (the analyzed form of
+        rollup/cube/groupingSets) back to ``GROUP BY GROUPING SETS``.
+        Each Expand projection carries the group columns either as the
+        source attribute or a typed NULL literal plus the grouping-id
+        literal — the non-null positions ARE that projection's grouping
+        set. ``grouping(col)`` / ``grouping_id()`` markers in the
+        aggregate list analyze to bit-extractions over
+        ``spark_grouping_id``; those are re-spelled back to the marker
+        functions so the reflected text parses standalone."""
+        import re
+
+        groupings = _seq(agg.groupingExpressions())
+        if not groupings or groupings[-1].name() != "spark_grouping_id":
+            raise Unreflectable("Expand without spark_grouping_id grouping")
+        k = len(groupings) - 1
+        # base group expressions live in the Expand child's Project as
+        # trailing aliases; only bare-attribute groups reflect (an
+        # expression group would need alias-aware re-spelling)
+        proj = expand.children().apply(0)
+        if _name(proj) != "Project":
+            raise Unreflectable("Expand child is not the dup-alias Project")
+        plist = _seq(proj.projectList())
+        for e in plist:
+            en = _name(e)
+            if en == "AttributeReference":
+                continue
+            if en == "Alias" and _name(e.child()) == "AttributeReference":
+                continue
+            raise Unreflectable(
+                f"non-attribute grouping expression: {e.sql()}"
+            )
+        gnames = [plist[len(plist) - k + i].child().sql() for i in range(k)]
+        out_n = expand.output().size()
+        sets = []
+        for p in _seq(expand.projections()):
+            elems = [p.apply(out_n - (k + 1) + i) for i in range(k)]
+            cols = [
+                gnames[i]
+                for i, e in enumerate(elems)
+                if _name(e) == "AttributeReference"
+            ]
+            sets.append("(" + ", ".join(cols) + ")")
+
+        def respell(sql: str) -> str:
+            sql = re.sub(
+                r"CAST\(\(shiftright\(spark_grouping_id, (\d+)\) & 1L?\)"
+                r" AS TINYINT\)",
+                lambda m: f"grouping({gnames[k - 1 - int(m.group(1))]})",
+                sql,
+            )
+            if "spark_grouping_id" in sql:
+                sql = sql.replace("spark_grouping_id", "grouping_id()")
+            return sql
+
+        aggs = ", ".join(
+            respell(e.sql()) for e in _seq(agg.aggregateExpressions())
+        )
+        src, extra, _ = self._src(proj.children().apply(0))
+        where = f" WHERE {extra}" if extra else ""
+        return (
+            f"SELECT {aggs} FROM {src}{where}"
+            f" GROUP BY GROUPING SETS ({', '.join(sets)})"
+        )
+
+    def _values_item(self, node, alias: str) -> str:
+        """Inline literal data (createDataFrame / VALUES) as an inline
+        VALUES table usable directly as a FROM item."""
+        rows = _seq(node.data())
+        out = _seq(node.output())
+        if not rows:
+            raise Unreflectable("empty LocalRelation (no VALUES rendering)")
+        if len(rows) > 1000:
+            raise Unreflectable(f"LocalRelation too large ({len(rows)} rows)")
+        if self._jvm is None:
+            raise Unreflectable("LocalRelation rendering needs a JVM handle")
+        Lit = self._jvm.org.apache.spark.sql.catalyst.expressions.Literal
+        vals = []
+        for r in rows:
+            cells = []
+            for i, a in enumerate(out):
+                dt = a.dataType()
+                v = None if r.isNullAt(i) else r.get(i, dt)
+                cells.append(Lit(v, dt).sql())
+            vals.append("(" + ", ".join(cells) + ")")
+        cols = ", ".join(f"`{a.name()}`" for a in out)
+        return f"VALUES {', '.join(vals)} AS {alias}({cols})"
 
     # ---- node renderers --------------------------------------------------
 
@@ -303,8 +439,10 @@ class _Renderer:
 
         if kind == "Aggregate":
             groups = [e.sql() for e in _seq(node.groupingExpressions())]
-            aggs = ", ".join(e.sql() for e in _seq(node.aggregateExpressions()))
             child = ch.apply(0)
+            if _name(child) == "Expand":
+                return self._grouping_sets(node, child)
+            aggs = ", ".join(e.sql() for e in _seq(node.aggregateExpressions()))
             conds = []
             if _name(child) == "Filter":
                 conds.append(f"({child.condition().sql()})")
@@ -412,13 +550,34 @@ class _Renderer:
         if kind == "OneRowRelation":
             return "SELECT 1"
 
+        if kind == "View":
+            # inline the view definition — faithful because a (temp)
+            # view IS its plan; the reflected text then stands alone
+            # without requiring the view to be registered
+            return self.select(ch.apply(0))
+
+        if kind == "Range":
+            return (
+                f"SELECT * FROM range({node.start()}, {node.end()},"
+                f" {node.step()})"
+            )
+
+        if kind == "LocalRelation":
+            return f"SELECT * FROM {self._values_item(node, self._alias())}"
+
         raise Unreflectable(f"no SQL renderer for plan node {kind}")
 
 
 def reflect_sql(df: DataFrame) -> str:
     """Render ``df``'s analyzed logical plan as runnable Spark SQL."""
+    import re
+
     plan = df._jdf.queryExecution().analyzed()
-    return _Renderer().select(plan)
+    sql = _Renderer(jvm=df.sparkSession._jvm).select(plan)
+    # Expression.sql() spells the extract field as a quoted literal
+    # ("extract('YEAR' FROM x)") which Spark's own parser rejects —
+    # re-spell to the keyword form the grammar accepts.
+    return re.sub(r"extract\('(\w+)' FROM ", r"extract(\1 FROM ", sql)
 
 
 def roundtrip_equivalent(df: DataFrame, check_rows: int = 100_000) -> bool:
