@@ -1079,3 +1079,33 @@ def test_asof_join_tolerance_no_stale_leak(spark):
         left, right, on="ts", by="k", value_cols=["v"], tolerance_sec=10
     ).collect()
     assert out[0].v_r is None  # matched row is fresh but its value is NULL
+
+
+def test_bm25_planted_relevance(spark):
+    from xngin_spark.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple apple apple pear plum"),
+            (1, "apple banana cherry date fig"),
+            (2, "banana cherry date fig grape"),
+            (3, "kiwi " * 40 + "apple"),  # long doc: length-normalized down
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(0, "apple")], "qid long, term string")
+    rows = bm25_topk(docs, q, k=10).collect()
+    ranked = [r.doc_id for r in sorted(rows, key=lambda r: r.rnk)]
+    # doc2 has no 'apple' -> absent; tf=3 beats tf=1; the padded doc's
+    # single hit is punished by length normalization
+    assert 2 not in ranked
+    assert ranked[0] == 0
+    assert ranked.index(1) < ranked.index(3)
+    # rare-term idf dominates common-term idf at equal tf
+    q2 = spark.createDataFrame(
+        [(0, "apple"), (1, "plum")], "qid long, term string"
+    )
+    scores = {
+        (r.qid, r.doc_id): r.score for r in bm25_topk(docs, q2, k=10).collect()
+    }
+    assert scores[(1, 0)] > scores[(0, 0)]  # plum (df=1) > apple (df=3) on doc0

@@ -291,6 +291,76 @@ def tfidf_topk(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 lexical retrieval: top-k documents per query.
+
+    ``query_terms`` is the exploded query set — (qid, term) rows, one
+    per query token. Shuffle profile at corpus scale: the postings
+    build is the tfidf shape (map-side explode, one (doc, tok) shuffle
+    of compact keys); the QUERY side — small by construction, a user's
+    query batch — is hint-broadcast against the postings, so the
+    corpus never shuffles for the probe; df and doc-length rejoins ride
+    the keys they were just aggregated on (AQE picks broadcast when the
+    token table fits, same reasoning as tfidf_topk's un-forced join).
+    Only candidate postings (terms appearing in some query) survive
+    past the probe, so scoring cost follows the candidate set.
+
+    Determinism across engines: idf = ln(1 + (N - df + .5)/(df + .5))
+    (Robertson non-negative variant) and each per-term contribution is
+    rounded to 8 digits (ln isn't correctly-rounded identically
+    everywhere — the tfidf_topk precedent), then decimal-accumulated,
+    so the ranking score is bit-identical to the DuckDB oracle.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    tf = pairs.groupBy(id_col, "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dl = pairs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).first()
+    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    cand = tf.join(
+        F.broadcast(query_terms), tf["tok"] == query_terms["term"]
+    ).join(dfreq, "tok").join(dl, id_col)
+    idf = F.log(
+        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 8)
+    scored = (
+        cand.select("qid", id_col, term_score.alias("ts"))
+        .groupBy("qid", id_col)
+        .agg(
+            F.sum(F.col("ts").cast("decimal(25,9)")).cast("double").alias("score")
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), id_col)
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("qid", "rnk")
+    )
+
+
 #: Default edge-count ceiling for solving components driver-side.
 #: Measured (tracemalloc, 1M random int edges over 300k nodes): ~103 MB
 #: peak Python heap for the two endpoint lists + union-find parent dict

@@ -212,6 +212,68 @@ def tfidf_topk_q(spark, sf_dir):
     return C.tfidf_topk(T(spark, sf_dir, "documents"))
 
 
+_BM25_QUERIES = [
+    (0, "spark"), (0, "query"), (0, "join"),
+    (1, "vector"), (1, "hash"), (1, "merge"),
+    (2, "customer"), (2, "order"), (2, "line"),
+]
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH q(qid, term) AS (
+      VALUES {", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in _BM25_QUERIES)}
+    ),
+    pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM pairs GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM pairs GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    terms AS (
+      SELECT q.qid, tf.doc_id,
+             round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                   8) AS ts
+      FROM tf
+      JOIN q ON tf.tok = q.term
+      JOIN dfreq ON tf.tok = dfreq.tok
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT qid, doc_id,
+             CAST(SUM(CAST(ts AS DECIMAL(25,9))) AS DOUBLE) AS score
+      FROM terms GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, score, rnk FROM (
+      SELECT qid, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    ORDER BY qid, rnk
+    """,
+)
+def bm25_topk_q(spark, sf_dir):
+    """Okapi BM25 lexical retrieval over the document corpus — the
+    inverted-index ranking complement to the embedding-space ANN
+    family (SURVEY similarity-search rows): a fixed 3-query batch of
+    exploded (qid, term) rows is broadcast against tfidf-shaped
+    postings; per-term contributions use the Robertson non-negative
+    idf, rounded then decimal-summed so the DuckDB oracle reproduces
+    the ranking bit-for-bit (operators/corpus.bm25_topk)."""
+    qt = spark.createDataFrame(_BM25_QUERIES, "qid long, term string")
+    return C.bm25_topk(T(spark, sf_dir, "documents"), qt, k=5)
+
+
 @register(
     "dedup_clusters",
     """
