@@ -29,7 +29,6 @@ GATE_PRIORITY = [
     "dedup_exact",
     "ngram_jaccard",
     "knn_cosine",
-    "embedding_centroid_dist",
     "media_features",
     # dedup_minhash_checked replaces frame_sample in the window
     # (round 5): it is the minhash family's FIRST value-checked row
@@ -38,6 +37,13 @@ GATE_PRIORITY = [
     # query keeps its local oracle compare in test_tpch_parity.py.
     "dedup_minhash_checked",
     "dedup_embedding_cosine",
+    # bm25_topk replaces embedding_centroid_dist in the window
+    # (round 7): BM25 is the lexical-retrieval family's FIRST row
+    # (bit-exact decimal-summed scoring vs DuckDB), where
+    # centroid-dist was the clustering family's second row alongside
+    # knn_cosine's ANN evidence — the displaced query keeps its local
+    # oracle compare in test_tpch_parity.py.
+    "bm25_topk",
     "embedding_quantize",
     # gopher_quality / dedup_span_extract replace pii_scrub /
     # vocab_topk in the window (round 6): the Gopher rule set is the
