@@ -190,3 +190,35 @@ def test_e2e_com_field_list_unknown_table_errs(served_engine):
             conn.field_list("bad;name")
         assert ei2.value.errno == 1103
         assert conn.ping()
+
+
+def test_compat_rewrite_unit():
+    from xngin_spark.server.compat import rewrite
+
+    # recognized MySQL session SETs absorb to OK (None)
+    for s in ("SET NAMES utf8mb4", "set autocommit=1",
+              "SET SESSION sql_mode='ANSI'", "SET character_set_results=NULL",
+              "SET @@session.wait_timeout=100"):
+        assert rewrite(s) is None, s
+    # Spark conf SETs pass through untouched
+    assert rewrite("SET spark.sql.shuffle.partitions=8") is not None
+    # sysvars become literals, unknown ones NULL, DATABASE() the schema
+    out = rewrite("select @@version_comment, @@autocommit, @@no_such_var, DATABASE()", "corpus")
+    assert out == "select 'xngin-spark', 1, NULL, 'corpus'"
+
+
+def test_e2e_mysql_client_opening_handshake(served_engine):
+    # the statements a stock mysql CLI / connector issues on connect
+    # must all succeed over the wire
+    with _connect(served_engine) as conn:
+        names, rows = conn.query("select @@version_comment limit 1")
+        assert rows == [["xngin-spark"]]
+        assert conn.query("SET NAMES utf8mb4") == ([], [])
+        assert conn.query("SET autocommit=1") == ([], [])
+        _, rows = conn.query("SELECT DATABASE()")
+        assert len(rows) == 1
+        _, rows = conn.query("select @@max_allowed_packet")
+        assert rows == [["67108864"]]
+        # and real queries still work afterwards
+        _, rows = conn.query("SELECT COUNT(*) AS n FROM nation")
+        assert int(rows[0][0]) > 0

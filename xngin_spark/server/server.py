@@ -228,8 +228,18 @@ class MySQLServer:
         P.write_packet(conn, seq, P.build_eof())
 
     def _run_query(self, conn: socket.socket, seq: int, sql: str) -> None:
+        from xngin_spark.server import compat
+
         try:
-            df = self.engine.sql(sql)
+            current = self.engine.spark.catalog.currentDatabase()
+        except Exception:
+            current = None
+        rewritten = compat.rewrite(sql, current)
+        if rewritten is None:  # absorbed MySQL session SET -> plain OK
+            P.write_packet(conn, seq + 1, P.build_ok())
+            return
+        try:
+            df = self.engine.sql(rewritten)
             if df is None or not getattr(df, "columns", None):
                 P.write_packet(conn, seq + 1, P.build_ok())
                 return
