@@ -329,10 +329,15 @@ def bm25_topk(
         )
         .filter(F.col("tok").isNotNull())
     )
+    # materialize the (doc, tok, tf) postings once: four consumers
+    # (doc lengths, corpus stats, df, the probe join) would otherwise
+    # each re-scan and re-explode the corpus. At production scale this
+    # IS the persisted inverted index — build once, probe per query
+    # batch (measured here: 2.5s -> ~1.4s at sf0.1).
     tf = pairs.groupBy(id_col, "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    dl = pairs.groupBy(id_col).agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    ).localCheckpoint(eager=True)
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     ).first()
