@@ -1174,3 +1174,61 @@ def join_reorder_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@register(
+    "snapshot_diff",
+    """
+    WITH newsnap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderkey, op FROM (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN (o.o_custkey      IS DISTINCT FROM n.o_custkey)
+                    OR (o.o_orderstatus  IS DISTINCT FROM n.o_orderstatus)
+                    OR (o.o_totalprice   IS DISTINCT FROM n.o_totalprice)
+                    OR (o.o_orderdate    IS DISTINCT FROM n.o_orderdate)
+                    OR (o.o_orderpriority IS DISTINCT FROM n.o_orderpriority)
+                  THEN 'update' END AS op
+      FROM orders o FULL OUTER JOIN newsnap n ON o.o_orderkey = n.o_orderkey
+    ) WHERE op IS NOT NULL
+    ORDER BY o_orderkey, op
+    """,
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (sources/dml.table_diff): a second
+    orders snapshot is derived deterministically (keys %97 deleted,
+    %89 repriced, %101 re-inserted under shifted keys) and diffed
+    against the original — one full-outer join on the primary key
+    (zero exchanges under the bucketed layout) with a single struct
+    eqNullSafe column compare. The delta feed an incremental
+    downstream job consumes, completing the DML family's
+    UPDATE/DELETE/MERGE/SCD2 story with change-data OUTPUT."""
+    from xngin_spark.sources.dml import table_diff
+
+    o = T(spark, sf_dir, "orders")
+    new = (
+        o.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    return table_diff(o, new, ["o_orderkey"]).orderBy("o_orderkey", "op")

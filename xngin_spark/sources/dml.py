@@ -372,3 +372,35 @@ def scd2_snapshot(spark: SparkSession, path: str, as_of: int) -> DataFrame:
         (F.col("valid_from") <= F.lit(as_of))
         & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(as_of)))
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """CDC-style diff between two snapshots of a keyed table: one row
+    per changed key with op ∈ insert (key only in ``new``), delete
+    (only in ``old``), update (present in both, any compared column
+    differs null-safely). Unchanged keys produce no row.
+
+    The change-data companion to SCD2/time travel above: diff two
+    scd2_snapshot outputs (or any two loads of the same table) to get
+    the delta a downstream incremental job should consume. One
+    full-outer join shuffling both sides on the PRIMARY KEY — the
+    natural bucketing key, so with the bucketed layout
+    (sources/writers.write_bucketed_table) the diff runs with zero
+    exchanges; column comparison is a single struct eqNullSafe
+    (codegen'd, no per-column join conditions), and doubles/timestamps
+    compare exactly, never epsilon."""
+    cols = compare_cols or [c for c in old.columns if c not in keys]
+    o = old.select(*keys, F.struct(*cols).alias("_old"))
+    n = new.select(*keys, F.struct(*cols).alias("_new"))
+    j = o.join(n, on=keys, how="full_outer")
+    op = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+    )
+    return j.select(*keys, op.alias("op")).filter(F.col("op").isNotNull())
