@@ -898,3 +898,52 @@ def minhash_screen(
         .filter(F.col("est_jaccard") >= threshold)
         .select("new_id", "corpus_id", "est_jaccard")
     )
+
+
+def minhash_screen_with(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.7,
+    portable: bool = False,
+) -> DataFrame:
+    """In-session ingest screen: near-duplicates of ``new_df`` against
+    ``corpus_df`` as (new_id, corpus_id, est_jaccard) — the same
+    band-probe + signature-verify shape as :func:`minhash_screen`, with
+    both sides computed in-session instead of read from a persisted
+    index (use this before the first index lands, or with
+    ``portable=True`` for the engine-portable checked variant the
+    DuckDB oracle reproduces bit-for-bit).
+
+    Cost shape matches the persisted screen: signatures are map-side
+    for both sides, the (small) new batch's band rows broadcast against
+    the corpus bands, and only candidate pairs ship signatures."""
+    nsig = minhash_signatures(new_df, text_col, id_col, k, shingle_n, portable)
+    csig = minhash_signatures(corpus_df, text_col, id_col, k, shingle_n, portable)
+    nband = _band_buckets(nsig, id_col, k, bands).select(
+        F.col(id_col).alias("new_id"), "band", "bucket"
+    )
+    cband = _band_buckets(csig, id_col, k, bands).select(
+        F.col(id_col).alias("corpus_id"), "band", "bucket"
+    )
+    cand = (
+        F.broadcast(nband)
+        .join(cband, on=["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    est = _sig_agreement(F.col("sig"), F.col("sig_c"), k)
+    return (
+        cand.join(nsig.select(F.col(id_col).alias("new_id"), "sig"), "new_id")
+        .join(
+            csig.select(F.col(id_col).alias("corpus_id"), F.col("sig").alias("sig_c")),
+            "corpus_id",
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("new_id", "corpus_id", "est_jaccard")
+    )

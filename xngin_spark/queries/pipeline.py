@@ -2031,3 +2031,77 @@ def knn_l2_pq(spark, sf_dir):
     codes = pq_encode(e, books)
     probe = [0.25 if i % 3 == 0 else -0.125 for i in range(64)]
     return pq_search(codes, books, probe, k=20)
+def _screen_checked_oracle(k: int = 16, bands: int = 8) -> str:
+    from xngin_spark.operators.dedup import _P, _perm_consts
+
+    consts = _perm_consts(k)
+    a_sql = "[" + ",".join(str(a) for a, _ in consts) + "]"
+    b_sql = "[" + ",".join(str(b) for _, b in consts) + "]"
+    r = k // bands
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, text, CASE WHEN doc_id % 5 = 4 THEN 'new' ELSE 'corpus' END AS side
+      FROM documents WHERE doc_id < 1000
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+        FROM docs)
+    ),
+    xs AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT) % {_P} AS x
+      FROM sh
+    ),
+    hs AS (
+      SELECT doc_id, seed,
+             MIN((x * {a_sql}[seed+1] + {b_sql}[seed+1]) % {_P}) AS mh
+      FROM xs, (SELECT unnest(range({k})) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hs GROUP BY doc_id),
+    bands AS (
+      SELECT d.doc_id, d.side, band,
+             CAST(concat('0x', substr(md5(array_to_string(
+               sig[band*{r}+1:band*{r}+{r}], ',')),1,15)) AS BIGINT) AS bucket
+      FROM sig JOIN docs d USING (doc_id),
+           (SELECT unnest(range({bands})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      FROM bands n JOIN bands c
+        ON n.band = c.band AND n.bucket = c.bucket
+       AND n.side = 'new' AND c.side = 'corpus'
+    )
+    SELECT new_id, corpus_id,
+           CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+                AS DOUBLE) / {k}.0 AS est_jaccard
+    FROM cand
+    JOIN sig sa ON sa.doc_id = cand.new_id
+    JOIN sig sb ON sb.doc_id = cand.corpus_id
+    WHERE CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+               AS DOUBLE) / {k}.0 >= 0.5
+    """
+
+
+@register("dedup_screen_checked", _screen_checked_oracle())
+def dedup_screen_checked(spark, sf_dir):
+    """Ingest-time near-dup SCREEN under the full value oracle: every
+    5th document plays the incoming batch, the rest the already-
+    ingested corpus; the batch's band rows broadcast-probe the corpus
+    bands and only candidates verify signatures — the same shape
+    minhash_screen runs against the PERSISTED index (parquet
+    round-trip + _meta covered by tests/test_operators.py), with the
+    engine-portable md5_long base hash so DuckDB reproduces every
+    signature, bucket, candidate and agreement estimate bit-for-bit.
+    The production answer to "does this crawl batch duplicate the
+    corpus?" that never reshuffles or re-reads corpus text."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    new = d.filter(F.col("doc_id") % 5 == 4)
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    return D.minhash_screen_with(
+        new, corpus, k=16, bands=8, threshold=0.5, portable=True
+    ).select("new_id", "corpus_id", F.col("est_jaccard").cast("double").alias("est_jaccard"))
