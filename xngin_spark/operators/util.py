@@ -16,6 +16,13 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     ``getNumPartitions`` call, so the full-data shuffle only ever happens
     on inputs small enough for it to be cheap.
     """
+    if df.isStreaming:
+        # micro-batch parallelism is governed by the source (file
+        # splits / Kafka partitions) and shuffle conf; .rdd is illegal
+        # on a streaming frame, so the guard no-ops — letting the
+        # map-side operators (signatures, features) run unchanged in
+        # streaming twins
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * factor
     if df.rdd.getNumPartitions() >= target:

@@ -2105,3 +2105,74 @@ def dedup_screen_checked(spark, sf_dir):
     return D.minhash_screen_with(
         new, corpus, k=16, bands=8, threshold=0.5, portable=True
     ).select("new_id", "corpus_id", F.col("est_jaccard").cast("double").alias("est_jaccard"))
+
+
+@register("docs_stream_screen", _screen_checked_oracle())
+def docs_stream_screen(spark, sf_dir):
+    """The ingest screen AT INGEST TIME: the incoming batch arrives as
+    a document STREAM (delivered twice — the at-least-once failure
+    mode) and each micro-batch is screened against the STATIC corpus
+    index via stream-static joins — map-side portable signatures on
+    the stream, band rows probing the static band table, candidates
+    verifying against the static signature table, dropDuplicates on
+    the pair key for the exactly-once collapse. Same value oracle as
+    dedup_screen_checked: the streaming delivery must produce exactly
+    the batch screen's pairs and estimates — the production shape
+    where a crawl feed is deduped against the corpus before it ever
+    costs storage or a shuffle."""
+    import os
+
+    from xngin_spark.operators.dedup import (
+        _band_buckets,
+        _sig_agreement,
+        minhash_signatures,
+    )
+    from xngin_spark.streaming import documents_stream, run_available_now
+
+    k, bands = 16, 8
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    corpus = d.filter(F.col("doc_id") % 5 != 4)
+    csig = minhash_signatures(corpus, k=k, portable=True).localCheckpoint(
+        eager=True
+    )
+    cband = _band_buckets(csig, "doc_id", k, bands).select(
+        F.col("doc_id").alias("corpus_id"), "band", "bucket"
+    ).localCheckpoint(eager=True)
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    stream = documents_stream(spark, path)
+    new = stream.unionAll(stream).filter(
+        (F.col("doc_id") < 1000) & (F.col("doc_id") % 5 == 4)
+    )
+    nsig = minhash_signatures(new, k=k, portable=True)
+    nband = _band_buckets(nsig, "doc_id", k, bands).select(
+        F.col("doc_id").alias("new_id"), "band", "bucket"
+    )
+    cand = nband.join(F.broadcast(cband), on=["band", "bucket"]).select(
+        "new_id", "corpus_id"
+    )
+    est = _sig_agreement(F.col("sig"), F.col("sig_c"), k)
+    screened = (
+        cand.join(
+            nsig.select(F.col("doc_id").alias("new_id"), "sig"), "new_id"
+        )
+        .join(
+            F.broadcast(
+                csig.select(
+                    F.col("doc_id").alias("corpus_id"),
+                    F.col("sig").alias("sig_c"),
+                )
+            ),
+            "corpus_id",
+        )
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("new_id", "corpus_id", "est_jaccard")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    out = run_available_now(
+        screened, "docs_screen_sink", output_mode="append", shuffle_partitions=8
+    )
+    return out.select(
+        "new_id", "corpus_id", F.col("est_jaccard").cast("double").alias("est_jaccard")
+    )
