@@ -1,0 +1,129 @@
+"""Round-7 additions: portable Bloom screen, JL sign-projection,
+reciprocal-rank fusion, and the hashed linear quality classifier.
+
+The parity suite (test_tpch_parity.py) already value-checks all four
+against DuckDB oracles; the tests here pin the SEMANTIC properties the
+oracle compare can't state — no false negatives ever for the Bloom
+screen, the JL distance-preservation bound, RRF's missing-list and
+ordering contracts, classifier scale-invariance — on planted inputs
+that don't depend on the synthetic corpus's luck.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from xngin_spark.operators.bloom import bloom_build, bloom_might_contain
+from xngin_spark.operators.corpus import rrf_fuse
+from xngin_spark.operators.quantize import jl_project
+from xngin_spark.operators.textstats import hashed_linear_score
+
+
+def test_portable_bloom_no_false_negatives(spark):
+    members = spark.createDataFrame(
+        [(f"member-{i}",) for i in range(500)], "k string"
+    )
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(500)], "k string"
+    )
+    m, k = 1 << 14, 7
+    bloom = bloom_build(members, "k", m, k, portable=True).localCheckpoint(
+        eager=True
+    )
+    hits = (
+        bloom_might_contain(members, "k", bloom, m, k, portable=True)
+        .filter(~F.col("might_contain"))
+        .count()
+    )
+    assert hits == 0, "Bloom filter produced a false negative"
+    # FP rate at n=500, m=2^14, k=7 is ~2e-7 — zero expected here
+    fp = (
+        bloom_might_contain(others, "k", bloom, m, k, portable=True)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    assert fp <= 5
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """JL with out_dim=16 is coarse, but planted ORTHOGONAL vs
+    IDENTICAL pairs must stay separated: identical inputs project to
+    identical outputs (distance 0), far-apart inputs stay far apart."""
+    dim = 64
+    rows = []
+    for v in range(8):
+        vec = [0.0] * dim
+        vec[v * 8] = 1.0
+        rows.append((v, vec))
+        rows.append((v + 100, vec))  # exact duplicate
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["vec_id"]: r["proj"]
+        for r in jl_project(df, in_dim=dim, out_dim=16).collect()
+    }
+    for v in range(8):
+        assert out[v] == out[v + 100], "identical vectors must project equal"
+    # unit vectors on distinct axes have L2 distance sqrt(2); the JL
+    # sign projection keeps expected squared distance — allow wide slack
+    d2 = sum((a - b) ** 2 for a, b in zip(out[0], out[1]))
+    assert d2 > 0.1, f"orthogonal pair collapsed: {d2}"
+
+
+def test_jl_projection_zero_shuffle_plan(spark, sf_dir):
+    from xngin_spark.plans.explain import plan_signature
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sig = plan_signature(jl_project(emb))
+    assert sig.get("Exchange", 0) == 0
+    assert sig.get("BatchEvalPython", 0) == 0 and sig.get("ArrowEvalPython", 0) == 0
+
+
+def test_rrf_fuse_missing_list_and_order(spark):
+    """doc 10 is #1 in both lists; doc 20 only lexical #2; doc 30 only
+    dense #2. Fused: 10 first (2 contributions), then 20 vs 30 tie
+    broken by id."""
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2)], "qid long, doc_id long, rank long"
+    )
+    den = spark.createDataFrame(
+        [(0, 10, 1), (0, 30, 2)], "qid long, doc_id long, rank long"
+    )
+    got = rrf_fuse([lex, den], k=10).collect()
+    order = [r["doc_id"] for r in got]
+    assert order == [10, 20, 30]
+    assert got[0]["rrf"] == pytest.approx(2 * round(1 / 61.0, 8), abs=1e-9)
+    assert got[1]["rrf"] == got[2]["rrf"] == pytest.approx(
+        round(1 / 62.0, 8), abs=1e-9
+    )
+
+
+def test_hashed_classifier_score_is_mean_weight(spark):
+    """One-token docs pin each token's frozen weight; a repeated token
+    scores the same as one instance (mean, not sum); weights land in
+    [-1, 1]."""
+    one = spark.createDataFrame(
+        [(1, "alpha"), (2, "alpha alpha alpha"), (3, "beta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in hashed_linear_score(one).collect()}
+    assert rows[1]["n_tokens"] == 1 and rows[2]["n_tokens"] == 3
+    assert rows[1]["score"] == pytest.approx(rows[2]["score"], abs=1e-12)
+    assert all(-1.0 <= rows[i]["score"] <= 1.0 for i in rows)
+    assert rows[1]["keep"] == (rows[1]["score"] > 0)
+    # frozen model: same token, same weight, any session
+    import hashlib
+
+    b = int(hashlib.md5(b"alpha").hexdigest()[:15], 16) % 4096
+    w = (int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:15], 16) % 2001 - 1000) / 1000.0
+    assert rows[1]["score"] == pytest.approx(w, abs=1e-9)
+
+
+def test_hashed_classifier_zero_shuffle_plan(spark, sf_dir):
+    from xngin_spark.plans.explain import plan_signature
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = plan_signature(hashed_linear_score(docs))
+    assert sig.get("Exchange", 0) == 0

@@ -49,21 +49,39 @@ def optimal_params(n_keys: int, fp_rate: float = 0.01) -> tuple[int, int]:
     return m, k
 
 
-def _bit_positions(col: Column, m_bits: int, k: int) -> list[Column]:
+def _bit_positions(
+    col: Column, m_bits: int, k: int, portable: bool = False
+) -> list[Column]:
     """k independent bit positions per key: xxhash64 seeded per probe
-    (the extra literal column perturbs the hash), folded into [0, m)."""
+    (the extra literal column perturbs the hash), folded into [0, m).
+
+    ``portable=True`` swaps the base hash for the engine-portable
+    md5_long over ``key || ':' || i`` (dedup.md5_long), so a DuckDB
+    oracle reproduces every position bit-for-bit:
+    ``CAST(concat('0x', substr(md5(concat(key, ':', i)), 1, 15)) AS
+    BIGINT) % m``. md5_long is non-negative (60 bits), so pmod == %."""
+    if portable:
+        from xngin_spark.operators.dedup import md5_long
+
+        return [
+            F.pmod(
+                md5_long(F.concat(col, F.lit(":"), F.lit(str(i)))),
+                F.lit(m_bits),
+            )
+            for i in range(k)
+        ]
     return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits)) for i in range(k)]
 
 
 def bloom_build(
-    keys: DataFrame, key_col: str, m_bits: int, k: int
+    keys: DataFrame, key_col: str, m_bits: int, k: int, portable: bool = False
 ) -> DataFrame:
     """Aggregate ``keys[key_col]`` into a Bloom filter, returned as a
     DataFrame of (word: long, bits: long) — only words with at least one
     set bit are present (the filter is sparse-represented; a missing
     word means all-zero)."""
     col = F.col(key_col)
-    bits = F.array(*_bit_positions(col, m_bits, k))
+    bits = F.array(*_bit_positions(col, m_bits, k, portable))
     return (
         keys.select(F.explode_outer(bits).alias("bit"))
         .filter(F.col("bit").isNotNull())
@@ -87,6 +105,7 @@ def bloom_might_contain(
     m_bits: int,
     k: int,
     out_col: str = "might_contain",
+    portable: bool = False,
 ) -> DataFrame:
     """Append ``out_col``: True iff all k bits for ``df[key_col]`` are
     set in ``bloom``. k broadcast joins on the word index — map-side
@@ -94,7 +113,7 @@ def bloom_might_contain(
     absent from the sparse filter reads as all-zero via the left join's
     NULL."""
     out = df
-    positions = _bit_positions(F.col(key_col), m_bits, k)
+    positions = _bit_positions(F.col(key_col), m_bits, k, portable)
     hit_cols = []
     for i, pos in enumerate(positions):
         w, b, p = f"_bw{i}", f"_bb{i}", f"_bp{i}"

@@ -366,6 +366,55 @@ def bm25_topk(
     )
 
 
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 10,
+    c: float = 60.0,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retriever rankings: (qid, id, rrf,
+    rank). Each input carries (qid, id_col, rank); a document scores
+    sum over retrievers of 1/(c + rank), missing-from-a-list means
+    that retriever contributes nothing (Cormack et al. 2009's
+    parameter-free hybrid — the standard BM25 + dense-ANN fusion in
+    retrieval-augmented pipelines).
+
+    Scale shape: the inputs are already top-k'd per query, so the
+    union is O(N * k * n_queries) rows regardless of corpus size —
+    fusion cost follows the query batch, never the corpus. Each
+    contribution is rounded to 8 digits then decimal-accumulated, so
+    the fused score (and thus the ranking) is bit-identical across
+    engines/evaluation orders.
+    """
+    from pyspark.sql import Window
+
+    contribs = [
+        r.select(
+            "qid",
+            id_col,
+            F.round(F.lit(1.0) / (F.lit(c) + F.col("rank")), 8).alias(
+                "contrib"
+            ),
+        )
+        for r in ranked
+    ]
+    u = contribs[0]
+    for x in contribs[1:]:
+        u = u.unionByName(x)
+    w = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), id_col)
+    return (
+        u.groupBy("qid", id_col)
+        .agg(
+            F.sum(F.col("contrib").cast("decimal(25,9)"))
+            .cast("double")
+            .alias("rrf")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .orderBy("qid", "rank")
+    )
+
+
 #: Default edge-count ceiling for solving components driver-side.
 #: Measured (tracemalloc, 1M random int edges over 300k nodes): ~103 MB
 #: peak Python heap for the two endpoint lists + union-find parent dict

@@ -57,3 +57,53 @@ def quantize_int8(
         .withColumn("max_abs_err", err)
         .drop(vec_col)
     )
+
+
+def jl_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int = 64,
+    out_dim: int = 16,
+) -> DataFrame:
+    """Johnson–Lindenstrauss sign-projection: (id, proj: array<double>).
+
+    Dimensionality reduction for the ANN scale path — project a d-dim
+    embedding corpus onto ``out_dim`` random ±1 directions
+    (Achlioptas 2003's database-friendly JL variant) before LSH
+    bucketing or coarse quantization, cutting every downstream shuffle
+    and index byte by d/out_dim while preserving pairwise distances to
+    within the JL bound. The projection matrix is FROZEN from md5
+    (sign(i,j) = +1 iff md5_long(f"{i}:{j}") is even — the same
+    engine-portable hash convention as dedup.md5_long), so any engine
+    reproduces the exact same matrix with no side-channel state, and a
+    DuckDB oracle can verify the projection value-for-value.
+
+    Execution shape: ``out_dim`` zip_with/aggregate expressions over
+    the vector column — entirely map-side JVM codegen, ZERO shuffle and
+    zero Python; projecting a 100 TB corpus is a pure scan. Each dot
+    product accumulates in DECIMAL(25,9) (terms are ±x_i, exact), so
+    the result is bit-identical under any evaluation order/engine;
+    the final 1/sqrt(out_dim) scaling is one exact IEEE multiply.
+    """
+    import hashlib
+    import math
+
+    dec = "decimal(25,9)"
+    scale = 1.0 / math.sqrt(out_dim)
+
+    def sign(i: int, j: int) -> float:
+        h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
+    dims = []
+    for j in range(out_dim):
+        signs = F.array(*[F.lit(sign(i, j)) for i in range(in_dim)])
+        terms = F.zip_with(
+            F.col(vec_col), signs, lambda e, s: (e.cast("double") * s).cast(dec)
+        )
+        tot = F.aggregate(
+            terms, F.lit(0).cast(dec), lambda a, x: (a + x).cast(dec)
+        )
+        dims.append(tot.cast("double") * F.lit(scale))
+    return df.select(F.col(id_col), F.array(*dims).alias("proj"))

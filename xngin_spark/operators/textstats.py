@@ -241,3 +241,50 @@ def gopher_signals(text: Column) -> dict[str, Column]:
         "n_distinct_stop": n_distinct_stop,
         "gopher_pass": passes,
     }
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+) -> DataFrame:
+    """Hashed bag-of-words linear classifier: (id, n_tokens, score,
+    keep) — the fasttext-style model-based quality filter (score a
+    document by the mean weight of its tokens' hash buckets, keep if
+    positive) that pretraining pipelines run after the rule-based
+    screens (Gopher rules → classifier → dedup).
+
+    The weight table is FROZEN from md5 — weight(b) =
+    ((md5_long("w:" + b) % 2001) - 1000) / 1000, an exact 3-decimal
+    value in [-1, 1] — standing in for trained parameters so the
+    pipeline shape is real while the "training" stays deterministic
+    and engine-portable; swapping in a learned table is a broadcast
+    join on bucket id, same plan. Scoring is one transform/aggregate
+    over the token array — map-side JVM codegen, zero shuffle, zero
+    Python: classifying a 100 TB corpus is a pure scan. Token weights
+    are exact decimals, the sum accumulates in DECIMAL(25,9), and the
+    mean is one IEEE division — bit-identical in the DuckDB oracle.
+    """
+    from xngin_spark.operators.dedup import md5_long
+
+    dec = "decimal(25,9)"
+    toks = tokens(F.col(text_col))
+
+    def weight(t: Column) -> Column:
+        bucket = F.pmod(md5_long(t), F.lit(buckets))
+        wh = md5_long(F.concat(F.lit("w:"), bucket.cast("string")))
+        return (F.pmod(wh, F.lit(2001)) - F.lit(1000)).cast("double") / F.lit(
+            1000.0
+        )
+
+    terms = F.transform(toks, lambda t: weight(t).cast(dec))
+    tot = F.aggregate(terms, F.lit(0).cast(dec), lambda a, x: (a + x).cast(dec))
+    n = F.size(toks)
+    score = tot.cast("double") / n.cast("double")
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_tokens"),
+        score.alias("score"),
+        (score > F.lit(0.0)).alias("keep"),
+    )

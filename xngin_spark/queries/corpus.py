@@ -274,6 +274,121 @@ def bm25_topk_q(spark, sf_dir):
     return C.bm25_topk(T(spark, sf_dir, "documents"), qt, k=5)
 
 
+_HYBRID_RRF_ORACLE = f"""
+    WITH q(qid, term) AS (
+      VALUES {", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in _BM25_QUERIES)}
+    ),
+    pairs AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM pairs GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM pairs GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                     AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    terms AS (
+      SELECT q.qid, tf.doc_id,
+             round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+                   8) AS ts
+      FROM tf
+      JOIN q ON tf.tok = q.term
+      JOIN dfreq ON tf.tok = dfreq.tok
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats
+    ),
+    bscored AS (
+      SELECT qid, doc_id,
+             CAST(SUM(CAST(ts AS DECIMAL(25,9))) AS DOUBLE) AS score
+      FROM terms GROUP BY qid, doc_id
+    ),
+    branked AS (
+      SELECT qid, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id) AS BIGINT)
+               AS rnk
+      FROM bscored
+    ),
+    qv AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id < 3),
+    cv AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
+    qn AS (
+      SELECT qid, sqrt(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS DOUBLE)) AS qnorm
+      FROM qv, generate_series(1, 64) t(i) GROUP BY qid
+    ),
+    cn AS (
+      SELECT cid, sqrt(CAST(SUM(CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS DOUBLE)) AS cnorm
+      FROM cv, generate_series(1, 64) t(i) GROUP BY cid
+    ),
+    dots AS (
+      SELECT qid, cid,
+             CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                  AS DECIMAL(25,9))) AS DOUBLE) AS dot
+      FROM qv, cv, generate_series(1, 64) t(i)
+      GROUP BY qid, cid
+    ),
+    cranked AS (
+      SELECT qid, cid AS doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY dot / (qnorm * cnorm) DESC, cid) AS BIGINT)
+               AS rnk
+      FROM dots JOIN qn USING (qid) JOIN cn USING (cid)
+    ),
+    contrib AS (
+      SELECT qid, doc_id, round(1.0 / (60.0 + rnk), 8) AS c
+      FROM branked WHERE rnk <= 20
+      UNION ALL
+      SELECT qid, doc_id, round(1.0 / (60.0 + rnk), 8) AS c
+      FROM cranked WHERE rnk <= 20
+    ),
+    fused AS (
+      SELECT qid, doc_id,
+             CAST(SUM(CAST(c AS DECIMAL(25,9))) AS DOUBLE) AS rrf
+      FROM contrib GROUP BY qid, doc_id
+    )
+    SELECT qid, doc_id, rrf, rank FROM (
+      SELECT qid, doc_id, rrf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    ORDER BY qid, rank
+"""
+
+
+@register("hybrid_rrf", _HYBRID_RRF_ORACLE)
+def hybrid_rrf_q(spark, sf_dir):
+    """Hybrid retrieval — BM25 lexical top-20 fused with exact-cosine
+    dense top-20 by reciprocal-rank fusion (operators/corpus.rrf_fuse),
+    the standard RAG retrieval stack: the two retrievers run their own
+    scale-optimal plans (inverted-index probe; posexplode dot products)
+    and fusion touches only the top-k lists, so the hybrid costs the
+    max of its parts plus O(queries * k). vec_id ≡ doc_id in the
+    synthetic corpus, which makes the dense list directly fuseable;
+    every score is rounded-then-decimal-summed, so DuckDB reproduces
+    the fused ranking bit-for-bit."""
+    from xngin_spark.operators.similarity import cosine_topk
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+    qt = spark.createDataFrame(_BM25_QUERIES, "qid long, term string")
+    lex = C.bm25_topk(docs, qt, k=20).select(
+        "qid", "doc_id", F.col("rnk").alias("rank")
+    )
+    qemb = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    den = cosine_topk(emb, qemb, k=20).select(
+        "qid", F.col("vec_id").alias("doc_id"), "rank"
+    )
+    return C.rrf_fuse([lex, den], id_col="doc_id", k=10)
+
+
 @register(
     "dedup_clusters",
     """
@@ -401,6 +516,52 @@ def bloom_seen_filter(spark, sf_dir):
     # and without materialization each branch re-runs the build agg
     bloom = bloom_build(prev, "text", m, k).localCheckpoint(eager=True)
     return bloom_might_contain(cur, "text", bloom, m, k).select(
+        "doc_id", "might_contain"
+    )
+
+
+@register(
+    "bloom_seen_checked",
+    """
+    WITH prev AS (SELECT text FROM documents WHERE doc_id % 3 = 0),
+    cur AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+    bits AS (
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(concat(text, ':', i)), 1, 15))
+                  AS BIGINT) % 131072 AS bit
+      FROM prev, generate_series(0, 6) t(i)
+    ),
+    pp AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(concat(text, ':', i)), 1, 15))
+                  AS BIGINT) % 131072 AS bit
+      FROM cur, generate_series(0, 6) t(i)
+    )
+    SELECT doc_id, bool_and(bit IN (SELECT bit FROM bits)) AS might_contain
+    FROM pp GROUP BY doc_id
+    """,
+)
+def bloom_seen_checked(spark, sf_dir):
+    """The Bloom screen under a full value oracle: same build/probe
+    pipeline as bloom_seen_filter but with the engine-portable md5_long
+    bit positions (dedup.md5_long pattern), so DuckDB recomputes every
+    one of the k=7 positions, the distinct bit SET, and each probe's
+    all-bits-set verdict bit-for-bit — false positives included. The
+    Spark side still packs bits into (word, mask) words and probes via
+    k broadcast word-joins (the production shape; packing is lossless,
+    so the bit-set oracle states identical semantics). (m, k) are
+    FIXED (2^17, 7) because the oracle text cannot depend on the scale
+    factor — the production entry sizes them with optimal_params."""
+    from xngin_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    m, k = 1 << 17, 7
+    d = T(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 3 == 0).select("text")
+    cur = d.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    bloom = bloom_build(prev, "text", m, k, portable=True).localCheckpoint(
+        eager=True
+    )
+    return bloom_might_contain(cur, "text", bloom, m, k, portable=True).select(
         "doc_id", "might_contain"
     )
 

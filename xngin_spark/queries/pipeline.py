@@ -1701,6 +1701,74 @@ def embedding_quantize(spark, sf_dir):
 
 
 @register(
+    "embedding_jl_project",
+    """
+    WITH e AS (
+      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS ev
+      FROM embeddings, generate_series(1, 64) t(i)
+    )
+    SELECT vec_id, CAST(j AS BIGINT) AS dim,
+           CAST(SUM(CAST(ev * (CASE WHEN CAST(concat('0x',
+                        substr(md5(concat(i - 1, ':', j)), 1, 15)) AS BIGINT)
+                        % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                AS DECIMAL(25,9))) AS DOUBLE) * 0.25 AS value
+    FROM e, generate_series(0, 15) s(j)
+    GROUP BY vec_id, j
+    """,
+)
+def embedding_jl_project(spark, sf_dir):
+    """JL sign-projection 64→16 dims under a full value oracle: the
+    frozen ±1 matrix comes from md5 parity (engine-portable, no RNG
+    state), dot products accumulate in DECIMAL(25,9), and 1/sqrt(16)
+    is an exact multiply — DuckDB reproduces every projected value
+    bit-for-bit. Production shape is the array column
+    (operators/quantize.jl_project, pure map-side scan); posexplode to
+    long rows only because gate outputs can't carry bare arrays."""
+    from xngin_spark.operators.quantize import jl_project
+
+    proj = jl_project(T(spark, sf_dir, "embeddings"))
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "value")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
+
+
+@register(
+    "quality_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             (CAST(concat('0x', substr(md5(concat('w:',
+                  CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 4096
+              )), 1, 15)) AS BIGINT) % 2001 - 1000) / 1000.0 AS wt
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CAST(wt AS DECIMAL(25,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS score,
+           (CAST(SUM(CAST(wt AS DECIMAL(25,9))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) > 0.0 AS keep
+    FROM w GROUP BY doc_id
+    """,
+)
+def quality_classifier(spark, sf_dir):
+    """Model-based quality filtering under a full value oracle: the
+    hashed bag-of-words linear classifier
+    (operators/textstats.hashed_linear_score) scores every document by
+    the mean frozen-md5 bucket weight of its tokens and keeps
+    positives — the fasttext-classifier stage of a pretraining
+    pipeline, run as a pure map-side scan (transform/aggregate over
+    the token array, zero shuffle). DuckDB recomputes every bucket,
+    weight, decimal sum, and verdict bit-for-bit."""
+    from xngin_spark.operators.textstats import hashed_linear_score
+
+    return hashed_linear_score(T(spark, sf_dir, "documents"))
+
+
+@register(
     "corpus_select",
     f"""
     WITH t AS (
