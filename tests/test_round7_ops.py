@@ -127,3 +127,86 @@ def test_hashed_classifier_zero_shuffle_plan(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sig = plan_signature(hashed_linear_score(docs))
     assert sig.get("Exchange", 0) == 0
+
+
+def _index_rows(spark, path):
+    sigs = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(f"{path}/sigs").collect()
+    }
+    bands = {
+        (r["band"], r["bucket"], r["doc_id"])
+        for r in spark.read.parquet(f"{path}/bands").collect()
+    }
+    return sigs, bands
+
+
+def test_minhash_index_update_equals_rebuild(spark, sf_dir, tmp_path):
+    """update(index(v1), diff(v1, v2)) must equal rebuild(index(v2))
+    row-for-row — inserts, updates, and deletes all at once."""
+    from xngin_spark.operators.dedup import (
+        minhash_index_persist,
+        minhash_index_update,
+    )
+    from xngin_spark.sources.dml import table_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") < 400)
+    v2 = (
+        d.filter(F.col("doc_id") < 400)
+        .filter(F.col("doc_id") % 50 != 0)  # deletes
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" upd"))
+            ).otherwise(F.col("text")),  # updates
+        )
+        .unionByName(d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)))
+    )  # inserts
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    minhash_index_persist(v1, inc, k=16, bands=4)
+    minhash_index_persist(v2, full, k=16, bands=4)
+
+    diff = table_diff(v1, v2, keys=["doc_id"])
+    ops = {r["op"] for r in diff.collect()}
+    assert ops == {"insert", "update", "delete"}, f"test setup weak: {ops}"
+
+    minhash_index_update(v2, diff, inc)
+    assert _index_rows(spark, inc) == _index_rows(spark, full)
+
+
+def test_minhash_index_update_pure_insert_appends_only(spark, sf_dir, tmp_path):
+    """A pure-insert delta must not rewrite any existing index file."""
+    import os
+
+    from xngin_spark.operators.dedup import (
+        minhash_index_persist,
+        minhash_index_update,
+    )
+    from xngin_spark.sources.dml import table_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") < 300)
+    v2 = d.filter(F.col("doc_id") < 350)
+    idx = str(tmp_path / "idx")
+    minhash_index_persist(v1, idx, k=16, bands=4)
+    before = set(os.listdir(f"{idx}/sigs"))
+
+    minhash_index_update(v2, table_diff(v1, v2, keys=["doc_id"]), idx)
+    after = set(os.listdir(f"{idx}/sigs"))
+    assert before - after == set(), "existing files were rewritten on pure insert"
+    assert len(after) > len(before)
+
+
+def test_minhash_index_update_requires_meta(spark, sf_dir, tmp_path):
+    from xngin_spark.operators.dedup import minhash_index_update
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    empty_diff = d.limit(0).select("doc_id", F.lit("insert").alias("op"))
+    with pytest.raises(ValueError, match="_meta"):
+        minhash_index_update(d, empty_diff, str(tmp_path / "nothere"))

@@ -830,6 +830,92 @@ def minhash_index_persist(
     meta.coalesce(1).write.mode(mode).json(f"{path}/_meta")
 
 
+def minhash_index_update(
+    new_snapshot: DataFrame,
+    diff: DataFrame,
+    index_path: str,
+    op_col: str = "op",
+) -> None:
+    """Apply a ``table_diff`` delta to a persisted MinHash index
+    IN PLACE — the incremental-maintenance half of the ingest story:
+    when a 100 TB corpus takes a CDC batch (sources/dml.table_diff
+    rows: key + op ∈ insert/update/delete), the index follows the
+    delta instead of being rebuilt from corpus text.
+
+    Cost shape: only delta-sized work plus a surgical copy-on-write.
+    Inserted/updated documents are signed map-side from
+    ``new_snapshot`` (a delta-sized semi-join — corpus text beyond the
+    delta is never read); deleted/updated ids are scrubbed by
+    rewriting ONLY the index files that contain them (the
+    ``_metadata.file_path`` semi-join + swap used by the DML layer —
+    file names to the driver, never rows), and fresh signature/band
+    rows land as appended files. A pure-insert batch therefore touches
+    zero existing bytes. The contract — update(index(v1), diff(v1,v2))
+    ≡ rebuild(index(v2)) row-for-row — is equivalence-tested in
+    tests/test_round7_ops.py.
+
+    Banding constants and column names come from the index's _meta
+    (same rule as minhash_screen: guessing them silently corrupts the
+    index; a missing meta raises).
+    """
+    from pyspark.errors import AnalysisException
+
+    spark = new_snapshot.sparkSession
+    try:
+        meta = spark.read.json(f"{index_path}/_meta").head()
+    except AnalysisException as exc:
+        raise ValueError(
+            f"no _meta under {index_path} — not a minhash_index_persist "
+            "index (updating with guessed k/bands would corrupt it)"
+        ) from exc
+    k, bands, shingle_n = int(meta["k"]), int(meta["bands"]), int(meta["shingle_n"])
+    id_col, text_col = meta["id_col"], meta["text_col"]
+
+    gone = (
+        diff.filter(F.col(op_col).isin("delete", "update"))
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    fresh_ids = diff.filter(F.col(op_col).isin("insert", "update")).select(
+        id_col
+    )
+    changed = new_snapshot.join(F.broadcast(fresh_ids), id_col)
+    new_sigs = minhash_signatures(
+        changed, text_col, id_col, k, shingle_n
+    ).localCheckpoint(eager=True)
+    new_bands = _band_buckets(new_sigs, id_col, k, bands)
+
+    from xngin_spark.sources.dml import _local, _swap_in
+
+    def scrub_then_append(sub: str, additions: DataFrame) -> None:
+        path = f"{index_path}/{sub}"
+        stored = spark.read.parquet(path)
+        # _metadata is resolvable only on the raw scan — project it
+        # alongside the key BEFORE the semi-join
+        scan = stored.select(
+            F.col(id_col), F.col("_metadata.file_path").alias("f")
+        )
+        files = [
+            _local(r.f)
+            for r in scan.join(F.broadcast(gone), id_col, "left_semi")
+            .select("f")
+            .distinct()
+            .collect()
+        ]
+        if files:
+            keep = (
+                spark.read.parquet(*files)
+                .join(F.broadcast(gone), id_col, "left_anti")
+                .select(*stored.columns)
+            )
+            _swap_in(spark, keep, path, files)
+        additions.select(*stored.columns).write.mode("append").parquet(path)
+        spark.catalog.refreshByPath(path)
+
+    scrub_then_append("sigs", new_sigs)
+    scrub_then_append("bands", new_bands)
+
+
 def minhash_screen(
     new_df: DataFrame,
     index_path: str,
