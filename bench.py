@@ -223,7 +223,13 @@ def main() -> None:
     # capture buffer (BENCH_r02-r04 recorded "parsed": null because the
     # full 121-query line outgrew it; the gate-priority subset keeps the
     # line parseable while BENCH_FULL.json preserves every timing).
-    out_name = os.environ.get("SPARK_GRAFT_OUT", "BENCH_FULL.json")
+    # A SUBSET run (query names on argv) must never clobber the
+    # standing full-suite artifact — the same lesson as
+    # scaling_probe.write_results (round 6 lost its 151-query scaling
+    # doc to a one-query re-run). Subset payloads go to a sibling file
+    # unless SPARK_GRAFT_OUT overrides explicitly.
+    default_out = "BENCH_FULL.json" if not only else "BENCH_SUBSET.json"
+    out_name = os.environ.get("SPARK_GRAFT_OUT", default_out)
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                out_name), "w") as f:

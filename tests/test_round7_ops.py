@@ -72,13 +72,20 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
     assert d2 > 0.1, f"orthogonal pair collapsed: {d2}"
 
 
-def test_jl_projection_zero_shuffle_plan(spark, sf_dir):
+def test_jl_projection_map_side_plan(spark, sf_dir):
     from xngin_spark.plans.explain import plan_signature
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the only allowed Exchange is fan_out's small-input spread (a
+    # RoundRobin repartition that no-ops on a real multi-split scan) —
+    # never a key shuffle, never a Python boundary. plan_signature
+    # counts each node twice (tree line + formatted detail), so ONE
+    # physical Exchange reads as 2.
     sig = plan_signature(jl_project(emb))
-    assert sig.get("Exchange", 0) == 0
+    assert sig.get("Exchange", 0) <= 2
     assert sig.get("BatchEvalPython", 0) == 0 and sig.get("ArrowEvalPython", 0) == 0
+    pre_spread = emb.repartition(64).localCheckpoint(eager=True)
+    assert plan_signature(jl_project(pre_spread)).get("Exchange", 0) == 0
 
 
 def test_rrf_fuse_missing_list_and_order(spark):
@@ -210,3 +217,26 @@ def test_minhash_index_update_requires_meta(spark, sf_dir, tmp_path):
     empty_diff = d.limit(0).select("doc_id", F.lit("insert").alias("op"))
     with pytest.raises(ValueError, match="_meta"):
         minhash_index_update(d, empty_diff, str(tmp_path / "nothere"))
+
+
+def test_token_budget_mix_cut_is_strict(spark):
+    """The budget cut excludes the document that would cross it — a
+    planted source where doc 3 lands exactly ON the budget and doc 4
+    would cross it."""
+    from xngin_spark import queries as Q
+
+    Q.load_all()
+    # 5 docs of 200 tokens each in one source: budget 800 keeps
+    # exactly the first 4 in hash order, cum 200/400/600/800 — the
+    # 4th lands exactly ON the budget (kept), the 5th would cross it
+    rows = [(i, " ".join(["tok"] * 200), "en", "web", 0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        got = Q.QUERIES["token_budget_mix"](spark, tmp).collect()
+    assert len(got) == 4
+    assert sorted(r["cum_tokens"] for r in got) == [200, 400, 600, 800]

@@ -111,8 +111,12 @@ def bloom_might_contain(
     set in ``bloom``. k broadcast joins on the word index — map-side
     only (no shuffle, no explode/regroup of the probe side); a word
     absent from the sparse filter reads as all-zero via the left join's
-    NULL."""
-    out = df
+    NULL. ``fan_out`` spreads an underparallel probe input (and no-ops
+    on a real multi-split scan), so the k probe stages never run
+    single-task on a small or badly-packed source."""
+    from xngin_spark.operators.util import fan_out
+
+    out = fan_out(df)
     positions = _bit_positions(F.col(key_col), m_bits, k, portable)
     hit_cols = []
     for i, pos in enumerate(positions):

@@ -80,14 +80,22 @@ def jl_project(
     DuckDB oracle can verify the projection value-for-value.
 
     Execution shape: ``out_dim`` zip_with/aggregate expressions over
-    the vector column — entirely map-side JVM codegen, ZERO shuffle and
-    zero Python; projecting a 100 TB corpus is a pure scan. Each dot
-    product accumulates in DECIMAL(25,9) (terms are ±x_i, exact), so
-    the result is bit-identical under any evaluation order/engine;
-    the final 1/sqrt(out_dim) scaling is one exact IEEE multiply.
+    the vector column — entirely map-side, ZERO shuffle and zero
+    Python; projecting a 100 TB corpus is a pure scan. (The decimal
+    higher-order aggregates run interpreted, not codegen'd, so
+    per-row cost is real — ``fan_out`` spreads a small/underparallel
+    input across the cluster and no-ops once the scan already has
+    enough splits, the usual production case.) Each dot product
+    accumulates in DECIMAL(25,9) (terms are ±x_i, exact), so the
+    result is bit-identical under any evaluation order/engine; the
+    final 1/sqrt(out_dim) scaling is one exact IEEE multiply.
     """
     import hashlib
     import math
+
+    from xngin_spark.operators.util import fan_out
+
+    df = fan_out(df)
 
     dec = "decimal(25,9)"
     scale = 1.0 / math.sqrt(out_dim)
@@ -96,14 +104,23 @@ def jl_project(
         h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
         return 1.0 if h % 2 == 0 else -1.0
 
-    dims = []
-    for j in range(out_dim):
-        signs = F.array(*[F.lit(sign(i, j)) for i in range(in_dim)])
-        terms = F.zip_with(
-            F.col(vec_col), signs, lambda e, s: (e.cast("double") * s).cast(dec)
+    # build the whole projection as ONE parsed SQL expression: a
+    # per-element Column DSL version costs in_dim*out_dim py4j
+    # round-trips just to CONSTRUCT the plan (measured 8.8s of driver
+    # time at 64x16 — 4x the execution), the same lesson as
+    # clustering._lit_matrix
+    def dim_expr(j: int) -> str:
+        signs = ",".join(
+            "1.0D" if sign(i, j) > 0 else "-1.0D" for i in range(in_dim)
         )
-        tot = F.aggregate(
-            terms, F.lit(0).cast(dec), lambda a, x: (a + x).cast(dec)
+        return (
+            f"CAST(aggregate(zip_with({vec_col}, array({signs}), "
+            f"(e, s) -> CAST(CAST(e AS DOUBLE) * s AS {dec})), "
+            f"CAST(0 AS {dec}), (a, x) -> CAST(a + x AS {dec})) AS DOUBLE) "
+            f"* CAST('{scale!r}' AS DOUBLE)"
         )
-        dims.append(tot.cast("double") * F.lit(scale))
-    return df.select(F.col(id_col), F.array(*dims).alias("proj"))
+
+    proj = F.expr(
+        "array(" + ",".join(dim_expr(j) for j in range(out_dim)) + ")"
+    )
+    return df.select(F.col(id_col), proj.alias("proj"))

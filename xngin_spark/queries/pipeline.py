@@ -1732,9 +1732,7 @@ def embedding_jl_project(spark, sf_dir):
     ).select("vec_id", F.col("dim").cast("long").alias("dim"), "value")
 
 
-@register(
-    "quality_classifier",
-    """
+_QUALITY_CLASSIFIER_ORACLE = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -1752,8 +1750,10 @@ def embedding_jl_project(spark, sf_dir):
            (CAST(SUM(CAST(wt AS DECIMAL(25,9))) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE)) > 0.0 AS keep
     FROM w GROUP BY doc_id
-    """,
-)
+"""
+
+
+@register("quality_classifier", _QUALITY_CLASSIFIER_ORACLE)
 def quality_classifier(spark, sf_dir):
     """Model-based quality filtering under a full value oracle: the
     hashed bag-of-words linear classifier
@@ -1766,6 +1766,89 @@ def quality_classifier(spark, sf_dir):
     from xngin_spark.operators.textstats import hashed_linear_score
 
     return hashed_linear_score(T(spark, sf_dir, "documents"))
+
+
+
+
+@register("docs_stream_classify", _QUALITY_CLASSIFIER_ORACLE)
+def docs_stream_classify(spark, sf_dir):
+    """The hashed linear classifier applied AT INGEST: the document
+    stream (delivered twice — at-least-once) flows through the same
+    pure-projection scoring as quality_classifier (map-side
+    transform/aggregate, streaming-legal with no state) and collapses
+    re-deliveries with dropDuplicates on doc_id. Same value oracle as
+    the batch query: the streaming delivery must reproduce every
+    score and verdict bit-for-bit regardless of arrival order —
+    classify-at-ingest rejects junk before it costs storage or a
+    dedup shuffle."""
+    import os
+
+    from xngin_spark.operators.textstats import hashed_linear_score
+    from xngin_spark.streaming import documents_stream, run_available_now
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    doubled = documents_stream(spark, path).unionAll(
+        documents_stream(spark, path)
+    )
+    scored = hashed_linear_score(doubled).dropDuplicates(["doc_id"])
+    return run_available_now(
+        scored, "docs_classify_sink", output_mode="append", shuffle_partitions=8
+    )
+
+
+@register(
+    "token_budget_mix",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5(concat(CAST(doc_id AS VARCHAR), ':', COALESCE(text, '')))
+               AS k
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 800
+    """,
+)
+def token_budget_mix(spark, sf_dir):
+    """Data mixing to a token RECIPE: each source contributes documents
+    up to a fixed token budget (800 here, so the cut binds at every test SF), chosen by deterministic
+    hash order — the "N billion tokens of web, M of code" mixture cut
+    every pretraining run specifies. Hash-rank + running-sum window per
+    source = one shuffle on the mixture key and an early cut that
+    never materializes the rejected tail; rate-based mixing
+    (domain_mix_sample) gives proportions, this gives exact budgets.
+    Fully engine-portable: integer token counts, md5 order, integer
+    cumsum — DuckDB reproduces the kept set and cumulative loads
+    bit-for-bit."""
+    from pyspark.sql import Window
+
+    d = T(spark, sf_dir, "documents")
+    key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":"),
+            F.coalesce(F.col("text"), F.lit("")),
+        )
+    )
+    n = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select("doc_id", "source", n.alias("n_tokens"), key.alias("k"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 800)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
 
 
 @register(
