@@ -280,6 +280,51 @@ def ivf_persist(
     )
 
 
+def ivf_index_update(
+    new_snapshot: DataFrame,
+    diff: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    op_col: str = "op",
+) -> None:
+    """Apply a ``table_diff`` delta to a persisted IVF index IN PLACE —
+    the ANN twin of dedup.minhash_index_update: centroids are FROZEN
+    (the deployed shape — retraining them re-shards every list, which
+    is a rebuild by definition), so inserted/updated vectors assign
+    map-side from a delta-sized semi-join and append into exactly
+    their list's partition directory, while deleted/updated ids are
+    scrubbed by rewriting only the list files that contain them
+    (sources/dml.scrub_rows — the hive partition value lives in the
+    directory, so replacement files land in place). A pure-insert
+    batch touches zero existing bytes and grows only the lists it
+    lands in; partition pruning on probes is untouched."""
+    spark = new_snapshot.sparkSession
+
+    gone = (
+        diff.filter(F.col(op_col).isin("delete", "update"))
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    fresh_ids = diff.filter(F.col(op_col).isin("insert", "update")).select(
+        id_col
+    )
+    changed = new_snapshot.join(F.broadcast(fresh_ids), id_col)
+    additions = ivf_index(changed, centroids, vec_col)
+
+    from xngin_spark.sources.dml import scrub_rows
+
+    scrub_rows(spark, path, gone, id_col, partition_cols=["ivf_list"])
+    (
+        additions.repartition(len(centroids), F.col("ivf_list"))
+        .write.mode("append")
+        .partitionBy("ivf_list")
+        .parquet(path)
+    )
+    spark.catalog.refreshByPath(path)
+
+
 def cosine_topk_ivf_persisted(
     spark,
     path: str,

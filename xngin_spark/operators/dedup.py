@@ -885,31 +885,13 @@ def minhash_index_update(
     ).localCheckpoint(eager=True)
     new_bands = _band_buckets(new_sigs, id_col, k, bands)
 
-    from xngin_spark.sources.dml import _local, _swap_in
+    from xngin_spark.sources.dml import scrub_rows
 
     def scrub_then_append(sub: str, additions: DataFrame) -> None:
         path = f"{index_path}/{sub}"
-        stored = spark.read.parquet(path)
-        # _metadata is resolvable only on the raw scan — project it
-        # alongside the key BEFORE the semi-join
-        scan = stored.select(
-            F.col(id_col), F.col("_metadata.file_path").alias("f")
-        )
-        files = [
-            _local(r.f)
-            for r in scan.join(F.broadcast(gone), id_col, "left_semi")
-            .select("f")
-            .distinct()
-            .collect()
-        ]
-        if files:
-            keep = (
-                spark.read.parquet(*files)
-                .join(F.broadcast(gone), id_col, "left_anti")
-                .select(*stored.columns)
-            )
-            _swap_in(spark, keep, path, files)
-        additions.select(*stored.columns).write.mode("append").parquet(path)
+        cols = spark.read.parquet(path).columns
+        scrub_rows(spark, path, gone, id_col)
+        additions.select(*cols).write.mode("append").parquet(path)
         spark.catalog.refreshByPath(path)
 
     scrub_then_append("sigs", new_sigs)

@@ -374,6 +374,55 @@ def scd2_snapshot(spark: SparkSession, path: str, as_of: int) -> DataFrame:
     )
 
 
+def scrub_rows(
+    spark: SparkSession,
+    path: str,
+    gone: DataFrame,
+    id_col: str,
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Surgical delete of ``gone``'s ids from a parquet dataset: rewrite
+    ONLY the files that contain at least one matching row (file paths
+    found by a ``_metadata.file_path`` semi-join — metadata-scale
+    strings to the driver, never rows), leaving every other file's
+    bytes untouched. The index-maintenance primitive shared by the
+    MinHash and IVF incremental updates; a delta that touches no file
+    is a no-op. ``partition_cols`` lists hive-partition columns of the
+    dataset (present in the schema but not in the files), which the
+    rewrite re-derives from the file path it replaces."""
+    stored = spark.read.parquet(path)
+    # _metadata resolves only on the raw scan: project it before joins
+    scan = stored.select(
+        F.col(id_col), F.col("_metadata.file_path").alias("f")
+    )
+    files = [
+        _local(r.f)
+        for r in scan.join(F.broadcast(gone), id_col, "left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    ]
+    if not files:
+        return
+    pcols = partition_cols or []
+    out_cols = [c for c in stored.columns if c not in pcols]
+    # one rewrite job per affected DIRECTORY (hive layouts key the
+    # partition value in the directory, so replacement files must land
+    # in the same one; an unpartitioned dataset is a single directory
+    # and therefore a single job)
+    by_dir: dict[str, list[str]] = {}
+    for f in files:
+        by_dir.setdefault(os.path.dirname(f), []).append(f)
+    for d, fs in by_dir.items():
+        keep = (
+            spark.read.parquet(*fs)
+            .join(F.broadcast(gone), id_col, "left_anti")
+            .select(*out_cols)
+        )
+        _swap_in(spark, keep, d, fs)
+    spark.catalog.refreshByPath(path)
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,
