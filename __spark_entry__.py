@@ -36,7 +36,14 @@ GATE_PRIORITY = [
     # family's second row alongside media_features — the displaced
     # query keeps its local oracle compare in test_tpch_parity.py.
     "dedup_minhash_checked",
-    "dedup_embedding_cosine",
+    # quality_classifier replaces dedup_embedding_cosine in the window
+    # (round 7): the hashed bag-of-words linear classifier is the
+    # model-based quality-filter family's FIRST value-checked row
+    # (frozen md5 weight table, zero-shuffle projection), where
+    # embedding-cosine dedup was the cosine family's second row
+    # alongside knn_cosine's decimal-cosine evidence — the displaced
+    # query keeps its local oracle compare in test_tpch_parity.py.
+    "quality_classifier",
     # bm25_topk replaces embedding_centroid_dist in the window
     # (round 7): BM25 is the lexical-retrieval family's FIRST row
     # (bit-exact decimal-summed scoring vs DuckDB), where
