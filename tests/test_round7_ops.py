@@ -296,3 +296,36 @@ def test_ivf_index_update_equals_rebuild(spark, sf_dir, tmp_path):
     assert any("ivf_list" in f for f in partition_filters(probe))
     direct = spark.read.parquet(f"{inc}/ivf_list=0")
     assert probe.count() == direct.count() > 0
+
+
+def test_perceptual_hash_catches_edits_not_strangers(spark):
+    """The aHash robustness contract on planted media: a one-byte edit
+    stays within Hamming 2 of the original; two unrelated payloads do
+    not collide."""
+    from xngin_spark.operators.multimodal import (
+        as_media_table,
+        perceptual_hash,
+        phash_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (1, base),
+        (2, "Uhe" + base[3:]),          # one-byte edit of doc 1
+        # unrelated VARIED content, same length scale (periodic text
+        # like "zq zq zq" degenerates to the all-zero signature — the
+        # known aHash constant-image case — and would collide with the
+        # empty payloads below, by design)
+        (3, " ".join(f"w{i * 37 % 101}xyz{i}" for i in range(60))),
+        (4, ""),                         # empty payload hashes to 0
+        (5, ""),                         # ...and pairs only with other empties
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = perceptual_hash(as_media_table(d))
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in phash_dup_pairs(sigs, max_hamming=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 2
+    assert (4, 5) in pairs and pairs[(4, 5)] == 0
+    assert not any(3 in p for p in pairs), f"stranger collided: {pairs}"

