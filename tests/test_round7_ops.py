@@ -329,3 +329,40 @@ def test_perceptual_hash_catches_edits_not_strangers(spark):
     assert (1, 2) in pairs and pairs[(1, 2)] <= 2
     assert (4, 5) in pairs and pairs[(4, 5)] == 0
     assert not any(3 in p for p in pairs), f"stranger collided: {pairs}"
+
+
+def test_index_update_lifecycle_then_compaction(spark, sf_dir, tmp_path):
+    """The long-lived index story end-to-end: repeated CDC updates
+    accrete small files; compact_small_files bin-packs them back and
+    the index answers identically afterward."""
+    import os
+
+    from xngin_spark.operators.dedup import (
+        minhash_index_persist,
+        minhash_index_update,
+    )
+    from xngin_spark.sources.dml import table_diff
+    from xngin_spark.sources.layout import compact_small_files
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = str(tmp_path / "idx")
+    versions = [
+        d.filter(F.col("doc_id") < hi) for hi in (200, 300, 400, 500)
+    ]
+    minhash_index_persist(versions[0], idx, k=16, bands=4)
+    for prev, cur in zip(versions, versions[1:]):
+        minhash_index_update(cur, table_diff(prev, cur, keys=["doc_id"]), idx)
+
+    sigs_dir = f"{idx}/sigs"
+    before_files = len(
+        [f for f in os.listdir(sigs_dir) if f.endswith(".parquet")]
+    )
+    before_rows = _index_rows(spark, idx)
+    stats = compact_small_files(spark, sigs_dir)
+    after_files = len(
+        [f for f in os.listdir(sigs_dir) if f.endswith(".parquet")]
+    )
+    assert stats["files_compacted"] > 0 and after_files < before_files
+    assert _index_rows(spark, idx) == before_rows

@@ -7,8 +7,9 @@ round-over-round, not as alpha extrapolations.
 - Synthesizes /tmp/xngin_scale/sf1 via tools/make_sf.py if absent
   (10x self-union of $SPARK_GRAFT_SF_DIR, see make_sf.py's contract).
 - Reuses bench.py verbatim (SPARK_GRAFT_OUT redirects the full-payload
-  artifact away from BENCH_FULL.json); single pass — the sf1 point is
-  a trend line, the noise-band machinery lives at sf0.1.
+  artifact away from BENCH_FULL.json); 3 passes so the sf1 point
+  carries per-query medians and a spread band — single-pass runs were
+  measured flagging disjoint noise sets round-over-round.
 - Compare rounds with: python bench_compare.py BENCH_SF1_prev.json
   BENCH_SF1.json (same canary normalization applies).
 
@@ -37,10 +38,15 @@ def main(extra: list[str]) -> int:
     sys.path.insert(0, REPO)
     from __spark_entry__ import GATE_PRIORITY
 
+    # 3 passes, not 1: back-to-back single-pass sf1 runs were measured
+    # flagging DISJOINT 1.5-3x "regression" sets (events_session
+    # 4.4s->1.3s, knn_cosine 3.5s->9.3s between two round-7 runs) —
+    # per-query medians + the recorded spread band are what let
+    # bench_compare separate a real sf1 regression from one noisy pass
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF1_DIR,
-        SPARK_GRAFT_REPEATS="1",
+        SPARK_GRAFT_REPEATS=os.environ.get("SPARK_GRAFT_REPEATS", "3"),
         SPARK_GRAFT_OUT="BENCH_SF1.json",
     )
     proc = subprocess.run(

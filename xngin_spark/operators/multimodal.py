@@ -335,30 +335,43 @@ def phash_dup_pairs(
 
     Pigeonhole blocking (the simhash_dup_pairs shape): split the
     signature into ``max_hamming + 1`` blocks — any pair within the
-    Hamming budget agrees on at least one whole block — and equi-join
-    per block, so candidate generation is a hash join on block values,
-    never an n^2 scan; the exact bit_count(xor) verify runs only on
-    block-collision survivors. distinct collapses pairs that collide
-    in several blocks.
+    Hamming budget agrees on at least one whole block — explode each
+    signature to (block_no, block_val) rows and self-join ONCE on
+    them, so candidate generation is a single hash join; the exact
+    bit_count(xor) verify runs only on block-collision survivors and
+    distinct collapses pairs that collide in several blocks. ``sigs``
+    is checkpointed first: it comes from a mapInPandas decode, and
+    without the barrier each join side would re-run the Python decode
+    of the whole corpus (2 longs/doc to materialize vs N decode
+    passes).
     """
     nblocks = max_hamming + 1
     width = bits // nblocks
-    a = sigs.select(F.col("doc_id").alias("a"), F.col("phash").alias("ha"))
-    b = sigs.select(F.col("doc_id").alias("b"), F.col("phash").alias("hb"))
-    out = None
+    pinned = sigs.localCheckpoint(eager=True)
+    parts = []
     for blk in range(nblocks):
         lo = blk * width
         take = width if blk < nblocks - 1 else bits - lo
-        mask = ((1 << take) - 1) << lo
-        cand = a.join(
-            b,
-            (F.col("ha").bitwiseAND(F.lit(mask)) == F.col("hb").bitwiseAND(F.lit(mask)))
-            & (F.col("a") < F.col("b")),
+        parts.append(
+            F.struct(
+                F.lit(blk).alias("blk"),
+                F.shiftright(F.col("phash"), lo)
+                .bitwiseAND(F.lit((1 << take) - 1))
+                .alias("key"),
+            )
         )
-        out = cand if out is None else out.unionByName(cand)
+    blocks = pinned.select(
+        F.col("doc_id").alias("id"),
+        F.col("phash").alias("sh"),
+        F.explode(F.array(*parts)).alias("bk"),
+    ).select("id", "sh", F.col("bk.blk").alias("blk"), F.col("bk.key").alias("key"))
+    a = blocks.select("blk", "key", F.col("id").alias("a"), F.col("sh").alias("ha"))
+    b = blocks.select("blk", "key", F.col("id").alias("b"), F.col("sh").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
     return (
-        out.withColumn("hamming", ham)
+        a.join(b, on=["blk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
         .distinct()
