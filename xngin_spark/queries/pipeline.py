@@ -2414,3 +2414,127 @@ def docs_stream_screen(spark, sf_dir):
     return out.select(
         "new_id", "corpus_id", F.col("est_jaccard").cast("double").alias("est_jaccard")
     )
+
+
+def _emb_stream_screen_oracle() -> str:
+    return """
+    WITH cfg AS (
+      SELECT greatest(CAST(ceil(log2(greatest(COUNT(*) / 250.0, 2.0)))
+                      AS INT), 3) AS bits
+      FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(generate_series(1, cfg.bits),
+                  i -> CASE WHEN CAST(embedding[i] AS DOUBLE) < 0
+                            THEN 1 << (i - 1) ELSE 0 END)) AS BIGINT)
+               AS bucket
+      FROM embeddings, cfg
+    ),
+    n AS (
+      SELECT vec_id,
+             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9)))
+                  AS DOUBLE)) AS nrm
+      FROM embeddings, generate_series(1, 64) t(i)
+      GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT p.vec_id AS new_id, a.vec_id AS corpus_id
+      FROM assigned p JOIN assigned a USING (bucket)
+      WHERE p.vec_id % 5 = 4 AND a.vec_id % 5 <> 4
+    ),
+    dots AS (
+      SELECT c.new_id, c.corpus_id,
+             CAST(SUM(CAST(CAST(eq.embedding[t.i] AS DOUBLE)
+                  * CAST(ec.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9)))
+                  AS DOUBLE) AS dot
+      FROM cand c JOIN embeddings eq ON eq.vec_id = c.new_id
+           JOIN embeddings ec ON ec.vec_id = c.corpus_id,
+           generate_series(1, 64) t(i)
+      GROUP BY 1, 2
+    )
+    SELECT d.new_id, d.corpus_id, d.dot / (na.nrm * nc.nrm) AS cosine
+    FROM dots d JOIN n na ON na.vec_id = d.new_id
+         JOIN n nc ON nc.vec_id = d.corpus_id
+    WHERE d.dot / (na.nrm * nc.nrm) >= 0.3
+    """
+
+
+@register("emb_stream_screen", _emb_stream_screen_oracle())
+def emb_stream_screen(spark, sf_dir):
+    """The EMBEDDING ingest screen at ingest time — the vector-space
+    counterpart of docs_stream_screen: incoming embeddings arrive as a
+    STREAM (delivered twice, the at-least-once failure mode), each
+    vector is assigned its sign-LSH bucket MAP-SIDE (leading-sign-bit
+    aggregate, no shuffle), the duplicate delivery is collapsed by
+    dropDuplicates BEFORE the expensive probe (state = ids, so the
+    at-least-once tax is bookkeeping, never a re-scored candidate
+    set), and the batch probes only its own bucket of the STATIC
+    corpus via a stream-static join, scoring survivors with the
+    decimal-deterministic cosine (near-dup at >= 0.3). Bucket count is
+    occupancy-targeted (2^bits sized so ~250 vectors/bucket — the
+    scale rule the measured sf1 probe forced on dedup_semantic; a
+    FIXED codebook makes candidates grow n^2/k, occupancy-scaling
+    keeps them linear in the stream). At scale the static side is the
+    persisted bucket-partitioned index (knn_cosine_ivf_persisted's
+    layout), so a crawl feed's vectors are screened against a 100 TB
+    corpus touching only probed buckets' files and never reshuffling
+    the corpus. Value oracle: DuckDB derives the same bits from the
+    same count and reproduces buckets, candidates and cosines
+    bit-for-bit (DECIMAL(25,9) accumulation, the
+    dedup_semantic_checked recipe)."""
+    import math
+    import os
+
+    from xngin_spark.operators.similarity import vec_dot, vec_norm
+    from xngin_spark.streaming import embeddings_stream, run_available_now
+
+    emb = T(spark, sf_dir, "embeddings")
+    n = emb.count()
+    bits = max(3, math.ceil(math.log2(max(n / 250.0, 2.0))))
+    bucket = F.expr(
+        f"aggregate(transform(sequence(1, {bits}), i -> "
+        "IF(CAST(element_at(embedding, i) AS DOUBLE) < 0, "
+        "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % 5 != 4)
+        .select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("cvec"),
+            bucket.alias("bucket"),
+            vec_norm("embedding").alias("cnrm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    stream = embeddings_stream(spark, path)
+    new = (
+        stream.unionAll(stream)
+        .filter(F.col("vec_id") % 5 == 4)
+        .select(
+            F.col("vec_id").alias("new_id"),
+            F.col("embedding").alias("qvec"),
+            bucket.alias("bucket"),
+        )
+        .dropDuplicates(["new_id"])
+        .withColumn("qnrm", vec_norm("qvec"))
+    )
+    screened = (
+        new.join(F.broadcast(corpus), "bucket")
+        .withColumn(
+            "cosine",
+            vec_dot(F.col("qvec"), F.col("cvec"))
+            / (F.col("qnrm") * F.col("cnrm")),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .select("new_id", "corpus_id", "cosine")
+    )
+    out = run_available_now(
+        screened, "emb_screen_sink", output_mode="append", shuffle_partitions=8
+    )
+    return out.select(
+        "new_id", "corpus_id", F.col("cosine").cast("double").alias("cosine")
+    )

@@ -23,6 +23,7 @@ points at a bucketed object-store prefix or Kafka source unchanged.
 
 from xngin_spark.streaming.io import (
     documents_stream,
+    embeddings_stream,
     events_stream,
     run_available_now,
     to_memory_sink,
@@ -37,6 +38,7 @@ from xngin_spark.streaming.stateful import running_totals, stream_transitions
 
 __all__ = [
     "documents_stream",
+    "embeddings_stream",
     "events_stream",
     "run_available_now",
     "to_memory_sink",

@@ -88,6 +88,26 @@ def documents_stream(
     return _file_stream(spark, path, DOCS_SCHEMA, max_files_per_trigger)
 
 
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def embeddings_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-stream over embeddings parquet (vector-ingest source):
+    schema-pinned like ``documents_stream`` — incoming vectors arrive
+    as files dropped by an upstream encoder job."""
+    return _file_stream(spark, path, EMB_SCHEMA, max_files_per_trigger)
+
+
 def events_stream(
     spark: SparkSession,
     path: str,
