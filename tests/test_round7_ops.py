@@ -366,3 +366,92 @@ def test_index_update_lifecycle_then_compaction(spark, sf_dir, tmp_path):
     )
     assert stats["files_compacted"] > 0 and after_files < before_files
     assert _index_rows(spark, idx) == before_rows
+
+
+def test_streaming_ingest_admit_index_follows_stream(spark, sf_dir, tmp_path):
+    """The one-job ingest loop: seed corpus -> stream 3 micro-batches
+    through screen+admit+index-update. Copies of SEED docs are
+    rejected in any batch; copies of BATCH-0 admissions arriving in
+    batch 2 are rejected only because batch 0's admission updated the
+    index; the final index equals a from-scratch build over
+    seed + admitted (the update==rebuild contract, end-to-end); and
+    replaying the last batch's admit converges instead of duplicating."""
+    import os
+
+    from xngin_spark.operators.dedup import minhash_index_persist
+    from xngin_spark.streaming import documents_stream
+    from xngin_spark.streaming.sinks import streaming_ingest_admit
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(eager=True)
+    )
+    seed = docs.filter(F.col("doc_id") >= 400)
+    idx = str(tmp_path / "idx")
+    minhash_index_persist(seed, idx, k=16, bands=8)
+
+    # three stream files = three micro-batches (maxFilesPerTrigger=1):
+    #   b0: docs 0-49 (unique)        + re-keyed COPIES of 5 seed docs
+    #   b1: docs 50-99 (unique)
+    #   b2: docs 100-149 (unique)     + re-keyed COPIES of 5 b0 docs
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    rekey = lambda df, off: df.select(
+        (F.col("doc_id") + off).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    seed_copies = rekey(seed.filter(F.col("doc_id") < 405), 10000)
+    b0_copies = rekey(docs.filter(F.col("doc_id") < 5), 20000)
+    batches = [
+        docs.filter(F.col("doc_id") < 50).unionByName(seed_copies),
+        docs.filter(F.col("doc_id").between(50, 99)),
+        docs.filter(F.col("doc_id").between(100, 149)).unionByName(b0_copies),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{feed}/staging_{i}")
+        part = [f for f in os.listdir(f"{feed}/staging_{i}") if f.endswith(".parquet")][0]
+        os.rename(f"{feed}/staging_{i}/{part}", f"{feed}/b{i}.parquet")
+
+    corpus_out = str(tmp_path / "admitted")
+    streaming_ingest_admit(
+        documents_stream(spark, feed, max_files_per_trigger=1),
+        idx,
+        corpus_out,
+        str(tmp_path / "ckpt"),
+    )
+
+    admitted = spark.read.parquet(corpus_out).drop("batch")
+    got = {r["doc_id"] for r in admitted.select("doc_id").collect()}
+    assert not any(i >= 10000 for i in got), "a duplicate copy was admitted"
+
+    # independent sequential oracle: the in-session (non-indexed)
+    # screen over an accumulating corpus must admit the same set —
+    # the documents table carries planted dups, so the admitted set
+    # is data-dependent, not range(150)
+    from xngin_spark.operators.dedup import minhash_screen_with
+
+    corpus, expect = seed, set()
+    for b in batches:
+        dup = (
+            minhash_screen_with(b, corpus, k=16, bands=8, threshold=0.7)
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        keep = b.join(F.broadcast(dup), "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        expect |= {r["doc_id"] for r in keep.select("doc_id").collect()}
+        corpus = corpus.unionByName(keep)
+    assert got == expect, f"stream admitted {got ^ expect} differently"
+
+    rebuilt = str(tmp_path / "rebuilt")
+    minhash_index_persist(seed.unionByName(admitted), rebuilt, k=16, bands=8)
+    assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
+
+    # replay convergence: re-apply the final batch as if re-delivered
+    from xngin_spark.operators.dedup import minhash_index_update
+
+    last = admitted.filter(F.col("doc_id").between(100, 149))
+    diff = last.select("doc_id").withColumn("op", F.lit("update"))
+    minhash_index_update(last, diff, idx)
+    assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)

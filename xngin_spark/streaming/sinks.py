@@ -117,3 +117,83 @@ def incremental_ivf_index(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"ivf index sink did not finish in {timeout_s}s")
+
+
+def streaming_ingest_admit(
+    sdf: DataFrame,
+    index_path: str,
+    corpus_path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    timeout_s: int = 180,
+) -> None:
+    """The full ingest loop as ONE streaming job: each micro-batch of
+    documents is screened against the persisted MinHash index
+    (operators/dedup.minhash_screen — band-bucket probe, corpus text
+    never read), near-duplicates are rejected, survivors land in
+    ``corpus_path/batch=<id>/`` and the index is updated with exactly
+    the admitted rows — so a document admitted in batch N screens out
+    its copies arriving in batch N+1. This is the piece the separate
+    screen/update operators don't give you: the index FOLLOWS the
+    stream, no nightly rebuild, no widening dup window between
+    rebuilds.
+
+    Exactly-once under foreachBatch replays: the corpus write
+    overwrites the batch's own directory, and the index delta is
+    applied with op='update' — minhash_index_update scrubs the batch's
+    ids before appending, so a re-delivered batch converges to the
+    same index rows instead of duplicating signatures. The scrub is
+    delta-sized (file-level copy-on-write on only the files holding
+    those ids); a first delivery scrubs nothing and appends fresh
+    files — the pure-insert fast path.
+
+    At 100 TB: per-batch cost is batch-sized (map-side signing, band
+    rows broadcast to the probe join, delta-sized index append);
+    nothing rescans the corpus or the index beyond the probed buckets.
+    Compact the accreted small files offline with
+    sources/layout.compact_small_files — the index answers identically
+    afterward (tests/test_round7_ops.py lifecycle test).
+    """
+    from xngin_spark.operators.dedup import (
+        minhash_index_update,
+        minhash_screen,
+    )
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        if not batch.head(1):
+            return
+        dup_ids = (
+            minhash_screen(
+                batch,
+                index_path,
+                text_col=text_col,
+                id_col=id_col,
+                threshold=threshold,
+            )
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        admitted = batch.join(
+            F.broadcast(dup_ids), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        admitted.write.mode("overwrite").parquet(
+            f"{corpus_path}/batch={batch_id}"
+        )
+        if not admitted.head(1):
+            return
+        diff = admitted.select(id_col).withColumn("op", F.lit("update"))
+        minhash_index_update(admitted, diff, index_path)
+
+    q = (
+        sdf.writeStream.foreachBatch(admit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"ingest-admit sink did not finish in {timeout_s}s")
