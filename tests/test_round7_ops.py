@@ -455,3 +455,76 @@ def test_streaming_ingest_admit_index_follows_stream(spark, sf_dir, tmp_path):
     diff = last.select("doc_id").withColumn("op", F.lit("update"))
     minhash_index_update(last, diff, idx)
     assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
+
+
+def test_streaming_vector_ingest_admit(spark, sf_dir, tmp_path):
+    """Vector twin of the ingest-admit loop: exact copies of SEED
+    vectors are rejected in any batch, copies of batch-0 admissions
+    are rejected in batch 2 (the IVF index followed the stream), all
+    originals are admitted (no natural >=0.999 pair exists in this
+    range — checked offline), the final index equals a from-scratch
+    ivf_persist over seed + admitted, and a replayed batch converges."""
+    import os
+
+    from xngin_spark.operators.clustering import ivf_index_update, ivf_persist
+    from xngin_spark.queries.pipeline import _SEM_CODEBOOK
+    from xngin_spark.streaming import embeddings_stream
+    from xngin_spark.streaming.sinks import streaming_vector_ingest_admit
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .localCheckpoint(eager=True)
+    )
+    seed = emb.filter(F.col("vec_id") >= 300)
+    idx = str(tmp_path / "ivf")
+    ivf_persist(seed, _SEM_CODEBOOK, idx)
+
+    rekey = lambda df, off: df.select(
+        (F.col("vec_id") + off).alias("vec_id"), "embedding", "label"
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    batches = [
+        emb.filter(F.col("vec_id") < 50).unionByName(
+            rekey(seed.filter(F.col("vec_id") < 305), 10000)
+        ),
+        emb.filter(F.col("vec_id").between(50, 99)),
+        emb.filter(F.col("vec_id").between(100, 149)).unionByName(
+            rekey(emb.filter(F.col("vec_id") < 5), 20000)
+        ),
+    ]
+    for i, b in enumerate(batches):
+        b.coalesce(1).write.parquet(f"{feed}/staging_{i}")
+        part = [
+            f for f in os.listdir(f"{feed}/staging_{i}") if f.endswith(".parquet")
+        ][0]
+        os.rename(f"{feed}/staging_{i}/{part}", f"{feed}/v{i}.parquet")
+
+    corpus_out = str(tmp_path / "admitted")
+    streaming_vector_ingest_admit(
+        embeddings_stream(spark, feed, max_files_per_trigger=1),
+        idx,
+        _SEM_CODEBOOK,
+        corpus_out,
+        str(tmp_path / "ckpt"),
+    )
+
+    admitted = spark.read.parquet(corpus_out).drop("batch")
+    got = {r["vec_id"] for r in admitted.select("vec_id").collect()}
+    assert got == set(range(150)), f"admitted set wrong: {sorted(got)[:20]}..."
+
+    def index_rows(path):
+        return {
+            (r["vec_id"], r["ivf_list"])
+            for r in spark.read.parquet(path).select("vec_id", "ivf_list").collect()
+        }
+
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_persist(seed.unionByName(admitted), _SEM_CODEBOOK, rebuilt)
+    assert index_rows(idx) == index_rows(rebuilt)
+
+    last = admitted.filter(F.col("vec_id").between(100, 149))
+    diff = last.select("vec_id").withColumn("op", F.lit("update"))
+    ivf_index_update(last, diff, idx, _SEM_CODEBOOK)
+    assert index_rows(idx) == index_rows(rebuilt)

@@ -197,3 +197,103 @@ def streaming_ingest_admit(
     if not q.awaitTermination(timeout_s):
         q.stop()
         raise TimeoutError(f"ingest-admit sink did not finish in {timeout_s}s")
+
+
+def streaming_vector_ingest_admit(
+    sdf: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.999,
+    timeout_s: int = 180,
+) -> None:
+    """The VECTOR twin of :func:`streaming_ingest_admit`: each
+    micro-batch of embeddings is assigned its (frozen-centroid) IVF
+    list map-side, screened for near-duplicates against ONLY the lists
+    it lands in — the ``ivf_list IN (...)`` filter is a partition
+    predicate on the persisted index, so the probe reads batch-lists'
+    files, never the corpus — survivors land in
+    ``corpus_path/batch=<id>/`` and clustering.ivf_index_update
+    appends exactly the admitted vectors into their list partitions.
+    A vector admitted in batch N therefore rejects its copies in
+    batch N+1 without any rebuild.
+
+    Screen scope is nprobe=1 (own list): for a DUP screen the copy of
+    a stored vector assigns to the stored vector's list by
+    construction (identical input, frozen centroids, deterministic
+    tie-break), so same-list probing is exact for the
+    near-threshold-1 duplicates the screen exists to stop; a recall
+    search over neighbors uses cosine_topk_ivf_persisted's nprobe
+    knob instead.
+
+    Exactly-once under replays: per-batch corpus dir overwrite +
+    op='update' (scrub-then-append) on the index — same convergence
+    contract as the document loop, partition-local file rewrites only.
+    """
+    from xngin_spark.operators.clustering import ivf_index, ivf_index_update
+    from xngin_spark.operators.similarity import vec_dot, vec_norm
+
+    def admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        if not batch.head(1):
+            return
+        assigned = ivf_index(batch, centroids, vec_col).localCheckpoint(
+            eager=True
+        )
+        lists = [
+            r["ivf_list"]
+            for r in assigned.select("ivf_list").distinct().collect()
+        ]
+        stored = spark.read.parquet(index_path).filter(
+            F.col("ivf_list").isin(lists)
+        )
+        dup_ids = (
+            assigned.select(
+                F.col(id_col).alias("new_id"),
+                F.col(vec_col).alias("qvec"),
+                "ivf_list",
+            )
+            .join(
+                stored.select(
+                    F.col(vec_col).alias("cvec"), "ivf_list"
+                ),
+                "ivf_list",
+            )
+            .withColumn(
+                "cosine",
+                vec_dot(F.col("qvec"), F.col("cvec"))
+                / (vec_norm("qvec") * vec_norm("cvec")),
+            )
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+        admitted = batch.join(
+            F.broadcast(dup_ids), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        admitted.write.mode("overwrite").parquet(
+            f"{corpus_path}/batch={batch_id}"
+        )
+        if not admitted.head(1):
+            return
+        diff = admitted.select(id_col).withColumn("op", F.lit("update"))
+        ivf_index_update(
+            admitted, diff, index_path, centroids, id_col, vec_col
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(admit)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"vector ingest-admit sink did not finish in {timeout_s}s"
+        )
