@@ -222,3 +222,101 @@ def test_e2e_mysql_client_opening_handshake(served_engine):
         # and real queries still work afterwards
         _, rows = conn.query("SELECT COUNT(*) AS n FROM nation")
         assert int(rows[0][0]) > 0
+
+
+# ---- prepared statements (binary protocol) ---------------------------------
+
+
+def test_substitute_params_unit():
+    assert P.count_placeholders("SELECT ? WHERE a = '?' AND b = ?") == 2
+    got = P.substitute_params(
+        "SELECT ? WHERE a = '?''?' AND b = ?", ["1", "'x'"]
+    )
+    assert got == "SELECT 1 WHERE a = '?''?' AND b = 'x'"
+
+
+def test_binary_row_roundtrip_unit():
+    import datetime as dt
+
+    typed = [
+        (P.TYPE_LONGLONG, 42),
+        (P.TYPE_DOUBLE, 1.5),
+        (P.TYPE_VAR_STRING, b"abc"),
+        (P.TYPE_LONGLONG, None),
+        (P.TYPE_DATE, dt.date(2024, 1, 2)),
+        (P.TYPE_DATETIME, dt.datetime(2024, 1, 2, 3, 4, 5, 6)),
+        (P.TYPE_TINY, 1),
+    ]
+    row = P.build_binary_row(typed)
+    back = P.parse_binary_row(row, [t for t, _ in typed])
+    assert back == [42, 1.5, b"abc", None, dt.date(2024, 1, 2),
+                    dt.datetime(2024, 1, 2, 3, 4, 5, 6), 1]
+
+
+def test_e2e_stmt_prepare_execute_typed(served_engine):
+    """Prepared TPC-H over the binary protocol: typed params bind, the
+    binary rows decode to NATIVE types, and the result matches the
+    same query run directly through the engine."""
+    sql = (
+        "SELECT l_returnflag, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,"
+        " CAST(SUM(l_discount) AS DOUBLE) AS sum_disc"
+        " FROM lineitem WHERE l_quantity < ? AND l_returnflag <> ?"
+        " GROUP BY 1 ORDER BY 1"
+    )
+    with _connect(served_engine) as conn:
+        stmt_id, n_params, n_cols = conn.stmt_prepare(sql)
+        assert (n_params, n_cols) == (2, 3)
+        names, rows = conn.stmt_execute(stmt_id, (30, "Z"))
+        conn.stmt_close(stmt_id)
+    assert names == ["l_returnflag", "sum_qty", "sum_disc"]
+    direct = served_engine.engine.sql(
+        sql.replace("?", "30", 1).replace("?", "'Z'", 1)
+    ).collect()
+    assert len(rows) == len(direct) > 0
+    for wire, local in zip(rows, direct):
+        assert wire[0] == local[0].encode()
+        assert wire[1] == local[1]            # native int off the wire
+        assert wire[2] == pytest.approx(local[2])  # native double
+
+
+def test_e2e_stmt_reexecute_and_null_param(served_engine):
+    with _connect(served_engine) as conn:
+        stmt_id, n_params, _ = conn.stmt_prepare(
+            "SELECT COUNT(*) AS n FROM orders WHERE o_custkey = ?"
+        )
+        assert n_params == 1
+        _, r1 = conn.stmt_execute(stmt_id, (1,))
+        _, r2 = conn.stmt_execute(stmt_id, (2,))        # handle re-use
+        _, rnull = conn.stmt_execute(stmt_id, (None,))  # NULL bitmap path
+        conn.stmt_close(stmt_id)
+        # connection + statement registry stay healthy afterwards
+        assert conn.ping()
+    assert r1[0][0] >= 0 and r2[0][0] >= 0
+    assert rnull[0][0] == 0  # o_custkey = NULL matches nothing
+
+
+def test_e2e_stmt_unknown_id_errs_not_hangup(served_engine):
+    from xngin_spark.server.client import MySQLError
+
+    with _connect(served_engine) as conn:
+        with pytest.raises(MySQLError) as ei:
+            conn.stmt_execute(9999, ())
+        assert ei.value.errno == 1243
+        assert conn.ping()
+
+
+def test_e2e_stmt_no_params_and_date_types(served_engine):
+    import datetime as dt
+
+    with _connect(served_engine) as conn:
+        stmt_id, n_params, n_cols = conn.stmt_prepare(
+            "SELECT DATE'2024-01-02' AS d,"
+            " TIMESTAMP'2024-01-02 03:04:05.000006' AS ts,"
+            " CAST(NULL AS BIGINT) AS miss"
+        )
+        assert n_params == 0 and n_cols == 3
+        names, rows = conn.stmt_execute(stmt_id)
+        conn.stmt_close(stmt_id)
+    assert names == ["d", "ts", "miss"]
+    assert rows == [[dt.date(2024, 1, 2),
+                     dt.datetime(2024, 1, 2, 3, 4, 5, 6), None]]

@@ -130,6 +130,84 @@ class Connection:
                 raise MySQLError(*P.parse_err(payload))
             names.append(self._column_name(payload))
 
+    # ---- prepared statements (binary protocol) -----------------------------
+
+    def stmt_prepare(self, sql: str) -> tuple[int, int, int]:
+        """COM_STMT_PREPARE; returns (stmt_id, n_params, n_cols)."""
+        P.write_packet(self.sock, 0, bytes([P.COM_STMT_PREPARE]) + sql.encode())
+        _, payload = P.read_packet(self.sock)
+        if P.is_err(payload):
+            raise MySQLError(*P.parse_err(payload))
+        stmt_id = int.from_bytes(payload[1:5], "little")
+        n_cols = int.from_bytes(payload[5:7], "little")
+        n_params = int.from_bytes(payload[7:9], "little")
+        for block in (n_params, n_cols):  # definition blocks + EOFs
+            if block:
+                for _ in range(block):
+                    P.read_packet(self.sock)
+                _, eof = P.read_packet(self.sock)
+                if not P.is_eof(eof):
+                    raise MySQLError(-1, "missing EOF in prepare response")
+        return stmt_id, n_params, n_cols
+
+    def stmt_execute(
+        self, stmt_id: int, params: tuple = ()
+    ) -> tuple[list[str], list[list[object]]]:
+        """COM_STMT_EXECUTE; binds ``params`` (None/bool/int/float/str/
+        bytes) and returns (column_names, typed rows decoded from the
+        binary protocol)."""
+        body = struct.pack("<IBI", stmt_id, 0, 1)
+        if params:
+            bitmap = bytearray((len(params) + 7) // 8)
+            types, values = b"", b""
+            for i, v in enumerate(params):
+                if v is None:
+                    bitmap[i // 8] |= 1 << (i % 8)
+                    types += struct.pack("<H", P.TYPE_NULL)
+                elif isinstance(v, bool):
+                    types += struct.pack("<H", P.TYPE_TINY)
+                    values += struct.pack("<b", int(v))
+                elif isinstance(v, int):
+                    types += struct.pack("<H", P.TYPE_LONGLONG)
+                    values += struct.pack("<q", v)
+                elif isinstance(v, float):
+                    types += struct.pack("<H", P.TYPE_DOUBLE)
+                    values += struct.pack("<d", v)
+                else:
+                    types += struct.pack("<H", P.TYPE_VAR_STRING)
+                    b = v if isinstance(v, bytes) else str(v).encode()
+                    values += P.lenenc_str(b)
+            body += bytes(bitmap) + b"\x01" + types + values
+        P.write_packet(self.sock, 0, bytes([P.COM_STMT_EXECUTE]) + body)
+        _, payload = P.read_packet(self.sock)
+        if P.is_err(payload):
+            raise MySQLError(*P.parse_err(payload))
+        if P.is_ok(payload):
+            return [], []
+        n_cols, _ = P.read_lenenc_int(payload, 0)
+        names, col_types = [], []
+        for _ in range(n_cols):
+            _, col = P.read_packet(self.sock)
+            name, tb = self._column_def(col)
+            names.append(name)
+            col_types.append(tb)
+        _, eof = P.read_packet(self.sock)
+        if not P.is_eof(eof):
+            raise MySQLError(-1, "missing EOF after column definitions")
+        rows: list[list[object]] = []
+        while True:
+            _, payload = P.read_packet(self.sock)
+            if P.is_eof(payload):
+                return names, rows
+            if P.is_err(payload):
+                raise MySQLError(*P.parse_err(payload))
+            rows.append(P.parse_binary_row(payload, col_types))
+
+    def stmt_close(self, stmt_id: int) -> None:
+        P.write_packet(
+            self.sock, 0, bytes([P.COM_STMT_CLOSE]) + struct.pack("<I", stmt_id)
+        )  # no response by spec
+
     def ping(self) -> bool:
         P.write_packet(self.sock, 0, bytes([P.COM_PING]))
         _, payload = P.read_packet(self.sock)
@@ -154,6 +232,18 @@ class Connection:
         for i in range(5):  # catalog, schema, table, org_table, name
             s, pos = P.read_lenenc_str(payload, pos)
         return s.decode()
+
+    @staticmethod
+    def _column_def(payload: bytes) -> tuple[str, int]:
+        """ColumnDefinition41 -> (name, type_byte)."""
+        pos, name = 0, b""
+        for i in range(6):  # catalog, schema, table, org_table, name, org_name
+            s, pos = P.read_lenenc_str(payload, pos)
+            if i == 4:
+                name = s
+        _, pos = P.read_lenenc_int(payload, pos)  # fixed-length marker (0x0C)
+        pos += 2 + 4  # charset + display length
+        return name.decode(), payload[pos]
 
 
 def connect(host: str, port: int, **kw) -> Connection:

@@ -9,9 +9,13 @@ mysql_native_password): 3-byte little-endian length + 1-byte sequence
 framing, length-encoded integers/strings, OK/ERR/EOF packets, column
 definitions, and the SHA1 challenge-response scramble.
 
-Scope matches the reference: handshake + auth + COM_QUERY text
-resultsets (the subset every driver/CLI needs); no prepared-statement
-binary protocol, no compression, no TLS.
+Scope: handshake + auth + COM_QUERY text resultsets +
+COM_FIELD_LIST (the reference's MyCmd surface,
+doradb-protocol/src/mysql/cmd/mod.rs:89-92), plus — beyond the
+reference — the prepared-statement binary protocol
+(COM_STMT_PREPARE/EXECUTE/CLOSE/RESET with per-type binary row
+encoding), which JDBC-style connectors use by default. No
+compression, no TLS.
 """
 
 from __future__ import annotations
@@ -49,16 +53,27 @@ COM_INIT_DB = 0x02
 COM_QUERY = 0x03
 COM_FIELD_LIST = 0x04
 COM_PING = 0x0E
+COM_STMT_PREPARE = 0x16
+COM_STMT_EXECUTE = 0x17
+COM_STMT_CLOSE = 0x19
+COM_STMT_RESET = 0x1A
 
 # column types (text protocol sends all values as strings; the type
-# byte tells the client how to interpret them)
+# byte tells the client how to interpret them; the binary protocol
+# encodes per-type — see build_binary_row)
 TYPE_TINY = 0x01
-TYPE_LONGLONG = 0x08
+TYPE_SHORT = 0x02
+TYPE_LONG = 0x03
+TYPE_FLOAT = 0x04
 TYPE_DOUBLE = 0x05
-TYPE_NEWDECIMAL = 0xF6
+TYPE_NULL = 0x06
+TYPE_LONGLONG = 0x08
 TYPE_DATE = 0x0A
 TYPE_DATETIME = 0x0C
+TYPE_NEWDECIMAL = 0xF6
+TYPE_BLOB = 0xFC
 TYPE_VAR_STRING = 0xFD
+TYPE_STRING = 0xFE
 
 CHARSET_UTF8MB4 = 45  # utf8mb4_general_ci
 SERVER_STATUS_AUTOCOMMIT = 0x0002
@@ -301,6 +316,209 @@ def build_column_definition(
         ]
         + ([lenenc_int(0)] if with_default else [])  # zero-length default
     )
+
+
+# ---- prepared statements (binary protocol) ---------------------------------
+
+
+def build_stmt_prepare_ok(stmt_id: int, n_cols: int, n_params: int) -> bytes:
+    """COM_STMT_PREPARE_OK first packet (followed by param + column
+    definition blocks when the counts are non-zero)."""
+    return (
+        b"\x00"
+        + struct.pack("<I", stmt_id)
+        + struct.pack("<H", n_cols)
+        + struct.pack("<H", n_params)
+        + b"\x00"  # reserved filler
+        + struct.pack("<H", 0)  # warnings
+    )
+
+
+def count_placeholders(sql: str) -> int:
+    """Number of ``?`` parameter markers OUTSIDE quoted literals."""
+    n, in_q = 0, ""
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_q:
+            if ch == in_q:
+                if i + 1 < len(sql) and sql[i + 1] == in_q:  # '' escape
+                    i += 1
+                else:
+                    in_q = ""
+        elif ch in ("'", '"', "`"):
+            in_q = ch
+        elif ch == "?":
+            n += 1
+        i += 1
+    return n
+
+
+def substitute_params(sql: str, literals: list[str]) -> str:
+    """Replace each ``?`` outside quoted literals with the
+    corresponding pre-rendered SQL literal."""
+    out, in_q, it = [], "", iter(literals)
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_q:
+            if ch == in_q:
+                if i + 1 < len(sql) and sql[i + 1] == in_q:
+                    out.append(ch + sql[i + 1])
+                    i += 2
+                    continue
+                in_q = ""
+            out.append(ch)
+        elif ch in ("'", '"', "`"):
+            in_q = ch
+            out.append(ch)
+        elif ch == "?":
+            out.append(next(it))
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def parse_stmt_execute(
+    payload: bytes, n_params: int, prev_types: list[int] | None
+) -> tuple[int, list[int] | None, list[object]]:
+    """Parse a COM_STMT_EXECUTE body (after the command byte):
+    returns (stmt_id, param_types, decoded_python_values). When the
+    client sets new_params_bound=0 it re-uses ``prev_types`` from the
+    statement's first execute (the protocol's re-execute fast path)."""
+    stmt_id, _flags, _iters = struct.unpack_from("<IBI", payload, 0)
+    pos = 9
+    if n_params == 0:
+        return stmt_id, prev_types, []
+    nb = (n_params + 7) // 8
+    null_bitmap = payload[pos : pos + nb]
+    pos += nb
+    new_bound = payload[pos]
+    pos += 1
+    if new_bound:
+        types = [
+            struct.unpack_from("<H", payload, pos + 2 * i)[0]
+            for i in range(n_params)
+        ]
+        pos += 2 * n_params
+    else:
+        if prev_types is None:
+            raise ValueError("execute without bound parameter types")
+        types = prev_types
+    values: list[object] = []
+    for i in range(n_params):
+        if null_bitmap[i // 8] & (1 << (i % 8)):
+            values.append(None)
+            continue
+        t, unsigned = types[i] & 0xFF, bool(types[i] & 0x8000)
+        if t == TYPE_NULL:
+            values.append(None)
+        elif t == TYPE_TINY:
+            values.append(
+                payload[pos] if unsigned
+                else struct.unpack_from("<b", payload, pos)[0]
+            )
+            pos += 1
+        elif t == TYPE_SHORT:
+            values.append(struct.unpack_from("<H" if unsigned else "<h", payload, pos)[0])
+            pos += 2
+        elif t == TYPE_LONG:
+            values.append(struct.unpack_from("<I" if unsigned else "<i", payload, pos)[0])
+            pos += 4
+        elif t == TYPE_LONGLONG:
+            values.append(struct.unpack_from("<Q" if unsigned else "<q", payload, pos)[0])
+            pos += 8
+        elif t == TYPE_FLOAT:
+            values.append(struct.unpack_from("<f", payload, pos)[0])
+            pos += 4
+        elif t == TYPE_DOUBLE:
+            values.append(struct.unpack_from("<d", payload, pos)[0])
+            pos += 8
+        else:  # VAR_STRING / STRING / BLOB / NEWDECIMAL / DATE-as-text …
+            v, pos = read_lenenc_str(payload, pos)
+            values.append(v)
+    return stmt_id, types, values
+
+
+def build_binary_row(typed_values: list[tuple[int, object]]) -> bytes:
+    """Binary-protocol resultset row: 0x00 header, NULL bitmap at
+    offset 2, then per-type encoded non-NULL values in column order.
+    ``typed_values`` pairs each value with the ADVERTISED column type
+    byte (the contract: encode exactly what the column definition
+    promised, or the client mis-parses every later column)."""
+    n = len(typed_values)
+    bitmap = bytearray((n + 7 + 2) // 8)
+    body = []
+    for i, (t, v) in enumerate(typed_values):
+        if v is None:
+            bitmap[(i + 2) // 8] |= 1 << ((i + 2) % 8)
+            continue
+        if t == TYPE_TINY:
+            body.append(struct.pack("<b", int(v)))
+        elif t == TYPE_LONGLONG:
+            body.append(struct.pack("<q", int(v)))
+        elif t == TYPE_DOUBLE:
+            body.append(struct.pack("<d", float(v)))
+        elif t == TYPE_DATE:
+            body.append(struct.pack("<BHBB", 4, v.year, v.month, v.day))
+        elif t == TYPE_DATETIME:
+            body.append(
+                struct.pack(
+                    "<BHBBBBBI", 11, v.year, v.month, v.day,
+                    v.hour, v.minute, v.second, v.microsecond,
+                )
+            )
+        else:  # NEWDECIMAL / VAR_STRING / everything text-shaped
+            b = v if isinstance(v, bytes) else str(v).encode()
+            body.append(lenenc_str(b))
+    return b"\x00" + bytes(bitmap) + b"".join(body)
+
+
+def parse_binary_row(
+    payload: bytes, types: list[int]
+) -> list[object]:
+    """Client-side decode of a binary resultset row."""
+    n = len(types)
+    nb = (n + 7 + 2) // 8
+    bitmap = payload[1 : 1 + nb]
+    pos = 1 + nb
+    out: list[object] = []
+    for i, t in enumerate(types):
+        if bitmap[(i + 2) // 8] & (1 << ((i + 2) % 8)):
+            out.append(None)
+            continue
+        if t == TYPE_TINY:
+            out.append(struct.unpack_from("<b", payload, pos)[0])
+            pos += 1
+        elif t == TYPE_LONGLONG:
+            out.append(struct.unpack_from("<q", payload, pos)[0])
+            pos += 8
+        elif t == TYPE_DOUBLE:
+            out.append(struct.unpack_from("<d", payload, pos)[0])
+            pos += 8
+        elif t == TYPE_DATE:
+            ln = payload[pos]
+            y, m, d = struct.unpack_from("<HBB", payload, pos + 1) if ln else (0, 0, 0)
+            import datetime as _dt
+
+            out.append(_dt.date(y, m, d) if ln else None)
+            pos += 1 + ln
+        elif t == TYPE_DATETIME:
+            ln = payload[pos]
+            import datetime as _dt
+
+            if ln >= 7:
+                y, mo, d, h, mi, s = struct.unpack_from("<HBBBBB", payload, pos + 1)
+                us = struct.unpack_from("<I", payload, pos + 8)[0] if ln == 11 else 0
+                out.append(_dt.datetime(y, mo, d, h, mi, s, us))
+            else:
+                out.append(None)
+            pos += 1 + ln
+        else:
+            v, pos = read_lenenc_str(payload, pos)
+            out.append(v)
+    return out
 
 
 def build_text_row(values: list[bytes | None]) -> bytes:

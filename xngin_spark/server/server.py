@@ -2,9 +2,9 @@
 doradb-server/src/mysql/serve_tcp.rs:47 analog.
 
 A threaded TCP server speaking the MySQL client/server protocol
-(handshake + mysql_native_password auth + COM_QUERY text resultsets,
-see protocol.py): any stock MySQL driver or CLI can connect and run the
-engine's SQL surface. Queries execute through ``Engine.sql`` (Spark
+(handshake + mysql_native_password auth + COM_QUERY text resultsets +
+the prepared-statement binary protocol, see protocol.py): any stock
+MySQL driver or CLI can connect and run the engine's SQL surface. Queries execute through ``Engine.sql`` (Spark
 SQL + the reference-dialect shims), results stream back as text
 resultset rows.
 
@@ -26,6 +26,7 @@ import datetime as _dt
 import decimal
 import os
 import socket
+import struct
 import threading
 
 from pyspark.sql import DataFrame
@@ -52,6 +53,23 @@ def _type_byte(dtype: str) -> tuple[int, int]:
     if d.startswith("timestamp"):
         return P.TYPE_DATETIME, 6
     return P.TYPE_VAR_STRING, 0  # strings, arrays, structs, binary
+
+
+def _binary_value(type_byte: int, v: object) -> object:
+    """Normalize a collected Spark value for the binary encoder: the
+    encoder packs exactly what the column definition advertised, so
+    values whose Python type doesn't match the advertised byte (DATE
+    columns yielding datetime.date is fine; a VAR_STRING-advertised
+    array yielding a list is not) are rendered to their text form."""
+    if v is None:
+        return None
+    if type_byte in (P.TYPE_TINY, P.TYPE_LONGLONG):
+        return int(v)
+    if type_byte == P.TYPE_DOUBLE:
+        return float(v)
+    if type_byte in (P.TYPE_DATE, P.TYPE_DATETIME):
+        return v
+    return _render(v)
 
 
 def _render(v: object) -> bytes | None:
@@ -170,6 +188,8 @@ class MySQLServer:
         return True
 
     def _command_loop(self, conn: socket.socket) -> None:
+        stmts: dict[int, dict] = {}  # prepared statements, per-connection
+        next_stmt = [1]
         while not self._closed.is_set():
             seq, payload = P.read_packet(conn)
             if not payload:
@@ -185,10 +205,137 @@ class MySQLServer:
                 self._run_query(conn, seq, body.decode(errors="replace"))
             elif cmd == P.COM_FIELD_LIST:
                 self._field_list(conn, seq, body)
+            elif cmd == P.COM_STMT_PREPARE:
+                self._stmt_prepare(conn, seq, body, stmts, next_stmt)
+            elif cmd == P.COM_STMT_EXECUTE:
+                self._stmt_execute(conn, seq, body, stmts)
+            elif cmd == P.COM_STMT_CLOSE:
+                # no response by spec
+                if len(body) >= 4:
+                    stmts.pop(int.from_bytes(body[:4], "little"), None)
+            elif cmd == P.COM_STMT_RESET:
+                P.write_packet(conn, seq + 1, P.build_ok())
             else:
                 P.write_packet(
                     conn, seq + 1, P.build_err(1047, f"unsupported command {cmd:#x}")
                 )
+
+    # ---- prepared statements (binary protocol) -----------------------------
+
+    def _stmt_prepare(
+        self,
+        conn: socket.socket,
+        seq: int,
+        body: bytes,
+        stmts: dict[int, dict],
+        next_stmt: list[int],
+    ) -> None:
+        """COM_STMT_PREPARE (0x16): register the SQL, count ``?``
+        markers, and answer with result-set metadata obtained by
+        ANALYZING the query with NULL bound to every marker — analysis
+        only, nothing executes until COM_STMT_EXECUTE. Falls back to
+        zero columns when NULL-analysis fails (e.g. a parameter in a
+        position that changes the schema); drivers then take the
+        metadata from the execute response."""
+        sql = body.decode(errors="replace")
+        n_params = P.count_placeholders(sql)
+        fields: list = []
+        # metadata-probe only read-only statements: Engine.sql runs
+        # DDL/utility commands eagerly, and PREPARE must never execute
+        if sql.lstrip().split(None, 1)[:1] and sql.lstrip().split(None, 1)[0].upper() in (
+            "SELECT", "WITH", "VALUES", "TABLE", "EXPLAIN",
+        ):
+            try:
+                probe = P.substitute_params(sql, ["NULL"] * n_params)
+                from xngin_spark.server import compat
+
+                rewritten = compat.rewrite(probe)
+                df = self.engine.sql(rewritten) if rewritten else None
+                if df is not None and df.columns:
+                    fields = list(df.schema.fields)
+            except Exception:
+                fields = []
+        stmt_id = next_stmt[0]
+        next_stmt[0] += 1
+        stmts[stmt_id] = {"sql": sql, "n_params": n_params, "types": None}
+        seq = P.write_packet(
+            conn, seq + 1, P.build_stmt_prepare_ok(stmt_id, len(fields), n_params)
+        )
+        if n_params:
+            for _ in range(n_params):
+                seq = P.write_packet(
+                    conn, seq, P.build_column_definition("?", P.TYPE_VAR_STRING)
+                )
+            seq = P.write_packet(conn, seq, P.build_eof())
+        if fields:
+            for f in fields:
+                tb, dec = _type_byte(f.dataType.simpleString())
+                seq = P.write_packet(
+                    conn, seq, P.build_column_definition(f.name, tb, dec)
+                )
+            P.write_packet(conn, seq, P.build_eof())
+
+    @staticmethod
+    def _sql_literal(v: object) -> str:
+        """Render a decoded parameter as a SQL literal (strings get the
+        '' quote-doubling escape; bytes arrive from the wire as utf-8
+        text parameters)."""
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        s = v.decode(errors="replace") if isinstance(v, bytes) else str(v)
+        return "'" + s.replace("'", "''") + "'"
+
+    def _stmt_execute(
+        self, conn: socket.socket, seq: int, body: bytes, stmts: dict[int, dict]
+    ) -> None:
+        """COM_STMT_EXECUTE (0x17): bind the decoded parameters as SQL
+        literals into the prepared text and run it through the same
+        engine path as COM_QUERY, answering with a BINARY resultset.
+        Literal substitution (rather than a plan cache keyed on the
+        statement) is the honest mapping onto Spark: Catalyst folds the
+        literals and there is no reusable physical plan handle to bind
+        into — the protocol's contract to the client (typed binary
+        rows, re-executable handle) is what matters on the wire."""
+        if len(body) < 9:
+            P.write_packet(conn, seq + 1, P.build_err(1064, "malformed execute"))
+            return
+        stmt_id = int.from_bytes(body[:4], "little")
+        st = stmts.get(stmt_id)
+        if st is None:
+            P.write_packet(
+                conn, seq + 1, P.build_err(1243, f"unknown statement {stmt_id}")
+            )
+            return
+        try:
+            _, types, values = P.parse_stmt_execute(
+                body, st["n_params"], st["types"]
+            )
+            st["types"] = types
+            bound = P.substitute_params(
+                st["sql"], [self._sql_literal(v) for v in values]
+            )
+        except (ValueError, IndexError, struct.error) as e:
+            P.write_packet(conn, seq + 1, P.build_err(1064, f"bad bind: {e}"))
+            return
+        from xngin_spark.server import compat
+
+        rewritten = compat.rewrite(bound, None)
+        if rewritten is None:
+            P.write_packet(conn, seq + 1, P.build_ok())
+            return
+        try:
+            df = self.engine.sql(rewritten)
+            if df is None or not getattr(df, "columns", None):
+                P.write_packet(conn, seq + 1, P.build_ok())
+                return
+            self._send_resultset(conn, seq, df, binary=True)
+        except Exception as e:
+            msg = str(e).split("\n", 1)[0][:400]
+            P.write_packet(conn, seq + 1, P.build_err(1064, msg, "42000"))
 
     def _field_list(self, conn: socket.socket, seq: int, body: bytes) -> None:
         """COM_FIELD_LIST (0x04): NUL-terminated table name + optional
@@ -248,18 +395,25 @@ class MySQLServer:
             msg = str(e).split("\n", 1)[0][:400]
             P.write_packet(conn, seq + 1, P.build_err(1064, msg, "42000"))
 
-    def _send_resultset(self, conn: socket.socket, seq: int, df: DataFrame) -> None:
+    def _send_resultset(
+        self, conn: socket.socket, seq: int, df: DataFrame, binary: bool = False
+    ) -> None:
         fields = df.schema.fields
         rows = df.limit(self.max_rows).collect()
+        types = [_type_byte(f.dataType.simpleString())[0] for f in fields]
         seq = P.write_packet(conn, seq + 1, P.lenenc_int(len(fields)))
         for f in fields:
             tb, dec = _type_byte(f.dataType.simpleString())
             seq = P.write_packet(conn, seq, P.build_column_definition(f.name, tb, dec))
         seq = P.write_packet(conn, seq, P.build_eof())
         for row in rows:
-            seq = P.write_packet(
-                conn, seq, P.build_text_row([_render(v) for v in row])
-            )
+            if binary:
+                payload = P.build_binary_row(
+                    [(t, _binary_value(t, v)) for t, v in zip(types, row)]
+                )
+            else:
+                payload = P.build_text_row([_render(v) for v in row])
+            seq = P.write_packet(conn, seq, payload)
         P.write_packet(conn, seq, P.build_eof())
 
 
