@@ -528,3 +528,49 @@ def test_streaming_vector_ingest_admit(spark, sf_dir, tmp_path):
     diff = last.select("vec_id").withColumn("op", F.lit("update"))
     ivf_index_update(last, diff, idx, _SEM_CODEBOOK)
     assert index_rows(idx) == index_rows(rebuilt)
+
+
+# --- MMR diversification (operators/similarity.mmr_select) ----------------
+
+
+def _mmr(spark, cand_rows, pair_rows, k=3):
+    from xngin_spark.operators.similarity import mmr_select
+
+    cand = spark.createDataFrame(cand_rows, "qid long, vec_id long, rel double")
+    pairs = spark.createDataFrame(
+        pair_rows or [(0, -1, -2, 0.0)], "qid long, a_id long, b_id long, sim double"
+    )
+    if not pair_rows:
+        pairs = pairs.filter("a_id >= 0")
+    out = mmr_select(cand, pairs, k=k, lam=0.7, mu=0.3)
+    return [(r.vec_id, r.mmr_rank) for r in out.orderBy("mmr_rank").collect()]
+
+
+def test_mmr_diversifies_over_pure_relevance(spark):
+    """A near-duplicate of the top pick must fall behind a less
+    relevant but diverse candidate — the defining MMR property."""
+    cand = [(0, 1, 0.99), (0, 2, 0.98), (0, 3, 0.90)]
+    sym = [(1, 2, 0.99), (1, 3, 0.10), (2, 3, 0.10)]
+    pairs = [(0, a, b, s) for a, b, s in sym] + [(0, b, a, s) for a, b, s in sym]
+    assert _mmr(spark, cand, pairs) == [(1, 1), (3, 2), (2, 3)]
+
+
+def test_mmr_tie_breaks_toward_smaller_id(spark):
+    cand = [(0, 7, 0.5), (0, 3, 0.5), (0, 9, 0.5)]
+    assert _mmr(spark, cand, [])[0] == (3, 1)
+
+
+def test_mmr_k_exceeding_candidates_returns_all(spark):
+    cand = [(0, 1, 0.9), (0, 2, 0.8)]
+    assert len(_mmr(spark, cand, [], k=10)) == 2
+
+
+def test_mmr_independent_per_query(spark):
+    """Two queries greedy-select independently (cogroup isolation)."""
+    cand = [(0, 1, 0.9), (0, 2, 0.8), (1, 2, 0.9), (1, 1, 0.8)]
+    from xngin_spark.operators.similarity import mmr_select
+
+    c = spark.createDataFrame(cand, "qid long, vec_id long, rel double")
+    p = spark.createDataFrame([], "qid long, a_id long, b_id long, sim double")
+    out = mmr_select(c, p, k=1, lam=0.7, mu=0.3).orderBy("qid").collect()
+    assert [(r.qid, r.vec_id) for r in out] == [(0, 1), (1, 2)]

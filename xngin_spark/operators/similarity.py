@@ -247,3 +247,83 @@ def cosine_topk_lsh(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_select(
+    cand: DataFrame,
+    pairs: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    mu: float = 0.3,
+    id_col: str = "vec_id",
+    query_id_col: str = "qid",
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein 1998)
+    over per-query candidate lists: greedily pick the candidate
+    maximizing ``lam * relevance - mu * max_sim_to_already_selected``,
+    k times, ties broken toward the smaller id.
+
+    Inputs: ``cand`` (query_id, id, rel) — the retriever's top-N per
+    query — and ``pairs`` (query_id, a_id, b_id, sim) — pairwise
+    candidate similarities (both directions). The greedy loop is
+    inherently sequential PER QUERY but embarrassingly parallel ACROSS
+    queries, so it runs as a cogrouped ``applyInPandas``: each group is
+    one query's N candidates + N·(N-1) pair sims — bounded by the
+    retriever's top-N, never by corpus size, which is what makes this
+    safe at 100 TB (the corpus was already reduced to top-N upstream).
+
+    ``lam`` and ``mu`` are passed separately (NOT mu = 1 - lam): the
+    IEEE double nearest 1 - 0.7 is 0.30000000000000004, so an oracle
+    spelling the literal 0.3 would diverge in the last bits. Every
+    arithmetic step here is plain C-double ops on already-rounded
+    inputs in the same order as the SQL oracle (t1 = lam*rel;
+    t2 = mu*maxsim; t1 - t2), so scores are bit-identical cross-engine.
+    """
+    import pandas as pd
+
+    def greedy(cdf: "pd.DataFrame", pdf: "pd.DataFrame") -> "pd.DataFrame":
+        if cdf.empty:
+            return pd.DataFrame(
+                {"qid": [], "vec_id": [], "mmr_score": [], "mmr_rank": []}
+            ).astype({"qid": "int64", "vec_id": "int64",
+                      "mmr_score": "float64", "mmr_rank": "int64"})
+        qid = int(cdf[query_id_col].iloc[0])
+        rel = {int(r): float(v) for r, v in zip(cdf[id_col], cdf["rel"])}
+        sim: dict[tuple[int, int], float] = {
+            (int(a), int(b)): float(s)
+            for a, b, s in zip(pdf["a_id"], pdf["b_id"], pdf["sim"])
+        }
+        selected: list[int] = []
+        out_id, out_score = [], []
+        remaining = set(rel)
+        for _ in range(min(k, len(rel))):
+            best_key = None
+            best_id = None
+            for cid in remaining:
+                ms = 0.0
+                if selected:
+                    ms = max(sim.get((cid, s), 0.0) for s in selected)
+                score = lam * rel[cid] - mu * ms
+                key = (score, -cid)
+                if best_key is None or key > best_key:
+                    best_key, best_id = key, cid
+            selected.append(best_id)
+            remaining.discard(best_id)
+            out_id.append(best_id)
+            out_score.append(best_key[0])
+        return pd.DataFrame(
+            {
+                "qid": [qid] * len(out_id),
+                "vec_id": out_id,
+                "mmr_score": out_score,
+                "mmr_rank": list(range(1, len(out_id) + 1)),
+            }
+        )
+
+    return (
+        cand.groupBy(query_id_col)
+        .cogroup(pairs.groupBy(query_id_col))
+        .applyInPandas(
+            greedy, "qid long, vec_id long, mmr_score double, mmr_rank long"
+        )
+    )

@@ -223,3 +223,53 @@ def modern_aggregates(spark, sf_dir):
     from xngin_spark.engine import Engine
 
     return Engine(sf_dir, spark=spark).sql(_MODERN_AGG_SQL)
+
+
+_LISTAGG_SQL = """
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY length(text) DESC, doc_id) AS rnk
+      FROM documents
+    )
+    SELECT source,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk) AS top_docs,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r WHERE rnk <= 5
+    GROUP BY source
+"""
+
+
+@register("listagg_ordered", _LISTAGG_SQL)
+def listagg_ordered(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG / string_agg) — the one
+    common warehouse aggregate whose naive Spark spelling is WRONG:
+    collect_list's element order is partition-arrival order, so an
+    ordered LISTAGG must sort inside the aggregate. Spelled here as
+    collect_list of (rank, id) structs -> array_sort -> transform ->
+    array_join, which keeps the whole thing one hash-aggregate pass
+    (no extra shuffle beyond the GROUP BY; the per-group arrays are
+    top-5-bounded, never group-sized). DuckDB oracle uses the native
+    string_agg(... ORDER BY) spelling."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from xngin_spark.queries.tpch import T
+
+    d = T(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.length("text").desc(), F.col("doc_id")
+    )
+    r = d.select(
+        "source", "doc_id", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 5)
+    return r.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "doc_id"))),
+                lambda s: s["doc_id"].cast("string"),
+            ),
+            ",",
+        ).alias("top_docs"),
+        F.count(F.lit(1)).alias("n"),
+    )
