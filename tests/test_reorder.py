@@ -401,3 +401,130 @@ def test_dp_join_left_semi_anti_end_to_end(spark):
         ), kind
         if kind in ("semi", "anti"):
             assert out.columns == a.columns
+
+
+# --- DPhyp (csg-cmp-pair enumeration, dphyp.rs analog) --------------------
+
+
+def test_dphyp_matches_dp_optimum_on_random_graphs():
+    """DPhyp and dpsize are both exact under the shared estimator —
+    on every graph both can solve, their optimal C_out must be equal
+    (the plans may differ only among equal-cost ties)."""
+    import math
+    import random
+
+    from xngin_spark.plans.reorder import dp_order, dphyp_order
+
+    rng = random.Random(41)
+    for _ in range(120):
+        n = rng.randrange(3, 9)
+        names = [f"v{i}" for i in range(n)]
+        rows = {
+            v: float(rng.choice([10, 100, 1000, 10000, 100000]))
+            for v in names
+        }
+        edges = []
+        for i in range(1, n):
+            j = rng.randrange(i)
+            edges.append(E(names[j], names[i], (f"c{j}_{i}a", f"c{j}_{i}b")))
+        for _ in range(rng.randrange(0, 3)):
+            i, j = rng.sample(range(n), 2)
+            edges.append(
+                E(names[min(i, j)], names[max(i, j)], (f"x{i}a", f"x{j}b"))
+            )
+        d = dp_order(rows, edges)
+        h = dphyp_order(rows, edges)
+        cd = tree_cost(rows, edges, [(a, b) for a, b, _ in d])
+        ch = tree_cost(rows, edges, [(a, b) for a, b, _ in h])
+        assert math.isclose(cd, ch, rel_tol=1e-9), (cd, ch)
+
+
+def test_dphyp_scales_past_the_dpsize_cap():
+    """An 18-vertex chain is ~3^18 ≈ 387M splits for dpsize (rejected
+    by its cap) but only a few thousand csg-cmp pairs for DPhyp —
+    the exact reason the reference ships dphyp.rs."""
+    from xngin_spark.plans.reorder import dphyp_order
+
+    n = 18
+    rows = {f"v{i:02d}": float(10 ** (1 + i % 4)) for i in range(n)}
+    chain = [
+        E(f"v{i-1:02d}", f"v{i:02d}", (f"a{i}", f"b{i}"))
+        for i in range(1, n)
+    ]
+    trace = dphyp_order(rows, chain)
+    assert len(trace) == n - 1
+    # every merge joins along an edge (chain ⇒ contiguous ranges)
+    for left, right, _ in trace:
+        ids = sorted(int(v[1:]) for v in left | right)
+        assert ids == list(range(ids[0], ids[-1] + 1))
+
+
+def test_dphyp_outer_boundary_never_commutes():
+    from xngin_spark.plans.reorder import dphyp_order
+
+    rows = {"a": 1e6, "b": 1000.0, "c": 5.0}
+    edges = [
+        EK("a", "b", "left", ("ak", "bk")),
+        E("b", "c", ("bk2", "ck")),
+    ]
+    trace = dphyp_order(rows, edges)
+    assert trace[0][0] | trace[0][1] == frozenset("bc")
+    left, right, _ = trace[-1]
+    assert left == frozenset("a") and right == frozenset("bc")
+
+
+def test_dphyp_hyperedge_waits_for_full_far_side():
+    """A LEFT (B ⋈ C): the hyperedge's far side is the whole {B, C}
+    inner region, reachable in the neighborhood only through its
+    min-index representative — DPhyp must assemble B⋈C first and may
+    never cost a partial {A, B} pair."""
+    from xngin_spark.plans.reorder import dphyp_order
+
+    rows = {"a": 100.0, "b": 1e6, "c": 3.0}
+    edges = [
+        EK("a", "b", "left", ("ak", "bk")),
+        E("b", "c", ("bk2", "ck")),
+    ]
+    trace = dphyp_order(rows, edges)
+    assert trace[0][0] | trace[0][1] == frozenset("bc")
+    left, right, _ = trace[-1]
+    assert left == frozenset("a")
+
+
+def test_dphyp_semi_anti_and_full_match_dp():
+    import math
+
+    from xngin_spark.plans.reorder import dp_order, dphyp_order
+
+    for kind in ("semi", "anti", "full", "left"):
+        rows = {"a": 5000.0, "b": 800.0, "c": 40.0, "d": 7.0}
+        edges = [
+            E("a", "b", ("ak", "bk")),
+            EK("b", "c", kind, ("bg", "cg")),
+            E("c", "d", ("ck", "dk")),
+        ]
+        d = dp_order(rows, edges)
+        h = dphyp_order(rows, edges)
+        cd = tree_cost(rows, edges, [(x, y) for x, y, _ in d])
+        ch = tree_cost(rows, edges, [(x, y) for x, y, _ in h])
+        assert math.isclose(cd, ch, rel_tol=1e-9), (kind, cd, ch)
+
+
+def test_dphyp_rejects_disconnected():
+    from xngin_spark.plans.reorder import dphyp_order
+
+    with pytest.raises(CrossJoinNotSupported):
+        dphyp_order({"a": 10, "b": 20}, [])
+
+
+def test_dphyp_join_matches_dp_join_results(spark, sf_dir):
+    from xngin_spark import queries as Q
+
+    Q.load_all()
+    dp = Q.QUERIES["join_reorder_dp"](spark, sf_dir)
+    hy = Q.QUERIES["join_reorder_dphyp"](spark, sf_dir)
+    assert sorted(map(tuple, dp.collect())) == sorted(
+        map(tuple, hy.collect())
+    )
+    plan = hy._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -506,6 +506,208 @@ def dp_order(
     return trace
 
 
+def dphyp_order(
+    rows: dict[str, float],
+    edges: list[Edge],
+    ndv: dict[tuple[str, str], float] | None = None,
+    max_vertices: int = 20,
+) -> list[tuple[frozenset, frozenset, float]]:
+    """DPhyp — the csg-cmp-pair DP enumerator (Moerkotte & Neumann,
+    "Dynamic Programming Strikes Back", SIGMOD 2008) the reference's
+    ``join/reorder/dphyp.rs`` implements. Same C_out objective, same
+    shared estimator and :func:`hyper_tes` hyperedge treatment as
+    :func:`dp_order`; the difference is ENUMERATION: instead of
+    visiting every L|R submask split of every vertex set (O(3^V)
+    regardless of graph shape), DPhyp walks only connected-subgraph /
+    connected-complement pairs reachable through the edge structure —
+    #csg-cmp-pairs, the provable lower bound for join-order DP. On a
+    20-vertex chain that is ~3.4k pairs where dpsize would enumerate
+    ~3.5G splits, which is exactly why the reference ships dphyp.rs
+    next to dpsize.rs (greedy / dpsize ≤ small graphs / dphyp beyond).
+
+    Non-inner edges are hyperedges: a hyperedge contributes to the
+    NEIGHBORHOOD only through the minimum-index vertex of its far side
+    (the paper's representative trick) and only once its near side is
+    fully contained in the growing subgraph, so enumeration itself
+    respects the eligibility sets and no invalid pair is ever costed.
+
+    Returns the same oriented merge-trace format as :func:`dp_order`;
+    on any graph both enumerators agree on optimal C_out (property-
+    tested in tests/test_reorder.py)."""
+    names = sorted(rows)
+    n = len(names)
+    if n > max_vertices:
+        raise ValueError(
+            f"{n} vertices > max_vertices={max_vertices}; "
+            "use goo_order for very large graphs"
+        )
+    idx = {name: i for i, name in enumerate(names)}
+    base = {name: float(r) for name, r in rows.items()}
+    tes = hyper_tes(names, edges)
+
+    def vmask(vs) -> int:
+        m = 0
+        for v in vs:
+            m |= 1 << idx[v]
+        return m
+
+    simple = [
+        (1 << idx[e.a], 1 << idx[e.b], _edge_selectivity(e, base, ndv))
+        for e in edges
+        if e.kind == "inner"
+    ]
+    hypers = [
+        (vmask(tl), vmask(tr), _edge_selectivity(e, base, ndv), e.kind)
+        for e, (tl, tr) in tes.items()
+    ]
+
+    # dp[mask] = (cost, est_rows, oriented (lmask, rmask) | None)
+    dp: dict[int, tuple[float, float, tuple | None]] = {
+        1 << i: (0.0, base[name], None) for name, i in idx.items()
+    }
+
+    def neighbors(S: int, X: int) -> int:
+        """Vertices adjacent to S, excluding X — hyperedges contribute
+        their far side's min-index vertex as representative, and only
+        when their near side is fully assembled inside S."""
+        forbidden = S | X
+        N = 0
+        for am, bm, _ in simple:
+            if am & S and not bm & forbidden:
+                N |= bm
+            if bm & S and not am & forbidden:
+                N |= am
+        for tl, tr, _, _ in hypers:
+            if tl & S == tl and not tr & forbidden:
+                N |= tr & -tr  # lowest set bit of the far side
+            if tr & S == tr and not tl & forbidden:
+                N |= tl & -tl
+        return N
+
+    def connection(S1: int, S2: int):
+        """(inner_sel, crossed, hyperedge|None) across the S1/S2 cut —
+        the same edge-application rule as dp_order's split scan."""
+        isel, crossed = 1.0, False
+        for am, bm, s in simple:
+            if (am & S1 and bm & S2) or (am & S2 and bm & S1):
+                isel *= s
+                crossed = True
+        hyper = None
+        for tl, tr, s, kind in hypers:
+            if (tl & S1 == tl and tr & S2 == tr) or (
+                tl & S2 == tl and tr & S1 == tr
+            ):
+                hyper = (tl, tr, s, kind)
+                break
+        return isel, crossed, hyper
+
+    def emit_csg_cmp(S1: int, S2: int) -> None:
+        isel, crossed, hyper = connection(S1, S2)
+        mask = S1 | S2
+        cur = dp.get(mask)
+        cand = None
+        for X, Y in ((S1, S2), (S2, S1)):
+            cx, rx, _ = dp[X]
+            cy, ry, _ = dp[Y]
+            if hyper is not None:
+                tl, tr, hsel, kind = hyper
+                if not (tl & X == tl and tr & Y == tr):
+                    continue  # non-commutative: preserved side is tl's
+                est = _combine_rows(kind, rx, ry, hsel * isel)
+            elif crossed:
+                if X > Y:
+                    continue  # inner joins commute; canonical orientation
+                est = rx * ry * isel
+            else:
+                return  # not connected — nothing to emit
+            cost = cx + cy + est
+            key = (cost, est, X)
+            if cand is None or key < cand[0]:
+                cand = (key, est, (X, Y))
+        if cand is None:
+            return
+        if cur is None or (cand[0][0], cand[1], cand[2][0]) < (
+            cur[0],
+            cur[1],
+            cur[2][0] if cur[2] else -1,
+        ):
+            dp[mask] = (cand[0][0], cand[1], cand[2])
+
+    def subsets(mask: int) -> list[int]:
+        """All non-empty submasks, ascending (the paper's N' order)."""
+        subs = []
+        s = mask
+        while s:
+            subs.append(s)
+            s = (s - 1) & mask
+        return sorted(subs)
+
+    def enumerate_cmp_rec(S1: int, S2: int, X: int) -> None:
+        N = neighbors(S2, X)
+        if not N:
+            return
+        for Np in subsets(N):
+            S2n = S2 | Np
+            if S2n in dp:
+                emit_csg_cmp(S1, S2n)
+        for Np in subsets(N):
+            enumerate_cmp_rec(S1, S2 | Np, X | N)
+
+    def bmask(i: int) -> int:
+        return (1 << (i + 1)) - 1
+
+    def emit_csg(S1: int) -> None:
+        minv = (S1 & -S1).bit_length() - 1
+        X = S1 | bmask(minv)
+        N = neighbors(S1, X)
+        for i in range(n - 1, -1, -1):
+            if not N & (1 << i):
+                continue
+            S2 = 1 << i
+            _, crossed, hyper = connection(S1, S2)
+            if crossed or hyper is not None:
+                emit_csg_cmp(S1, S2)
+            enumerate_cmp_rec(S1, S2, X | (N & bmask(i)))
+
+    def enumerate_csg_rec(S: int, X: int) -> None:
+        N = neighbors(S, X)
+        if not N:
+            return
+        for Np in subsets(N):
+            Sn = S | Np
+            if Sn in dp:
+                emit_csg(Sn)
+        for Np in subsets(N):
+            enumerate_csg_rec(S | Np, X | N)
+
+    for i in range(n - 1, -1, -1):
+        emit_csg(1 << i)
+        enumerate_csg_rec(1 << i, bmask(i))
+
+    full = (1 << n) - 1
+    if full not in dp:
+        raise CrossJoinNotSupported(
+            "join graph is disconnected (no edge-covered DPhyp plan)"
+        )
+
+    def to_names(mask: int) -> frozenset:
+        return frozenset(name for name, i in idx.items() if mask & (1 << i))
+
+    trace: list[tuple[frozenset, frozenset, float]] = []
+
+    def walk(mask: int) -> None:
+        _, est, split = dp[mask]
+        if split is None:
+            return
+        L, R = split
+        walk(L)
+        walk(R)
+        trace.append((to_names(L), to_names(R), est))
+
+    walk(full)
+    return trace
+
+
 def goo_join(
     vertices: dict[str, DataFrame],
     edges: list[Edge | tuple],
@@ -616,6 +818,43 @@ def dp_join(
         for n, df in vertices.items()
     }
     trace = dp_order(est, edges, ndv=ndv, max_vertices=max_vertices)
+    return _build_join(vertices, edges, trace)
+
+
+def dphyp_join(
+    vertices: dict[str, DataFrame],
+    edges: list[Edge | tuple],
+    rows: dict[str, float] | None = None,
+    ndv: dict[tuple[str, str], float] | None = None,
+    measure_ndv: bool = True,
+    ndv_cache: dict[tuple[str, str], float] | None = None,
+    max_vertices: int = 20,
+) -> DataFrame:
+    """csg-cmp-pair twin of :func:`dp_join` — same graph input, same
+    stats source, same C_out optimum, via :func:`dphyp_order`
+    (dphyp.rs analog). Use for graphs past dp_join's 12-relation
+    dpsize cap; the two produce equal-cost plans wherever both run."""
+    edges = [_as_edge(e) for e in edges]
+    seen: dict[str, str] = {}
+    for vname, df in vertices.items():
+        for c in df.columns:
+            if c in seen:
+                raise ValueError(
+                    f"ambiguous column '{c}' in both {seen[c]} and {vname}; "
+                    "dphyp_join requires globally unique column names"
+                )
+            seen[c] = vname
+    if ndv is None and measure_ndv:
+        ndv = measure_edge_ndv(vertices, edges, ndv_cache)
+    est = rows or {
+        n: (
+            ndv[(n, "__rows__")]
+            if ndv is not None and (n, "__rows__") in ndv
+            else catalyst_rows(df)
+        )
+        for n, df in vertices.items()
+    }
+    trace = dphyp_order(est, edges, ndv=ndv, max_vertices=max_vertices)
     return _build_join(vertices, edges, trace)
 
 

@@ -1123,6 +1123,40 @@ def join_reorder_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q5_revenue(joined)
 
 @register(
+    "join_reorder_dphyp",
+    f"""
+    SELECT n_name,
+           {dsum_expr("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def join_reorder_dphyp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same unordered q5 graph through the csg-cmp-pair enumerator
+    (plans.reorder.dphyp_join — the actual dphyp.rs algorithm,
+    Moerkotte & Neumann 2008): identical C_out optimum as dpsize but
+    enumeration bounded by the graph's connected-subgraph/complement
+    pairs, so it handles the 13+-relation graphs dp_join's cap
+    rejects. Same oracle as q5; cost-equality with dp_order and the
+    18-vertex scaling case are property-tested in
+    tests/test_reorder.py."""
+    from xngin_spark.plans.reorder import dphyp_join
+
+    vertices, edges = _q5_join_graph(spark, sf_dir)
+    joined = dphyp_join(
+        vertices, edges, ndv_cache=_GOO_NDV_CACHE.setdefault(sf_dir, {})
+    )
+    return _q5_revenue(joined)
+
+
+@register(
     "join_reorder_outer",
     """
     SELECT n_name,
