@@ -574,3 +574,112 @@ def test_mmr_independent_per_query(spark):
     p = spark.createDataFrame([], "qid long, a_id long, b_id long, sim double")
     out = mmr_select(c, p, k=1, lam=0.7, mu=0.3).orderBy("qid").collect()
     assert [(r.qid, r.vec_id) for r in out] == [(0, 1), (1, 2)]
+
+
+# --- BPE vocabulary induction (operators/bpe.py) --------------------------
+
+
+def _ref_bpe(word_freqs: dict[str, int], k: int):
+    """Pure-Python reference BPE (textbook get_stats/merge loop,
+    left-to-right non-overlapping, ties on (count DESC, pair ASC))."""
+    syms = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(1, k + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            s = syms[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, a, b, a + b, c))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges, syms
+
+
+def test_bpe_learn_matches_reference_python(spark):
+    from xngin_spark.operators import bpe
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "that hat sat flat",
+        "matter chatter batter",
+        "aaaa abab the the the",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+    expected, _ = _ref_bpe(wf, 8)
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["merged"],
+         r["pair_count"])
+        for r in bpe.learn(spark, docs, merges=8).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_apply_merge_is_left_to_right_non_overlapping(spark):
+    from xngin_spark.operators import bpe
+
+    tab = spark.createDataFrame(
+        [("aaaa", 1, list("aaaa")), ("aaa", 1, list("aaa")),
+         ("abab", 1, list("abab"))],
+        "word string, freq bigint, syms array<string>",
+    )
+    out = {
+        r["word"]: r["syms"]
+        for r in bpe.apply_merge(tab, "a", "a").collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["abab"] == ["abab"[0], "b", "a", "b"] or out["abab"] == [
+        "a", "b", "a", "b"
+    ]
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    from xngin_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [("banana bandana banana",)], "text string"
+    )
+    merges = bpe.learn(spark, docs, merges=4).collect()
+    tab = bpe.init_symbols(bpe.word_freq_table(docs))
+    enc = {
+        r["word"]: r["syms"]
+        for r in bpe.encode(tab, [tuple(m) for m in merges]).collect()
+    }
+    # encode must agree with the reference's final symbolization
+    wf = {"banana": 2, "bandana": 1}
+    _, ref_syms = _ref_bpe(wf, 4)
+    assert enc == ref_syms
+
+
+def test_bpe_pair_counts_weighted_by_freq(spark):
+    from xngin_spark.operators import bpe
+
+    tab = spark.createDataFrame(
+        [("ab", 7, ["a", "b"]), ("abc", 2, ["a", "b", "c"])],
+        "word string, freq bigint, syms array<string>",
+    )
+    got = {
+        (r["left_sym"], r["right_sym"]): r["pair_count"]
+        for r in bpe.pair_counts(tab).collect()
+    }
+    assert got == {("a", "b"): 9, ("b", "c"): 2}

@@ -1,0 +1,141 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary induction.
+
+The tokenizer-training step of an LLM data pipeline: learn the merge
+table from the corpus itself. The classic single-node implementations
+(sentencepiece/HF tokenizers) stream the corpus once into a word-
+frequency table and then iterate merges over that table — exactly the
+shape that distributes well, and the shape this module keeps:
+
+1. ``word_freq_table`` — ONE corpus pass: explode tokens, groupBy word.
+   This is the scale move: 100 TB of text collapses to a distinct-word
+   table (tens of millions of rows, invariant to corpus duplication),
+   and every later step touches only that table, never the corpus.
+2. ``pair_counts`` — frequency-weighted adjacent symbol pairs from each
+   word's current symbolization (map-side ``transform`` over the symbol
+   array + partial aggregation; the shuffle key domain is the live
+   symbol alphabet², tiny).
+3. ``learn`` — k rounds of: top pair (ONE driver row per round, the
+   same bounded-collect contract as the k-means centroid loop), then a
+   JVM-side left-to-right fold (``aggregate``) that applies the merge
+   to every word's symbol array. The symbol table is localCheckpointed
+   per round so lineage stays O(1) and round r never recomputes rounds
+   1..r-1 (the standard iterative-algorithm pattern; at cluster scale
+   swap for ``checkpoint`` on a fault-tolerant dir).
+
+Pair counting is RECOUNTED per round rather than delta-maintained: the
+single-node trick of patching only affected pair counts is pointer-
+chasing that does not distribute, while a recount is two narrow stages
+over the (small) word table. Merge application is the textbook
+non-overlapping left-to-right scan, expressed as a fold: the
+accumulator's last symbol + the current symbol match the pair ⇒ replace
+last with the merged token, else append — bitwise identical to the
+reference Python BPE (property-tested in tests/test_round7_ops.py).
+
+Reference scope note: the reference engine (jiangzhe/xngin → DoraDB)
+has no tokenizer-training surface; this is part of the beyond-reference
+LLM-pipeline charter (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def word_freq_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace tokens — the one full-corpus pass."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def init_symbols(words: DataFrame) -> DataFrame:
+    """Start every word as its character sequence."""
+    return words.withColumn("syms", F.split("word", ""))
+
+
+def pair_counts(symtab: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over the CURRENT
+    symbolization: (left_sym, right_sym, pair_count), descending."""
+    pairs = symtab.filter(F.size("syms") >= 2).select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(syms[i-1] AS left_sym, syms[i] AS right_sym))"
+            )
+        ).alias("p"),
+    )
+    return pairs.groupBy("p.left_sym", "p.right_sym").agg(
+        F.sum("freq").alias("pair_count")
+    )
+
+
+def _q(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
+def apply_merge(symtab: DataFrame, left: str, right: str) -> DataFrame:
+    """Replace every non-overlapping left-to-right (left, right)
+    adjacency with the concatenated token — a JVM-side fold, no Python
+    in the loop."""
+    l, r, tok = _q(left), _q(right), _q(left + right)
+    return symtab.withColumn(
+        "syms",
+        F.expr(
+            f"""aggregate(
+                syms,
+                cast(array() as array<string>),
+                (acc, s) -> IF(
+                    size(acc) > 0
+                    AND element_at(acc, size(acc)) = '{l}'
+                    AND s = '{r}',
+                    concat(slice(acc, 1, size(acc) - 1), array('{tok}')),
+                    concat(acc, array(s))))"""
+        ),
+    )
+
+
+def learn(
+    spark: SparkSession,
+    docs: DataFrame,
+    merges: int = 12,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``merges`` BPE merges; returns the merge table
+    (rank, left_sym, right_sym, merged, pair_count) in learn order.
+    Deterministic: ties break on (pair_count DESC, left_sym,
+    right_sym), and all counts are exact integers."""
+    symtab = init_symbols(word_freq_table(docs, text_col)).localCheckpoint()
+    rows: list[tuple] = []
+    for rank in range(1, merges + 1):
+        top = (
+            pair_counts(symtab)
+            .orderBy(
+                F.col("pair_count").desc(), "left_sym", "right_sym"
+            )
+            .first()
+        )
+        if top is None:
+            break
+        l, r, c = top["left_sym"], top["right_sym"], int(top["pair_count"])
+        rows.append((rank, l, r, l + r, c))
+        symtab = apply_merge(symtab, l, r).localCheckpoint()
+    return spark.createDataFrame(
+        rows, "rank INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, pair_count BIGINT"
+    )
+
+
+def encode(symtab_words: DataFrame, merge_rows: list[tuple]) -> DataFrame:
+    """Apply a learned merge list to a (word, freq, syms) table —
+    tokenize-with-vocab, the serving-side half of BPE. ``merge_rows``
+    is the collected merge table (small: vocab-size, broadcast as k
+    chained fold expressions)."""
+    out = symtab_words
+    for _, l, r, _, _ in merge_rows:
+        out = apply_merge(out, l, r)
+    return out

@@ -761,3 +761,63 @@ def dedup_clusters_star(spark, sf_dir):
         .filter(F.col("src") != F.col("dst"))
     )
     return C.connected_components_star(edges, d.select("doc_id"), id_col="doc_id")
+
+
+# --- BPE vocabulary induction (operators/bpe.py) --------------------------
+
+
+@register(
+    "bpe_pairs_topk",
+    """
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ),
+    idx AS (
+      SELECT word, freq, unnest(range(1, length(word))) AS i
+      FROM words WHERE length(word) >= 2
+    )
+    SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+           substr(word, CAST(i AS INT) + 1, 1) AS right_sym,
+           CAST(SUM(freq) AS BIGINT) AS pair_count
+    FROM idx
+    GROUP BY 1, 2
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+    """,
+)
+def bpe_pairs_topk(spark, sf_dir):
+    """Round-1 of distributed BPE tokenizer training: frequency-
+    weighted adjacent character-pair counts over the distinct-word
+    table, top 20. The scale story is the word-frequency reduction —
+    the corpus is touched exactly once (explode + groupBy word) and
+    the pair scan runs over distinct words only, so a 100 TB corpus
+    with the usual Zipf duplication costs one shuffle on the word key
+    plus a shuffle on the (tiny) alphabet² pair key. Exact integer
+    counts, deterministic (count DESC, pair) ordering — DuckDB
+    reproduces the table bit-for-bit."""
+    from xngin_spark.operators import bpe
+
+    d = T(spark, sf_dir, "documents")
+    tab = bpe.init_symbols(bpe.word_freq_table(fan_out(d)))
+    return (
+        bpe.pair_counts(tab)
+        .orderBy(F.col("pair_count").desc(), "left_sym", "right_sym")
+        .limit(20)
+    )
+
+
+@register("bpe_learn_merges")  # rows-only: iterative driver loop (k top-1
+# collects); bit-exact vs a pure-Python reference BPE in
+# tests/test_round7_ops.py, which is stronger than a SQL oracle could be
+def bpe_learn_merges(spark, sf_dir):
+    """Learn 10 BPE merges from the corpus (operators/bpe.learn): per
+    round, ONE driver row (the argmax pair) + a JVM-side fold applying
+    the merge to every word's symbol array, symbol table
+    localCheckpointed so round r never recomputes rounds 1..r-1.
+    Returns the merge table in learn order."""
+    from xngin_spark.operators import bpe
+
+    return bpe.learn(spark, T(spark, sf_dir, "documents"), merges=10)
