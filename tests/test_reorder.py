@@ -528,3 +528,40 @@ def test_dphyp_join_matches_dp_join_results(spark, sf_dir):
     )
     plan = hy._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_reorder_join_facade_dispatches(spark):
+    from xngin_spark.plans.reorder import reorder_join
+
+    a = spark.range(40).select(
+        F.col("id").alias("ak"), (F.col("id") % 5).alias("ag")
+    )
+    b = spark.range(40).select(
+        F.col("id").alias("bk"), (F.col("id") % 5).alias("bg")
+    )
+    c = spark.range(5).select(F.col("id").alias("ck"))
+    out = reorder_join(
+        {"a": a, "b": b, "c": c},
+        [
+            ("a", "b", [("ak", "bk")]),
+            ("b", "c", [("bg", "ck")]),
+        ],
+        measure_ndv=False,
+    )
+    expected = a.join(b, F.col("ak") == F.col("bk")).join(
+        c, F.col("bg") == F.col("ck")
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # >20 vertices with a hyperedge: explicit refusal, not a bad plan
+    from xngin_spark.plans.reorder import Edge
+
+    many = {f"v{i:02d}": a.selectExpr(f"ak as k{i:02d}") for i in range(21)}
+    chain = [
+        Edge(f"v{i-1:02d}", f"v{i:02d}", ((f"k{i-1:02d}", f"k{i:02d}"),))
+        for i in range(1, 21)
+    ]
+    chain[5] = Edge("v05", "v06", (("k05", "k06"),), "left")
+    with pytest.raises(ValueError, match="exact-DP budget"):
+        reorder_join(many, chain, measure_ndv=False)

@@ -858,6 +858,29 @@ def dphyp_join(
     return _build_join(vertices, edges, trace)
 
 
+def reorder_join(
+    vertices: dict[str, DataFrame],
+    edges: list[Edge | tuple],
+    **kw,
+) -> DataFrame:
+    """Size-dispatching facade — the reference's enumerator split
+    (join/reorder: dphyp for graphs DP can afford, greedy beyond):
+    exact DPhyp up to 20 relations, GOO above. Graphs with non-inner
+    hyperedges always take the DP path (GOO has no eligibility-set
+    machinery), so a >20-vertex mixed-kind graph is the caller's cue
+    to pre-partition the problem."""
+    es = [_as_edge(e) for e in edges]
+    if len(vertices) <= 20:
+        return dphyp_join(vertices, es, **kw)
+    if any(e.kind != "inner" for e in es):
+        raise ValueError(
+            f"{len(vertices)} vertices with non-inner hyperedges exceed "
+            "the exact-DP budget; split the graph at its outer/semi "
+            "boundaries and reorder each inner region"
+        )
+    return goo_join(vertices, es, **kw)
+
+
 def tree_cost(
     rows: dict[str, float],
     edges: list[Edge],
