@@ -683,3 +683,97 @@ def test_bpe_pair_counts_weighted_by_freq(spark):
         for r in bpe.pair_counts(tab).collect()
     }
     assert got == {("a", "b"): 9, ("b", "c"): 2}
+
+
+# --- incremental aggregate maintenance (sources/dml.py) -------------------
+
+
+def _maintained_vs_recomputed(spark, v1_rows, v2_rows):
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes, maintain_agg
+
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame(v1_rows, schema)
+    v2 = spark.createDataFrame(v2_rows, schema)
+    out = maintain_agg(
+        agg_snapshot(v1, "g", "v"),
+        cdc_changes(v1, v2, ["k"], cols=["g", "v"]),
+        v2,
+        "g",
+        "v",
+    )
+    expect = agg_snapshot(v2, "g", "v")
+    got = sorted(map(tuple, out.select("g", "cnt", "total_dec", "min_val", "max_val").collect()))
+    want = sorted(map(tuple, expect.select("g", "cnt", "total_dec", "min_val", "max_val").collect()))
+    assert got == want
+
+
+def test_maintain_agg_group_moving_update(spark):
+    v1 = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)]
+    # row 2 moves from group a to group b (debit a, credit b)
+    v2 = [(1, "a", 10.0), (2, "b", 20.0), (3, "b", 5.0)]
+    _maintained_vs_recomputed(spark, v1, v2)
+
+
+def test_maintain_agg_group_vanishes_and_appears(spark):
+    v1 = [(1, "a", 10.0), (2, "b", 7.0)]
+    # group a fully deleted; new group c inserted
+    v2 = [(2, "b", 7.0), (9, "c", 3.5)]
+    _maintained_vs_recomputed(spark, v1, v2)
+
+
+def test_maintain_agg_minmax_shrinks_on_delete(spark):
+    v1 = [(1, "a", 1.0), (2, "a", 100.0), (3, "a", 50.0)]
+    # the max row is deleted — additive maintenance can't see the new
+    # max; the affected-group recompute must
+    v2 = [(1, "a", 1.0), (3, "a", 50.0)]
+    _maintained_vs_recomputed(spark, v1, v2)
+
+
+def test_maintain_agg_untouched_groups_not_rescanned(spark):
+    """The min/max recompute side must be a delta-group semi-join, not
+    a full re-aggregation — asserted by plan shape."""
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes, maintain_agg
+
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame([(i, f"g{i % 20}", float(i)) for i in range(200)], schema)
+    v2 = spark.createDataFrame(
+        [(i, f"g{i % 20}", float(i)) for i in range(200) if i != 7]
+        + [(900, "g0", 9.0)],
+        schema,
+    )
+    out = maintain_agg(
+        agg_snapshot(v1, "g", "v"),
+        cdc_changes(v1, v2, ["k"], cols=["g", "v"]),
+        v2,
+        "g",
+        "v",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    _maintained_vs_recomputed(
+        spark,
+        [(i, f"g{i % 20}", float(i)) for i in range(200)],
+        [(i, f"g{i % 20}", float(i)) for i in range(200) if i != 7]
+        + [(900, "g0", 9.0)],
+    )
+
+
+def test_maintain_agg_random_mutations_equal_recompute(spark):
+    import random
+
+    rng = random.Random(77)
+    v1 = [(i, f"g{rng.randrange(8)}", round(rng.uniform(-50, 50), 2)) for i in range(300)]
+    v2 = []
+    next_k = 1000
+    for k, g, v in v1:
+        r = rng.random()
+        if r < 0.15:
+            continue  # delete
+        if r < 0.30:
+            v2.append((k, f"g{rng.randrange(8)}", round(rng.uniform(-50, 50), 2)))  # update
+        else:
+            v2.append((k, g, v))
+    for _ in range(40):
+        v2.append((next_k, f"g{rng.randrange(8)}", round(rng.uniform(-50, 50), 2)))
+        next_k += 1
+    _maintained_vs_recomputed(spark, v1, v2)

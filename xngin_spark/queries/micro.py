@@ -1266,3 +1266,74 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(o, new, ["o_orderkey"]).orderBy("o_orderkey", "op")
+
+
+@register(
+    "incremental_agg_maintain",
+    """
+    WITH newsnap AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM newsnap
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-rollup maintenance under CDC (sources/dml.
+    maintain_agg): the snapshot_diff scenario's delta (deletes %97,
+    repricings %89, re-inserts %101) applied to a per-priority
+    (count, decimal-sum, min, max) rollup WITHOUT recomputing it —
+    additive measures maintained from the delta alone (signed image
+    adjustments + one full-outer merge on the group key), min/max
+    recomputed only for delta-touched groups via a left-semi join
+    against the new snapshot. The oracle is the full recompute over
+    the new snapshot, so the value hash proves maintenance ≡
+    recompute end-to-end, decimal-exact. The HTAP story the
+    reference's CDC surface points at: the delta is consumed, the
+    100 TB fact table is not re-aggregated."""
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes, maintain_agg
+
+    v1 = T(spark, sf_dir, "orders")
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            v1.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    changes = cdc_changes(
+        v1, v2, ["o_orderkey"], cols=["o_orderpriority", "o_totalprice"]
+    )
+    out = maintain_agg(
+        agg_snapshot(v1, "o_orderpriority", "o_totalprice"),
+        changes,
+        v2,
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    return out.select(
+        "o_orderpriority",
+        "cnt",
+        F.col("total_dec").cast("double").alias("total"),
+        F.col("min_val").alias("min_price"),
+        F.col("max_val").alias("max_price"),
+    ).orderBy("o_orderpriority")
