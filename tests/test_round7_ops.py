@@ -777,3 +777,73 @@ def test_maintain_agg_random_mutations_equal_recompute(spark):
         v2.append((next_k, f"g{rng.randrange(8)}", round(rng.uniform(-50, 50), 2)))
         next_k += 1
     _maintained_vs_recomputed(spark, v1, v2)
+
+
+def test_streaming_rollup_batch_replay_converges(spark, tmp_path):
+    """The epoch protocol's exactly-once claim, tested directly:
+    re-applying a batch (foreachBatch replay after a crash-before-
+    commit) must leave the rollup state identical, not double-count."""
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes
+    from xngin_spark.streaming.sinks import (
+        _latest_rollup_epoch,
+        apply_cdc_rollup_batch,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(30)], schema
+    )
+    v2 = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i) + (10.0 if i % 7 == 0 else 0.0))
+         for i in range(30) if i % 5 != 0]
+        + [(100, "g9", 1.5)],
+        schema,
+    )
+    agg_snapshot(v1, "g", "v").select(
+        "g", "cnt", F.col("total_dec").cast("decimal(30,6)").alias("total_dec")
+    ).write.parquet(f"{rollup}/epoch=-1")
+    changes = cdc_changes(v1, v2, ["k"], cols=["g", "v"]).localCheckpoint()
+    b0 = changes.filter(F.col("k") % 2 == 0)
+    b1 = changes.filter(F.col("k") % 2 == 1)
+
+    apply_cdc_rollup_batch(b0, 0, rollup, "g", "v", ["k"])
+    state0 = sorted(map(tuple, spark.read.parquet(f"{rollup}/epoch=0").collect()))
+    apply_cdc_rollup_batch(b0, 0, rollup, "g", "v", ["k"])  # replay
+    assert sorted(map(tuple, spark.read.parquet(f"{rollup}/epoch=0").collect())) == state0
+
+    apply_cdc_rollup_batch(b1, 1, rollup, "g", "v", ["k"])
+    state1 = sorted(map(tuple, spark.read.parquet(f"{rollup}/epoch=1").collect()))
+    apply_cdc_rollup_batch(b1, 1, rollup, "g", "v", ["k"])  # replay
+    assert sorted(map(tuple, spark.read.parquet(f"{rollup}/epoch=1").collect())) == state1
+
+    assert _latest_rollup_epoch(rollup) == 1
+    final = spark.read.parquet(f"{rollup}/epoch=1").select(
+        "g", "cnt", F.col("total_dec").cast("double").alias("t")
+    )
+    expect = agg_snapshot(v2, "g", "v").select(
+        "g", "cnt", F.col("total_dec").cast("double").alias("t")
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+def test_streaming_rollup_inbatch_duplicate_rows_collapse(spark, tmp_path):
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes
+    from xngin_spark.streaming.sinks import apply_cdc_rollup_batch
+
+    rollup = str(tmp_path / "rollup")
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame([(1, "a", 2.0), (2, "a", 3.0)], schema)
+    v2 = spark.createDataFrame([(1, "a", 2.0), (2, "a", 5.0)], schema)
+    agg_snapshot(v1, "g", "v").select(
+        "g", "cnt", F.col("total_dec").cast("decimal(30,6)").alias("total_dec")
+    ).write.parquet(f"{rollup}/epoch=-1")
+    changes = cdc_changes(v1, v2, ["k"], cols=["g", "v"])
+    doubled = changes.unionByName(changes)  # duplicate delivery in-batch
+    apply_cdc_rollup_batch(doubled, 0, rollup, "g", "v", ["k"])
+    got = spark.read.parquet(f"{rollup}/epoch=0").select(
+        "g", "cnt", F.col("total_dec").cast("double").alias("t")
+    ).collect()
+    assert sorted(map(tuple, got)) == [("a", 2, 7.0)]

@@ -1337,3 +1337,112 @@ def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_val").alias("min_price"),
         F.col("max_val").alias("max_price"),
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "orders_stream_agg_maintain",
+    """
+    WITH newsnap AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+    FROM newsnap
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def orders_stream_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of incremental_agg_maintain — a maintained
+    materialized view: the snapshot delta arrives as a CDC change
+    STREAM in three chunk files (maxFilesPerTrigger=1 → three
+    micro-batches), each batch folds its signed per-group adjustments
+    into the epoch-versioned persisted rollup
+    (streaming/sinks.streaming_agg_maintain), and the final epoch must
+    equal the full recompute over the new snapshot — the oracle IS
+    that recompute, so the hash proves stream-maintenance ≡ batch
+    aggregation decimal-exactly. Batch replays converge via the
+    write-ahead epoch protocol (unit-tested by re-applying a batch);
+    the base table is read once for the seed rollup, never again."""
+    import os
+    import shutil
+    import tempfile
+
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes
+    from xngin_spark.streaming.sinks import (
+        _latest_rollup_epoch,
+        streaming_agg_maintain,
+    )
+
+    v1 = T(spark, sf_dir, "orders")
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            v1.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    changes = cdc_changes(
+        v1, v2, ["o_orderkey"], cols=["o_orderpriority", "o_totalprice"]
+    )
+    root = tempfile.mkdtemp(prefix="xngin_aggmaint_")
+    delta_dir = os.path.join(root, "delta")
+    rollup = os.path.join(root, "rollup")
+    ckpt = os.path.join(root, "ckpt")
+    key = "spark.sql.shuffle.partitions"
+    old_sp = spark.conf.get(key)
+    try:
+        # three delivery chunks -> three micro-batches
+        for i in range(3):
+            changes.filter(F.col("o_orderkey") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(delta_dir)
+        agg_snapshot(v1, "o_orderpriority", "o_totalprice").select(
+            "o_orderpriority",
+            "cnt",
+            F.col("total_dec").cast("decimal(30,6)").alias("total_dec"),
+        ).write.parquet(os.path.join(rollup, "epoch=-1"))
+        schema = spark.read.parquet(delta_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(delta_dir)
+        )
+        spark.conf.set(key, "8")
+        streaming_agg_maintain(
+            stream,
+            rollup,
+            ckpt,
+            "o_orderpriority",
+            "o_totalprice",
+            ["o_orderkey"],
+            timeout_s=120,
+        )
+        final = _latest_rollup_epoch(rollup)
+        out = (
+            spark.read.parquet(os.path.join(rollup, f"epoch={final}"))
+            .select(
+                "o_orderpriority",
+                "cnt",
+                F.col("total_dec").cast("double").alias("total"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set(key, old_sp)
+        shutil.rmtree(root, ignore_errors=True)
+    return out.orderBy("o_orderpriority")

@@ -530,21 +530,7 @@ def maintain_agg(
     maintained result is value-checkable against a plain GROUP BY,
     which is exactly how incremental_agg_maintain's oracle checks it."""
     g = group_col
-    plus = changes.filter(F.col("op").isin("insert", "update")).select(
-        F.col(f"_new.{g}").alias(g),
-        F.col(f"_new.{val_col}").cast(_AGG_DEC).alias("dv"),
-        F.lit(1).cast("bigint").alias("dc"),
-    )
-    minus = changes.filter(F.col("op").isin("delete", "update")).select(
-        F.col(f"_old.{g}").alias(g),
-        (-F.col(f"_old.{val_col}").cast(_AGG_DEC)).alias("dv"),
-        F.lit(-1).cast("bigint").alias("dc"),
-    )
-    adj = (
-        plus.unionByName(minus)
-        .groupBy(g)
-        .agg(F.sum("dv").alias("dv"), F.sum("dc").alias("dc"))
-    )
+    adj = _signed_adjustments(changes, g, val_col)
     zero_dec = F.lit(0).cast(_AGG_DEC)
     merged = (
         agg_old.join(adj, on=g, how="full_outer")
@@ -583,4 +569,70 @@ def maintain_agg(
         # surviving affected group — cnt>0 implies rows exist)
         F.coalesce("min_r", "min_val").alias("min_val"),
         F.coalesce("max_r", "max_val").alias("max_val"),
+    )
+
+
+def _signed_adjustments(
+    changes: DataFrame, group_col: str, val_col: str
+) -> DataFrame:
+    """Per-group signed (Δsum, Δcount) from an image-carrying delta:
+    +new image for insert/update, −old image for delete/update — a
+    group-moving update debits one group and credits another."""
+    g = group_col
+    plus = changes.filter(F.col("op").isin("insert", "update")).select(
+        F.col(f"_new.{g}").alias(g),
+        F.col(f"_new.{val_col}").cast(_AGG_DEC).alias("dv"),
+        F.lit(1).cast("bigint").alias("dc"),
+    )
+    minus = changes.filter(F.col("op").isin("delete", "update")).select(
+        F.col(f"_old.{g}").alias(g),
+        (-F.col(f"_old.{val_col}").cast(_AGG_DEC)).alias("dv"),
+        F.lit(-1).cast("bigint").alias("dc"),
+    )
+    return (
+        plus.unionByName(minus)
+        .groupBy(g)
+        .agg(F.sum("dv").alias("dv"), F.sum("dc").alias("dc"))
+    )
+
+
+# fixed carrier type for the maintained decimal sum: decimal addition
+# widens precision per operand, so an epoch-chained rollup would creep
+# to decimal(38,6); pinning 30,6 (24 integer digits) keeps the state
+# schema stable across arbitrarily many maintenance rounds, exactly.
+_AGG_STATE_DEC = "decimal(30,6)"
+
+
+def maintain_agg_additive(
+    agg_old: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Additive-only rollup maintenance (count + exact decimal sum):
+    consumes the DELTA ALONE — no snapshot access of any kind — which
+    is what makes the rollup maintainable from a change STREAM
+    (streaming/sinks.streaming_agg_maintain). Schema in/out:
+    (group, cnt BIGINT, total_dec DECIMAL(30,6)); groups whose count
+    reaches zero drop. For min/max (which need delta-group recompute
+    against the snapshot) use :func:`maintain_agg`."""
+    g = group_col
+    adj = _signed_adjustments(changes, g, val_col)
+    zero_dec = F.lit(0).cast(_AGG_STATE_DEC)
+    return (
+        agg_old.join(adj, on=g, how="full_outer")
+        .select(
+            F.col(g),
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            ).alias("cnt"),
+            (
+                F.coalesce(F.col("total_dec").cast(_AGG_STATE_DEC), zero_dec)
+                + F.coalesce(F.col("dv").cast(_AGG_STATE_DEC), zero_dec)
+            )
+            .cast(_AGG_STATE_DEC)
+            .alias("total_dec"),
+        )
+        .filter(F.col("cnt") > 0)
     )

@@ -297,3 +297,95 @@ def streaming_vector_ingest_admit(
         raise TimeoutError(
             f"vector ingest-admit sink did not finish in {timeout_s}s"
         )
+
+
+def _latest_rollup_epoch(rollup_path: str, below: int | None = None) -> int | None:
+    """Newest epoch directory under ``rollup_path`` (optionally below a
+    batch id) — driver-side listing of a rollup-sized state dir."""
+    import glob
+    import os
+
+    epochs = []
+    for p in glob.glob(os.path.join(rollup_path, "epoch=*")):
+        try:
+            e = int(os.path.basename(p).split("=", 1)[1])
+        except ValueError:
+            continue
+        if below is None or e < below:
+            epochs.append(e)
+    return max(epochs) if epochs else None
+
+
+def apply_cdc_rollup_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    rollup_path: str,
+    group_col: str,
+    val_col: str,
+    key_cols: list[str],
+) -> None:
+    """ONE micro-batch of the CDC rollup loop, module-level so replay
+    convergence is directly testable: read the newest epoch BELOW this
+    batch id, apply the batch's delta additively, OVERWRITE
+    ``epoch=<batch_id>``. A replayed batch re-reads the same
+    predecessor epoch and rewrites its own directory, so delivery
+    retries converge instead of double-counting — the write-ahead-by-
+    epoch form of the ingest-admit loop's scrub-then-append."""
+    from xngin_spark.sources.dml import maintain_agg_additive
+
+    spark = batch_df.sparkSession
+    batch = batch_df.dropDuplicates(key_cols).localCheckpoint(eager=True)
+    prior = _latest_rollup_epoch(rollup_path, below=batch_id)
+    if prior is None:
+        raise ValueError(
+            f"no seed epoch under {rollup_path} — write the initial "
+            "agg state to epoch=-1 before starting the stream"
+        )
+    agg_old = spark.read.parquet(f"{rollup_path}/epoch={prior}")
+    updated = maintain_agg_additive(agg_old, batch, group_col, val_col)
+    updated.write.mode("overwrite").parquet(
+        f"{rollup_path}/epoch={batch_id}"
+    )
+
+
+def streaming_agg_maintain(
+    change_stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    val_col: str,
+    key_cols: list[str],
+    timeout_s: int = 180,
+) -> None:
+    """Maintain a persisted additive rollup from a CDC change STREAM —
+    the materialized-view half of the ingest loop: the stream carries
+    image-bearing change rows (op, _old, _new — cdc_changes' shape),
+    each micro-batch folds its per-group signed adjustments into the
+    epoch-versioned rollup state, and the 100 TB base table is NEVER
+    read. Per-batch cost: delta-sized map work + a full-outer join on
+    the group key against a rollup-sized table. At-least-once
+    duplicate delivery collapses via dropDuplicates on the CDC key
+    BEFORE any state is touched; batch replays converge via the
+    epoch protocol (see :func:`apply_cdc_rollup_batch`).
+
+    Seed contract: write the initial :func:`~xngin_spark.sources.dml.
+    maintain_agg_additive`-shaped state to ``{rollup_path}/epoch=-1``
+    first; read the final state from the newest epoch after the run."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_rollup_batch(
+            batch_df, batch_id, rollup_path, group_col, val_col, key_cols
+        )
+
+    q = (
+        change_stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"agg-maintain sink did not finish in {timeout_s}s"
+        )
