@@ -847,3 +847,32 @@ def test_streaming_rollup_inbatch_duplicate_rows_collapse(spark, tmp_path):
         "g", "cnt", F.col("total_dec").cast("double").alias("t")
     ).collect()
     assert sorted(map(tuple, got)) == [("a", 2, 7.0)]
+
+
+def test_streaming_rollup_prunes_unreachable_epochs(spark, tmp_path):
+    """State stays at two rollup-sized epochs: after batch b commits,
+    everything below b's predecessor is unreachable (a replay can only
+    be of b, which re-reads the predecessor) and is deleted."""
+    import os
+
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes
+    from xngin_spark.streaming.sinks import apply_cdc_rollup_batch
+
+    rollup = str(tmp_path / "rollup")
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame([(i, "a", 1.0) for i in range(9)], schema)
+    v2 = spark.createDataFrame([(i, "a", 1.0) for i in range(12)], schema)
+    agg_snapshot(v1, "g", "v").select(
+        "g", "cnt", F.col("total_dec").cast("decimal(30,6)").alias("total_dec")
+    ).write.parquet(f"{rollup}/epoch=-1")
+    changes = cdc_changes(v1, v2, ["k"], cols=["g", "v"]).localCheckpoint()
+    for b in range(3):
+        apply_cdc_rollup_batch(
+            changes.filter(F.col("k") % 3 == b), b, rollup, "g", "v", ["k"]
+        )
+    left = sorted(
+        d for d in os.listdir(rollup) if d.startswith("epoch=")
+    )
+    assert left == ["epoch=1", "epoch=2"]
+    got = spark.read.parquet(f"{rollup}/epoch=2").collect()
+    assert [(r["g"], r["cnt"]) for r in got] == [("a", 12)]

@@ -346,6 +346,22 @@ def apply_cdc_rollup_batch(
     updated.write.mode("overwrite").parquet(
         f"{rollup_path}/epoch={batch_id}"
     )
+    # prune epochs OLDER than this batch's predecessor: a foreachBatch
+    # replay can only be of THIS batch (which re-reads ``prior`` — kept)
+    # or a later one (which reads ``batch_id``'s output or newer), so
+    # anything below ``prior`` is unreachable state. Keeps the state
+    # dir at two rollup-sized epochs regardless of stream lifetime.
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    for p in _glob.glob(_os.path.join(rollup_path, "epoch=*")):
+        try:
+            e = int(_os.path.basename(p).split("=", 1)[1])
+        except ValueError:
+            continue
+        if e < prior:
+            _shutil.rmtree(p, ignore_errors=True)
 
 
 def streaming_agg_maintain(
