@@ -876,3 +876,17 @@ def test_streaming_rollup_prunes_unreachable_epochs(spark, tmp_path):
     assert left == ["epoch=1", "epoch=2"]
     got = spark.read.parquet(f"{rollup}/epoch=2").collect()
     assert [(r["g"], r["cnt"]) for r in got] == [("a", 12)]
+
+
+def test_bpe_apply_merge_escapes_special_symbols(spark):
+    from xngin_spark.operators import bpe
+
+    tab = spark.createDataFrame(
+        [("'a", 1, ["'", "a"]), ("\\b", 1, ["\\", "b"])],
+        "word string, freq bigint, syms array<string>",
+    )
+    out = {r["word"]: r["syms"] for r in bpe.apply_merge(tab, "'", "a").collect()}
+    assert out["'a"] == ["'a"]
+    assert out["\\b"] == ["\\", "b"]
+    out2 = {r["word"]: r["syms"] for r in bpe.apply_merge(tab, "\\", "b").collect()}
+    assert out2["\\b"] == ["\\b"]
