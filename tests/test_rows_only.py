@@ -15,6 +15,9 @@ def test_rows_only_set_is_expected():
     assert ROWS_ONLY == [
         "approx_distinct",     # HLL sketch estimate is engine-specific
         "bloom_seen_filter",   # xxhash64 bit positions — no DuckDB twin
+        "bpe_learn_merges",    # iterative driver loop; bit-exact vs a
+                               # pure-Python reference BPE instead
+                               # (tests/test_round7_ops.py)
         "dedup_minhash_lsh",   # xxhash64 signatures — DuckDB lacks the hash
         "dedup_pipeline",      # composes the minhash stage (xxhash64)
         "dedup_semantic",      # SemDeDup: iterative k-means blocking
