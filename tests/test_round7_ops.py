@@ -890,3 +890,45 @@ def test_bpe_apply_merge_escapes_special_symbols(spark):
     assert out["\\b"] == ["\\", "b"]
     out2 = {r["word"]: r["syms"] for r in bpe.apply_merge(tab, "\\", "b").collect()}
     assert out2["\\b"] == ["\\b"]
+
+
+def test_maintain_agg_insert_only_never_touches_snapshot(spark):
+    """Append-only feed: extrema merge additively from the delta, and
+    with assume_destructive=False the plan contains NO semi-join and
+    no scan of the new snapshot at all."""
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes, maintain_agg
+
+    schema = "k bigint, g string, v double"
+    v1_rows = [(1, "a", 5.0), (2, "b", 8.0)]
+    v2_rows = v1_rows + [(3, "a", 1.0), (4, "c", 9.0)]
+    v1 = spark.createDataFrame(v1_rows, schema)
+    v2 = spark.createDataFrame(v2_rows, schema)
+    changes = cdc_changes(v1, v2, ["k"], cols=["g", "v"])
+    out = maintain_agg(
+        agg_snapshot(v1, "g", "v"), changes, v2, "g", "v",
+        assume_destructive=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    expect = agg_snapshot(v2, "g", "v")
+    cols = ["g", "cnt", "total_dec", "min_val", "max_val"]
+    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+        map(tuple, expect.select(*cols).collect())
+    )
+    # the probe (assume_destructive=None) reaches the same answer
+    out2 = maintain_agg(
+        agg_snapshot(v1, "g", "v"), changes, v2, "g", "v"
+    )
+    assert sorted(map(tuple, out2.select(*cols).collect())) == sorted(
+        map(tuple, expect.select(*cols).collect())
+    )
+
+
+def test_maintain_agg_mixed_feed_insert_extrema_still_right(spark):
+    """A batch with BOTH inserts into untouched groups and deletes in
+    other groups: insert-only groups must take the additive path
+    (grow-only) while destructive groups recompute."""
+    v1 = [(1, "a", 5.0), (2, "a", 100.0), (3, "b", 7.0)]
+    # delete a's max; insert new rows into b (grow) and new group c
+    v2 = [(1, "a", 5.0), (3, "b", 7.0), (4, "b", 2.0), (5, "c", 11.0)]
+    _maintained_vs_recomputed(spark, v1, v2)

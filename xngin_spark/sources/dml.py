@@ -504,6 +504,7 @@ def maintain_agg(
     new_snap: DataFrame,
     group_col: str,
     val_col: str,
+    assume_destructive: bool | None = None,
 ) -> DataFrame:
     """Incrementally maintain an :func:`agg_snapshot` rollup under a
     :func:`cdc_changes` delta — the materialized-view-maintenance
@@ -515,14 +516,20 @@ def maintain_agg(
     adjustments (+new image for insert/update, −old image for
     delete/update, so a group-moving update debits one group and
     credits another), merged into the old rollup by one full-outer
-    join on the group key. min/max are not additively maintainable
-    under deletes, so they are RECOMPUTED — but only for the groups
-    the delta touches (delta-sized left-semi join against the new
+    join on the group key. min/max split by op kind: INSERTS only grow
+    extrema, so insert deltas merge additively (least/greatest) with
+    zero snapshot access — an append-only feed (the 100 TB ingest
+    common case) never reads the base table at all. DELETES/UPDATES
+    can shrink extrema and force a recompute — but only for the groups
+    destructive ops touch (delta-sized left-semi join against the new
     snapshot; with a group-partitioned layout that scan partition-
     prunes to the affected groups). At 100 TB a delta touching 0.1%
     of groups costs delta + 0.1%-of-table, never a full recompute.
-    Groups whose count reaches zero are dropped (never emitted with
-    NULL measures).
+    ``assume_destructive``: None (default) probes the delta with one
+    tiny job; pass False for a known append-only feed (skips both the
+    probe and the recompute join entirely) or True for a known-mixed
+    CDC feed. Groups whose count reaches zero are dropped (never
+    emitted with NULL measures).
 
     Exactness contract: decimal addition is associative, so
     cast(total_dec_v1 + Σsigned_deltas AS DOUBLE) equals the oracle's
@@ -549,26 +556,53 @@ def maintain_agg(
         )
         .filter(F.col("cnt") > 0)
     )
-    affected = (
-        changes.select(F.col(f"_old.{g}").alias(g))
-        .unionByName(changes.select(F.col(f"_new.{g}").alias(g)))
-        .filter(F.col(g).isNotNull())
-        .distinct()
+    # inserts only GROW a group's extrema — mergeable additively from
+    # the delta (least/greatest, null-skipping), no snapshot access.
+    ins = (
+        changes.filter(F.col("op") == "insert")
+        .groupBy(F.col(f"_new.{g}").alias(g))
+        .agg(
+            F.min(f"_new.{val_col}").alias("ins_min"),
+            F.max(f"_new.{val_col}").alias("ins_max"),
+        )
     )
-    recomputed = (
-        new_snap.join(affected, on=g, how="left_semi")
-        .groupBy(g)
-        .agg(F.min(val_col).alias("min_r"), F.max(val_col).alias("max_r"))
-    )
-    return merged.join(recomputed, on=g, how="left").select(
+    destructive = changes.filter(F.col("op").isin("delete", "update"))
+    if assume_destructive is None:
+        # one delta-sized probe job; callers who know their feed shape
+        # (append-only ingest vs CDC with deletes) pass the flag and
+        # skip the probe
+        assume_destructive = bool(destructive.head(1))
+    out = merged.join(ins, on=g, how="left")
+    if assume_destructive:
+        # deletes/updates can SHRINK extrema — recompute, but only for
+        # the groups destructive ops touch (both sides of a group-
+        # moving update), via a delta-group semi-join on the snapshot
+        affected = (
+            destructive.select(F.col(f"_old.{g}").alias(g))
+            .unionByName(destructive.select(F.col(f"_new.{g}").alias(g)))
+            .filter(F.col(g).isNotNull())
+            .distinct()
+        )
+        recomputed = (
+            new_snap.join(affected, on=g, how="left_semi")
+            .groupBy(g)
+            .agg(F.min(val_col).alias("min_r"), F.max(val_col).alias("max_r"))
+        )
+        out = out.join(recomputed, on=g, how="left")
+        # a non-null recomputed value marks a destructive-affected group
+        # (never null for one that survived — cnt>0 implies rows exist);
+        # otherwise merge insert extrema into the old ones
+        min_out = F.coalesce("min_r", F.least("min_val", "ins_min"))
+        max_out = F.coalesce("max_r", F.greatest("max_val", "ins_max"))
+    else:
+        min_out = F.least("min_val", "ins_min")
+        max_out = F.greatest("max_val", "ins_max")
+    return out.select(
         F.col(g),
         "cnt",
         "total_dec",
-        # a non-null recomputed value marks an affected group; untouched
-        # groups keep their old extrema (min_r is never null for a
-        # surviving affected group — cnt>0 implies rows exist)
-        F.coalesce("min_r", "min_val").alias("min_val"),
-        F.coalesce("max_r", "max_val").alias("max_val"),
+        min_out.alias("min_val"),
+        max_out.alias("max_val"),
     )
 
 
