@@ -932,3 +932,35 @@ def test_maintain_agg_mixed_feed_insert_extrema_still_right(spark):
     # delete a's max; insert new rows into b (grow) and new group c
     v2 = [(1, "a", 5.0), (3, "b", 7.0), (4, "b", 2.0), (5, "c", 11.0)]
     _maintained_vs_recomputed(spark, v1, v2)
+
+
+def test_maintain_agg_recompute_prunes_partitioned_snapshot(spark, tmp_path):
+    """With a group-partitioned snapshot layout, the destructive-group
+    min/max recompute reads only the affected groups' partitions —
+    the docstring's pruning claim as a plan fact."""
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes, maintain_agg
+
+    schema = "k bigint, g string, v double"
+    v1_rows = [(i, f"g{i % 10}", float(i)) for i in range(100)]
+    v2_rows = [r for r in v1_rows if r[0] != 33]  # delete one row in g3
+    v1 = spark.createDataFrame(v1_rows, schema)
+    spark.createDataFrame(v2_rows, schema).write.partitionBy("g").parquet(
+        str(tmp_path / "v2")
+    )
+    v2 = spark.read.parquet(str(tmp_path / "v2"))
+    out = maintain_agg(
+        agg_snapshot(v1, "g", "v"),
+        cdc_changes(v1, v2, ["k"], cols=["g", "v"]).localCheckpoint(),
+        v2,
+        "g",
+        "v",
+    )
+    cols = ["g", "cnt", "total_dec", "min_val", "max_val"]
+    expect = agg_snapshot(v2, "g", "v")
+    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+        map(tuple, expect.select(*cols).collect())
+    )
+    # the affected-group semi-join must reach the partitioned scan as a
+    # runtime partition filter (DPP) rather than a full-table read
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(g" in plan, plan[:2000]
