@@ -2734,3 +2734,119 @@ def ann_recall_eval(spark, sf_dir):
             (F.sum(hit_l).cast("double") / F.count(F.lit(1))).alias("lsh_recall"),
         )
     )
+
+
+def _dedup_recall_oracle(k: int = 16, bands: int = 8) -> str:
+    from xngin_spark.operators.dedup import _P, _perm_consts
+
+    consts = _perm_consts(k)
+    a_sql = "[" + ",".join(str(a) for a, _ in consts) + "]"
+    b_sql = "[" + ",".join(str(b) for _, b in consts) + "]"
+    r = k // bands
+    return f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, greatest(len(string_split(text,' ')) - 2, 1)),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' '))) AS g
+        FROM docs)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b,
+             CAST(inter AS DOUBLE)
+             / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE)
+            / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.5
+    ),
+    xs AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(g),1,15)) AS BIGINT) % {_P} AS x
+      FROM sh
+    ),
+    hs AS (
+      SELECT doc_id, seed,
+             MIN((x * {a_sql}[seed+1] + {b_sql}[seed+1]) % {_P}) AS mh
+      FROM xs, (SELECT unnest(range({k})) AS seed) s
+      GROUP BY doc_id, seed
+    ),
+    sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hs GROUP BY doc_id),
+    bnd AS (
+      SELECT doc_id, band,
+             CAST(concat('0x', substr(md5(array_to_string(
+               sig[band*{r}+1:band*{r}+{r}], ',')),1,15)) AS BIGINT) AS bucket
+      FROM sig, (SELECT unnest(range({bands})) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    approx AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN sig sa ON sa.doc_id = cand.id_a
+      JOIN sig sb ON sb.doc_id = cand.id_b
+      WHERE CAST(len(list_filter(list_zip(sa.sig, sb.sig), p -> p[1] = p[2]))
+                 AS DOUBLE) / {k}.0 >= 0.5
+    )
+    SELECT FLOOR(e.jaccard * 10) / 10 AS j_band,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST(SUM(CASE WHEN a.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM exact e
+    LEFT JOIN approx a ON a.id_a = e.id_a AND a.id_b = e.id_b
+    GROUP BY 1
+    ORDER BY 1
+    """
+
+
+@register("dedup_recall_eval", _dedup_recall_oracle())
+def dedup_recall_eval(spark, sf_dir):
+    """The dedup-family twin of ann_recall_eval: recall of the
+    MinHash-LSH screen against exact n-gram-Jaccard ground truth,
+    bucketed by true similarity — the LSH S-CURVE
+    (P[caught] = 1-(1-s^r)^b) measured on real pairs instead of
+    assumed. Both legs are the existing value-checked pipelines
+    (ngram_jaccard's exact verifier; dedup_minhash_checked's portable
+    md5 signatures), so the measured recall fractions are themselves
+    value-checked — DuckDB reproduces every ground-truth pair, every
+    candidate, and every band's recall bit-for-bit. Input-bounded
+    like the verifiers (doc_id < 1000); at 100 TB the same two
+    queries run over a planted-pair sample, which is exactly how
+    production dedup thresholds get tuned."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    exact = D.ngram_jaccard_pairs(d, threshold=0.5)
+    approx = D.minhash_lsh_pairs(
+        d, k=16, bands=8, threshold=0.5, portable=True
+    ).select("id_a", "id_b", F.lit(1).alias("hit"))
+    return (
+        exact.withColumn(
+            "j_band", (F.floor(F.col("jaccard") * 10) / 10).cast("double")
+        )
+        .join(approx, ["id_a", "id_b"], "left")
+        .groupBy("j_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_caught"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_caught").cast("double") / F.col("n_true").cast("double"),
+        )
+        .orderBy("j_band")
+    )
