@@ -964,3 +964,53 @@ def test_maintain_agg_recompute_prunes_partitioned_snapshot(spark, tmp_path):
     # runtime partition filter (DPP) rather than a full-table read
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower() or "PartitionFilters: [isnotnull(g" in plan, plan[:2000]
+
+
+# --- column profiling / snapshot drift (operators/profile.py) -------------
+
+
+def test_column_profile_counts_nulls_and_distincts(spark):
+    from xngin_spark.operators.profile import column_profile
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x int, s string",
+    )
+    got = {
+        r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in column_profile(df).collect()
+    }
+    assert got == {"x": (4, 1, 3), "s": (4, 1, 2)}
+
+
+def test_profile_drift_deltas(spark):
+    from xngin_spark.operators.profile import profile_drift
+
+    old = spark.createDataFrame([(i, "k") for i in range(10)], "x int, s string")
+    new = spark.createDataFrame(
+        [(i, "k") for i in range(8)] + [(None, "j")], "x int, s string"
+    )
+    got = {r["col_name"]: r for r in profile_drift(old, new).collect()}
+    assert got["x"]["d_rows"] == -1
+    assert got["x"]["nulls_v2"] == 1
+    assert got["x"]["d_distinct"] == -2
+    assert got["s"]["d_distinct"] == 1
+
+
+def test_column_profile_approximate_mode_close_to_exact(spark, sf_dir):
+    """The production monitoring mode: HLL distinct counts within the
+    sketch's error envelope of exact, rows/nulls still exact."""
+    from xngin_spark.operators.profile import column_profile
+    from xngin_spark.queries.tpch import T
+
+    df = T(spark, sf_dir, "orders")
+    exact = {r["col_name"]: r for r in column_profile(df).collect()}
+    approx = {
+        r["col_name"]: r for r in column_profile(df, approximate=True).collect()
+    }
+    for c, e in exact.items():
+        a = approx[c]
+        assert a["n_rows"] == e["n_rows"] and a["n_nulls"] == e["n_nulls"]
+        if e["n_distinct"]:
+            rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
+            assert rel < 0.15, (c, a["n_distinct"], e["n_distinct"])

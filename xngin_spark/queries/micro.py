@@ -1446,3 +1446,83 @@ def orders_stream_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(key, old_sp)
         shutil.rmtree(root, ignore_errors=True)
     return out.orderBy("o_orderpriority")
+
+
+_DRIFT_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _drift_oracle() -> str:
+    def prof(src: str, suf: str) -> str:
+        return "\n      UNION ALL ".join(
+            f"SELECT '{c}' AS col_name, COUNT(*) AS rows_{suf}, "
+            f"COUNT(*) - COUNT({c}) AS nulls_{suf}, "
+            f"COUNT(DISTINCT {c}) AS distinct_{suf} FROM {src}"
+            for c in _DRIFT_COLS
+        )
+
+    return f"""
+    WITH newsnap AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 101 = 0
+    ),
+    p1 AS ({prof('orders', 'v1')}),
+    p2 AS ({prof('newsnap', 'v2')})
+    SELECT p1.col_name,
+           CAST(rows_v1 AS BIGINT) AS rows_v1,
+           CAST(rows_v2 AS BIGINT) AS rows_v2,
+           CAST(nulls_v1 AS BIGINT) AS nulls_v1,
+           CAST(nulls_v2 AS BIGINT) AS nulls_v2,
+           CAST(distinct_v1 AS BIGINT) AS distinct_v1,
+           CAST(distinct_v2 AS BIGINT) AS distinct_v2,
+           CAST(rows_v2 - rows_v1 AS BIGINT) AS d_rows,
+           CAST(distinct_v2 - distinct_v1 AS BIGINT) AS d_distinct
+    FROM p1 JOIN p2 USING (col_name)
+    ORDER BY col_name
+    """
+
+
+@register("snapshot_drift_profile", _drift_oracle())
+def snapshot_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality drift gate between two snapshots
+    (operators/profile.profile_drift): per-column row/null/distinct
+    counts for v1 and v2 side by side with integer deltas — the check
+    a pipeline runs BEFORE promoting a snapshot (row-count collapse,
+    null spike, cardinality cliff all surface as exact numbers, so
+    the %97-delete / %101-reinsert scenario shows its precise row and
+    key-cardinality movement). Exact COUNT(DISTINCT) per column in
+    ONE pass (Spark Expand — the audit-grade mode this oracle row
+    pins); production monitoring at 100 TB passes approximate=True
+    for a single narrow HLL pass instead (equivalence bounds tested
+    in tests/test_round7_ops.py)."""
+    from xngin_spark.operators.profile import profile_drift
+
+    v1 = T(spark, sf_dir, "orders")
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            v1.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    return profile_drift(v1, v2, _DRIFT_COLS).orderBy("col_name")
