@@ -1014,3 +1014,17 @@ def test_column_profile_approximate_mode_close_to_exact(spark, sf_dir):
         if e["n_distinct"]:
             rel = abs(a["n_distinct"] - e["n_distinct"]) / e["n_distinct"]
             assert rel < 0.15, (c, a["n_distinct"], e["n_distinct"])
+
+
+def test_schema_drift_detects_breaks(spark):
+    from xngin_spark.operators.profile import schema_drift
+
+    old = spark.createDataFrame([(1, "a", 2.0)], "k int, s string, v double")
+    new = spark.createDataFrame([(1, "a", 2)], "k int, s string, v int")
+    d = schema_drift(old, new)
+    assert d["type_changed"] == [("v", "double", "int")]
+    assert not d["unchanged"]
+    new2 = spark.createDataFrame([(1, 5)], "k int, extra int")
+    d2 = schema_drift(old, new2)
+    assert d2["added"] == ["extra"] and d2["removed"] == ["s", "v"]
+    assert schema_drift(old, old)["unchanged"]

@@ -99,3 +99,21 @@ def profile_drift(
         (F.col("rows_v2") - F.col("rows_v1")).alias("d_rows"),
         (F.col("distinct_v2") - F.col("distinct_v1")).alias("d_distinct"),
     )
+
+
+def schema_drift(old: DataFrame, new: DataFrame) -> dict:
+    """Driver-side schema diff between two snapshots: added/removed
+    columns and type changes — the zero-cost check that runs before
+    any data pass (a schema break should fail promotion before a
+    single byte of the 100 TB snapshot is profiled). Pure metadata,
+    no Spark job."""
+    o = {f.name: f.dataType.simpleString() for f in old.schema.fields}
+    n = {f.name: f.dataType.simpleString() for f in new.schema.fields}
+    return {
+        "added": sorted(set(n) - set(o)),
+        "removed": sorted(set(o) - set(n)),
+        "type_changed": sorted(
+            (c, o[c], n[c]) for c in set(o) & set(n) if o[c] != n[c]
+        ),
+        "unchanged": o == n,
+    }
