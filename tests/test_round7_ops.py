@@ -1028,3 +1028,30 @@ def test_schema_drift_detects_breaks(spark):
     d2 = schema_drift(old, new2)
     assert d2["added"] == ["extra"] and d2["removed"] == ["s", "v"]
     assert schema_drift(old, old)["unchanged"]
+
+
+def test_bpe_tokenize_docs_matches_reference(spark):
+    from xngin_spark.operators import bpe
+
+    texts = ["banana bandana", "banana cabana banana"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges = [tuple(m) for m in bpe.learn(spark, docs, merges=4).collect()]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_chars"])
+        for r in bpe.tokenize_docs(docs, merges).collect()
+    }
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    _, ref_syms = _ref_bpe(wf, 4)
+    expect = {}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        expect[i] = (
+            sum(len(ref_syms[w]) for w in ws),
+            sum(len(w) for w in ws),
+        )
+    assert got == expect

@@ -18,6 +18,8 @@ def test_rows_only_set_is_expected():
         "bpe_learn_merges",    # iterative driver loop; bit-exact vs a
                                # pure-Python reference BPE instead
                                # (tests/test_round7_ops.py)
+        "bpe_tokenize_stats",  # learn loop inside; tokenize counts
+                               # bit-exact vs the reference tokenizer
         "dedup_minhash_lsh",   # xxhash64 signatures — DuckDB lacks the hash
         "dedup_pipeline",      # composes the minhash stage (xxhash64)
         "dedup_semantic",      # SemDeDup: iterative k-means blocking

@@ -139,3 +139,44 @@ def encode(symtab_words: DataFrame, merge_rows: list[tuple]) -> DataFrame:
     for _, l, r, _, _ in merge_rows:
         out = apply_merge(out, l, r)
     return out
+
+
+def tokenize_docs(
+    docs: DataFrame,
+    merge_rows: list[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list — the serving
+    half of BPE: encode the DISTINCT-WORD table once (k chained folds
+    over vocabulary-sized data), then join each document's word
+    sequence against it and flatten in word order. Per-doc output:
+    (id, n_tokens, n_chars, chars_per_token) — chars_per_token is the
+    compression ratio tokenizer training optimizes.
+
+    Scale shape: the expensive part (merge application) runs on
+    distinct words only; the corpus-sized work is one explode + one
+    shuffle on the word key + one per-doc aggregation. The token
+    arrays themselves are never materialized corpus-wide — only their
+    lengths aggregate."""
+    words = word_freq_table(docs, text_col)
+    encoded = encode(init_symbols(words), merge_rows).select(
+        "word", F.size("syms").alias("w_tokens"),
+        F.length("word").alias("w_chars"),
+    )
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        doc_words.join(encoded, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("w_tokens").cast("bigint").alias("n_tokens"),
+            F.sum("w_chars").cast("bigint").alias("n_chars"),
+        )
+        .withColumn(
+            "chars_per_token",
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )

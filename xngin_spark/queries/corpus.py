@@ -821,3 +821,30 @@ def bpe_learn_merges(spark, sf_dir):
     from xngin_spark.operators import bpe
 
     return bpe.learn(spark, T(spark, sf_dir, "documents"), merges=10)
+
+
+@register("bpe_tokenize_stats")  # rows-only: tokenization with the
+# learned vocab (driver merge loop inside); per-doc and corpus-level
+# token counts are bit-exact vs the pure-Python reference tokenizer in
+# tests/test_round7_ops.py
+def bpe_tokenize_stats(spark, sf_dir):
+    """The BPE serving path end-to-end: learn 10 merges, tokenize the
+    whole corpus with them (operators/bpe.tokenize_docs — encode the
+    distinct-word table once, join docs against it), and report the
+    corpus compression summary. chars_per_token is the number
+    tokenizer training exists to push up; 1.0 would mean no merge
+    ever fired."""
+    from xngin_spark.operators import bpe
+
+    d = T(spark, sf_dir, "documents")
+    merges = [tuple(m) for m in bpe.learn(spark, d, merges=10).collect()]
+    per_doc = bpe.tokenize_docs(d, merges)
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        (
+            F.sum("n_chars").cast("double")
+            / F.sum("n_tokens").cast("double")
+        ).alias("chars_per_token"),
+    )
