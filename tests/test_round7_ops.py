@@ -1055,3 +1055,23 @@ def test_bpe_tokenize_docs_matches_reference(spark):
             sum(len(w) for w in ws),
         )
     assert got == expect
+
+
+def test_maintain_agg_fast_path_rejects_lying_feed(spark):
+    """assume_destructive=False with a delete in the feed must FAIL
+    the job (in-plan raise_error), never silently corrupt the sums."""
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes, maintain_agg
+
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame([(1, "a", 2.0), (2, "a", 3.0)], schema)
+    v2 = spark.createDataFrame([(1, "a", 2.0)], schema)  # a delete
+    out = maintain_agg(
+        agg_snapshot(v1, "g", "v"),
+        cdc_changes(v1, v2, ["k"], cols=["g", "v"]),
+        v2,
+        "g",
+        "v",
+        assume_destructive=False,
+    )
+    with pytest.raises(Exception, match="non-insert change row"):
+        out.collect()

@@ -537,6 +537,20 @@ def maintain_agg(
     maintained result is value-checkable against a plain GROUP BY,
     which is exactly how incremental_agg_maintain's oracle checks it."""
     g = group_col
+    if assume_destructive is False:
+        # the append-only fast path is only correct if the feed IS
+        # append-only — enforce in-plan (zero extra jobs): any
+        # delete/update row fails the maintenance job instead of
+        # silently corrupting the maintained sums
+        changes = changes.withColumn(
+            "op",
+            F.when(F.col("op") == "insert", F.col("op")).otherwise(
+                F.expr(
+                    "raise_error('maintain_agg(assume_destructive=False) "
+                    "received a non-insert change row')"
+                )
+            ),
+        )
     adj = _signed_adjustments(changes, g, val_col)
     zero_dec = F.lit(0).cast(_AGG_DEC)
     merged = (
