@@ -81,14 +81,21 @@ def jl_project(
 
     Execution shape: ``out_dim`` zip_with/aggregate expressions over
     the vector column — entirely map-side, ZERO shuffle and zero
-    Python; projecting a 100 TB corpus is a pure scan. (The decimal
-    higher-order aggregates run interpreted, not codegen'd, so
-    per-row cost is real — ``fan_out`` spreads a small/underparallel
-    input across the cluster and no-ops once the scan already has
-    enough splits, the usual production case.) Each dot product
-    accumulates in DECIMAL(25,9) (terms are ±x_i, exact), so the
-    result is bit-identical under any evaluation order/engine; the
-    final 1/sqrt(out_dim) scaling is one exact IEEE multiply.
+    Python; projecting a 100 TB corpus is a pure scan. (``fan_out``
+    spreads a small/underparallel input across the cluster and no-ops
+    once the scan already has enough splits, the usual production
+    case.)
+
+    Determinism: inputs are FLOOR-quantized to a 1e-6 grid and the dot
+    product accumulates in exact BIGINT. floor of a double is
+    tie-FREE, unlike decimal rounding — a CAST(double AS DECIMAL(25,9))
+    version hash-diverged at sf0.1 when one float landed exactly on a
+    1e-9 midpoint (Spark HALF_UP vs DuckDB half-even round the tie
+    opposite ways; a dyadic float's decimal expansion terminates, so
+    exact midpoints are real, not measure-zero). The 1e-6 grid costs
+    ≤1e-6 per element — noise against the JL distortion bound — and
+    buys bit-identical results on any engine/evaluation order; the
+    final rescale is one exact IEEE divide+multiply on identical ints.
     """
     import hashlib
     import math
@@ -97,12 +104,11 @@ def jl_project(
 
     df = fan_out(df)
 
-    dec = "decimal(25,9)"
     scale = 1.0 / math.sqrt(out_dim)
 
-    def sign(i: int, j: int) -> float:
+    def sign(i: int, j: int) -> int:
         h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
-        return 1.0 if h % 2 == 0 else -1.0
+        return 1 if h % 2 == 0 else -1
 
     # build the whole projection as ONE parsed SQL expression: a
     # per-element Column DSL version costs in_dim*out_dim py4j
@@ -111,12 +117,13 @@ def jl_project(
     # clustering._lit_matrix
     def dim_expr(j: int) -> str:
         signs = ",".join(
-            "1.0D" if sign(i, j) > 0 else "-1.0D" for i in range(in_dim)
+            "1L" if sign(i, j) > 0 else "-1L" for i in range(in_dim)
         )
         return (
             f"CAST(aggregate(zip_with({vec_col}, array({signs}), "
-            f"(e, s) -> CAST(CAST(e AS DOUBLE) * s AS {dec})), "
-            f"CAST(0 AS {dec}), (a, x) -> CAST(a + x AS {dec})) AS DOUBLE) "
+            f"(e, s) -> CAST(floor(CAST(e AS DOUBLE) * 1000000.0D) "
+            f"AS BIGINT) * s), "
+            f"0L, (a, x) -> a + x) AS DOUBLE) / 1000000.0D "
             f"* CAST('{scale!r}' AS DOUBLE)"
         )
 

@@ -1704,14 +1704,16 @@ def embedding_quantize(spark, sf_dir):
     "embedding_jl_project",
     """
     WITH e AS (
-      SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS ev
+      SELECT vec_id, i,
+             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                  AS BIGINT) AS eq
       FROM embeddings, generate_series(1, 64) t(i)
     )
     SELECT vec_id, CAST(j AS BIGINT) AS dim,
-           CAST(SUM(CAST(ev * (CASE WHEN CAST(concat('0x',
+           CAST(SUM(eq * (CASE WHEN CAST(concat('0x',
                         substr(md5(concat(i - 1, ':', j)), 1, 15)) AS BIGINT)
-                        % 2 = 0 THEN 1.0 ELSE -1.0 END)
-                AS DECIMAL(25,9))) AS DOUBLE) * 0.25 AS value
+                        % 2 = 0 THEN 1 ELSE -1 END)) AS DOUBLE)
+             / 1000000.0 * 0.25 AS value
     FROM e, generate_series(0, 15) s(j)
     GROUP BY vec_id, j
     """,
