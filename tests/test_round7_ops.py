@@ -702,8 +702,9 @@ def _maintained_vs_recomputed(spark, v1_rows, v2_rows):
         "v",
     )
     expect = agg_snapshot(v2, "g", "v")
-    got = sorted(map(tuple, out.select("g", "cnt", "total_dec", "min_val", "max_val").collect()))
-    want = sorted(map(tuple, expect.select("g", "cnt", "total_dec", "min_val", "max_val").collect()))
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(map(tuple, out.select("g", "cnt", "total_dec", "min_val", "max_val").collect()), key=key)
+    want = sorted(map(tuple, expect.select("g", "cnt", "total_dec", "min_val", "max_val").collect()), key=key)
     assert got == want
 
 
@@ -1075,3 +1076,39 @@ def test_maintain_agg_fast_path_rejects_lying_feed(spark):
     )
     with pytest.raises(Exception, match="non-insert change row"):
         out.collect()
+
+
+def test_maintain_agg_null_group_is_a_group(spark):
+    """NULL group keys must merge null-safely everywhere: a plain
+    equi-join would split the NULL group into dangling halves (seen as
+    two rows instead of one merged row before the <=> fix)."""
+    v1 = [(1, None, 2.0), (2, "a", 3.0), (5, None, 9.0)]
+    # insert into NULL group, delete NULL group's max, move a row
+    # between NULL and 'a'
+    v2 = [(1, None, 2.0), (2, None, 3.0), (3, None, 5.0), (4, "a", 7.0)]
+    _maintained_vs_recomputed(spark, v1, v2)
+
+
+def test_maintain_agg_additive_null_group(spark):
+    from xngin_spark.sources.dml import (
+        agg_snapshot,
+        cdc_changes,
+        maintain_agg_additive,
+    )
+
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame([(1, None, 2.0), (2, "a", 3.0)], schema)
+    v2 = spark.createDataFrame(
+        [(1, None, 2.0), (3, None, 5.0), (2, "a", 3.0)], schema
+    )
+    out = maintain_agg_additive(
+        agg_snapshot(v1, "g", "v"),
+        cdc_changes(v1, v2, ["k"], cols=["g", "v"]),
+        "g",
+        "v",
+    )
+    got = sorted(
+        map(tuple, out.select("g", "cnt", F.col("total_dec").cast("double")).collect()),
+        key=lambda t: (t[0] is not None, t),
+    )
+    assert got == [(None, 2, 7.0), ("a", 1, 3.0)]

@@ -48,11 +48,11 @@ def davg(col: Column, alias: str) -> Column:
 # SQL-text twins for oracle queries (DuckDB side must do the identical
 # arithmetic). Keep these in sync with dsum/davg.
 def dsum_expr(expr: str, alias: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) AS {alias}"
+    return f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS {alias}"
 
 
 def davg_expr(expr: str, alias: str) -> str:
     return (
-        f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+        f"CAST(CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS STRING) AS DOUBLE)"
         f" / COUNT({expr}) AS {alias}"
     )

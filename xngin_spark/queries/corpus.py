@@ -249,7 +249,7 @@ _BM25_QUERIES = [
     ),
     scored AS (
       SELECT qid, doc_id,
-             CAST(SUM(CAST(ts AS DECIMAL(25,9))) AS DOUBLE) AS score
+             CAST(CAST(SUM(CAST(ts AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS score
       FROM terms GROUP BY qid, doc_id
     )
     SELECT qid, doc_id, score, rnk FROM (
@@ -302,7 +302,7 @@ _HYBRID_RRF_ORACLE = f"""
     ),
     bscored AS (
       SELECT qid, doc_id,
-             CAST(SUM(CAST(ts AS DECIMAL(25,9))) AS DOUBLE) AS score
+             CAST(CAST(SUM(CAST(ts AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS score
       FROM terms GROUP BY qid, doc_id
     ),
     branked AS (
@@ -316,19 +316,19 @@ _HYBRID_RRF_ORACLE = f"""
            WHERE vec_id < 3),
     cv AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
     qn AS (
-      SELECT qid, sqrt(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-                   AS DECIMAL(25,9))) AS DOUBLE)) AS qnorm
+      SELECT qid, sqrt(CAST(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS qnorm
       FROM qv, generate_series(1, 64) t(i) GROUP BY qid
     ),
     cn AS (
-      SELECT cid, sqrt(CAST(SUM(CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                   AS DECIMAL(25,9))) AS DOUBLE)) AS cnorm
+      SELECT cid, sqrt(CAST(CAST(SUM(CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS cnorm
       FROM cv, generate_series(1, 64) t(i) GROUP BY cid
     ),
     dots AS (
       SELECT qid, cid,
-             CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                  AS DECIMAL(25,9))) AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                  AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
       FROM qv, cv, generate_series(1, 64) t(i)
       GROUP BY qid, cid
     ),
@@ -348,7 +348,7 @@ _HYBRID_RRF_ORACLE = f"""
     ),
     fused AS (
       SELECT qid, doc_id,
-             CAST(SUM(CAST(c AS DECIMAL(25,9))) AS DOUBLE) AS rrf
+             CAST(CAST(SUM(CAST(c AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS rrf
       FROM contrib GROUP BY qid, doc_id
     )
     SELECT qid, doc_id, rrf, rank FROM (
@@ -573,7 +573,7 @@ def bloom_seen_checked(spark, sf_dir):
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
     ),
     t AS (
-      SELECT CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(25,9))) AS DOUBLE)
+      SELECT CAST(CAST(SUM(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(25,9))) AS STRING) AS DOUBLE)
                AS tot
       FROM c
     ),

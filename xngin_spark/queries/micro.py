@@ -341,9 +341,9 @@ def predicates(spark, sf_dir):
            CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
            CAST(RANK() OVER w AS BIGINT) AS rnk,
            CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
                 OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
-                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+                      ROWS UNBOUNDED PRECEDING) AS STRING) AS DOUBLE) AS running_total,
            LAG(o_orderkey) OVER w AS prev_order,
            LEAD(o_orderkey) OVER w AS next_order,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile
@@ -552,7 +552,7 @@ def grouping_sets_agg(spark, sf_dir):
         """
         SELECT o_orderpriority, o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
@@ -570,13 +570,12 @@ def grouping_sets_agg(spark, sf_dir):
       WHERE o_custkey < 200
     )
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_total,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE) AS running_total,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)
              / COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3,
            CAST(COUNT(*)
@@ -761,7 +760,7 @@ def natural_join_q(spark, sf_dir):
     """
     SELECT o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
@@ -1282,7 +1281,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
     FROM newsnap
@@ -1353,7 +1352,7 @@ def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS cnt,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS total
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS total
     FROM newsnap
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority

@@ -565,17 +565,15 @@ def _sem_checked_oracle() -> str:
     ),
     n AS (
       SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9)))
-                  AS DOUBLE)) AS nrm
+             sqrt(CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS nrm
       FROM embeddings, generate_series(1, 64) t(i)
       GROUP BY vec_id
     ),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(SUM(CAST(CAST(ea.embedding[t.i] AS DOUBLE)
-                  * CAST(eb.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9)))
-                  AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(CAST(ea.embedding[t.i] AS DOUBLE)
+                  * CAST(eb.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
       FROM assigned a JOIN assigned b
              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
            JOIN embeddings ea ON ea.vec_id = a.vec_id
@@ -1118,19 +1116,19 @@ _KNN_ORACLE = """
     WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
     qn AS (
-      SELECT qid, sqrt(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-                   AS DECIMAL(25,9))) AS DOUBLE)) AS qnorm
+      SELECT qid, sqrt(CAST(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS qnorm
       FROM q, generate_series(1, 64) t(i) GROUP BY qid
     ),
     cn AS (
-      SELECT cid, sqrt(CAST(SUM(CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                   AS DECIMAL(25,9))) AS DOUBLE)) AS cnorm
+      SELECT cid, sqrt(CAST(CAST(SUM(CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS cnorm
       FROM c, generate_series(1, 64) t(i) GROUP BY cid
     ),
     dots AS (
       SELECT qid, cid,
-             CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                  AS DECIMAL(25,9))) AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                  AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
       FROM q, c, generate_series(1, 64) t(i)
       GROUP BY qid, cid
     ),
@@ -1172,15 +1170,15 @@ def knn_cosine_lsh(spark, sf_dir):
     WITH e AS (SELECT vec_id, label, embedding AS v FROM embeddings),
     cent AS (
       SELECT label, i,
-             CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE)
              / COUNT(*) AS c
       FROM e, generate_series(1, 64) t(i)
       GROUP BY label, i
     )
     SELECT e.label,
            CAST(COUNT(DISTINCT e.vec_id) AS BIGINT) AS n_vecs,
-           CAST(SUM(CAST((CAST(v[t.i] AS DOUBLE) - c) * (CAST(v[t.i] AS DOUBLE) - c)
-                AS DECIMAL(25,9))) AS DOUBLE) AS sq_dist_sum
+           CAST(CAST(SUM(CAST((CAST(v[t.i] AS DOUBLE) - c) * (CAST(v[t.i] AS DOUBLE) - c)
+                AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS sq_dist_sum
     FROM e, generate_series(1, 64) t(i), cent
     WHERE cent.label = e.label AND cent.i = t.i
     GROUP BY e.label
@@ -1290,15 +1288,15 @@ def audio_energy(spark, sf_dir):
     WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
     n AS (
       SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE)) AS nrm
+             sqrt(CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS nrm
       FROM e, generate_series(1, 64) t(i)
       GROUP BY vec_id
     ),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(SUM(CAST(CAST(a.embedding[t.i] AS DOUBLE)
-                  * CAST(b.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(CAST(a.embedding[t.i] AS DOUBLE)
+                  * CAST(b.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
       FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
            generate_series(1, 64) t(i)
       GROUP BY 1, 2
@@ -1355,9 +1353,8 @@ def _ivf_checked_oracle() -> str:
     ),
     n AS (
       SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9)))
-                  AS DOUBLE)) AS nrm
+             sqrt(CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS nrm
       FROM embeddings, generate_series(1, 64) t(i)
       GROUP BY vec_id
     ),
@@ -1367,9 +1364,8 @@ def _ivf_checked_oracle() -> str:
     ),
     dots AS (
       SELECT c.qid, c.vec_id,
-             CAST(SUM(CAST(CAST(eq.embedding[t.i] AS DOUBLE)
-                  * CAST(ec.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9)))
-                  AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(CAST(eq.embedding[t.i] AS DOUBLE)
+                  * CAST(ec.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
       FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
            JOIN embeddings ec ON ec.vec_id = c.vec_id,
            generate_series(1, 64) t(i)
@@ -1445,9 +1441,8 @@ _LSH_CHECKED_ORACLE = """
     ),
     n AS (
       SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9)))
-                  AS DOUBLE)) AS nrm
+             sqrt(CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS nrm
       FROM embeddings, generate_series(1, 64) t(i)
       GROUP BY vec_id
     ),
@@ -1458,9 +1453,8 @@ _LSH_CHECKED_ORACLE = """
     ),
     dots AS (
       SELECT c.qid, c.vec_id,
-             CAST(SUM(CAST(CAST(eq.embedding[t.i] AS DOUBLE)
-                  * CAST(ec.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9)))
-                  AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(CAST(eq.embedding[t.i] AS DOUBLE)
+                  * CAST(ec.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
       FROM cand c JOIN embeddings eq ON eq.vec_id = c.qid
            JOIN embeddings ec ON ec.vec_id = c.vec_id,
            generate_series(1, 64) t(i)
@@ -1747,9 +1741,9 @@ _QUALITY_CLASSIFIER_ORACLE = """
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CAST(wt AS DECIMAL(25,9))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(wt AS DECIMAL(25,9))) AS STRING) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS score,
-           (CAST(SUM(CAST(wt AS DECIMAL(25,9))) AS DOUBLE)
+           (CAST(CAST(SUM(CAST(wt AS DECIMAL(25,9))) AS STRING) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE)) > 0.0 AS keep
     FROM w GROUP BY doc_id
 """
@@ -2435,9 +2429,8 @@ def _emb_stream_screen_oracle() -> str:
     ),
     n AS (
       SELECT vec_id,
-             sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9)))
-                  AS DOUBLE)) AS nrm
+             sqrt(CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS nrm
       FROM embeddings, generate_series(1, 64) t(i)
       GROUP BY vec_id
     ),
@@ -2448,9 +2441,8 @@ def _emb_stream_screen_oracle() -> str:
     ),
     dots AS (
       SELECT c.new_id, c.corpus_id,
-             CAST(SUM(CAST(CAST(eq.embedding[t.i] AS DOUBLE)
-                  * CAST(ec.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9)))
-                  AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(CAST(eq.embedding[t.i] AS DOUBLE)
+                  * CAST(ec.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
       FROM cand c JOIN embeddings eq ON eq.vec_id = c.new_id
            JOIN embeddings ec ON ec.vec_id = c.corpus_id,
            generate_series(1, 64) t(i)
@@ -2549,19 +2541,19 @@ _MMR_ORACLE = """
     q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 3),
     c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings),
     qn AS (
-      SELECT qid, sqrt(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
-                   AS DECIMAL(25,9))) AS DOUBLE)) AS qnorm
+      SELECT qid, sqrt(CAST(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS qnorm
       FROM q, generate_series(1, 64) t(i) GROUP BY qid
     ),
     cn AS (
-      SELECT cid, sqrt(CAST(SUM(CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                   AS DECIMAL(25,9))) AS DOUBLE)) AS cnorm
+      SELECT cid, sqrt(CAST(CAST(SUM(CAST(CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                   AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS cnorm
       FROM c, generate_series(1, 64) t(i) GROUP BY cid
     ),
     dots AS (
       SELECT qid, cid,
-             CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
-                  AS DECIMAL(25,9))) AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)
+                  AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
       FROM q, c, generate_series(1, 64) t(i)
       GROUP BY qid, cid
     ),
@@ -2575,9 +2567,8 @@ _MMR_ORACLE = """
     ),
     pdots AS (
       SELECT a.qid, a.vec_id AS a_id, b.vec_id AS b_id,
-             CAST(SUM(CAST(CAST(ea.embedding[t.i] AS DOUBLE)
-                  * CAST(eb.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9)))
-                  AS DOUBLE) AS dot
+             CAST(CAST(SUM(CAST(CAST(ea.embedding[t.i] AS DOUBLE)
+                  * CAST(eb.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
       FROM cand a JOIN cand b ON a.qid = b.qid AND a.vec_id <> b.vec_id
            JOIN embeddings ea ON ea.vec_id = a.vec_id
            JOIN embeddings eb ON eb.vec_id = b.vec_id,

@@ -32,7 +32,7 @@ from xngin_spark.queries import register
     agg AS (
       SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
              COUNT(*) AS n,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS rev
       FROM orders GROUP BY 1
     )
     SELECT months.m AS month,
@@ -66,7 +66,7 @@ def recursive_month_spine(spark, sf_dir):
         agg AS (
           SELECT trunc(o_orderdate, 'MM') AS m,
                  COUNT(*) AS n,
-                 CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE) AS rev
+                 CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS rev
           FROM {orders} GROUP BY 1
         )
         SELECT months.m AS month,
@@ -140,7 +140,7 @@ _GROUP_BY_ALL_SQL = """
     SELECT c_mktsegment,
            c_nationkey % 5 AS nk_band,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS bal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS bal
     FROM customer
     GROUP BY ALL
     ORDER BY ALL

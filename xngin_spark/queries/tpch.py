@@ -364,9 +364,9 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8",
     """
     SELECT o_year,
-           CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
-                    AS DECIMAL(25,6))) AS DOUBLE)
-           / CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS DOUBLE) AS mkt_share
+           CAST(CAST(SUM(CAST(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END
+                    AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(volume AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS mkt_share
     FROM (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -527,8 +527,8 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem, part
     WHERE l_partkey = p_partkey
     GROUP BY p_partkey
-    HAVING CAST(SUM(CAST(l_quantity * p_retailprice AS DECIMAL(25,6))) AS DOUBLE) > (
-      SELECT CAST(SUM(CAST(l_quantity * p_retailprice AS DECIMAL(25,6))) AS DOUBLE)
+    HAVING CAST(CAST(SUM(CAST(l_quantity * p_retailprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) > (
+      SELECT CAST(CAST(SUM(CAST(l_quantity * p_retailprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
              * (1.3 / (SELECT COUNT(*) FROM part))
       FROM lineitem, part WHERE l_partkey = p_partkey
     )
@@ -653,11 +653,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14",
     """
-    SELECT 100.00 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+    SELECT 100.00 * CAST(CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
                                        THEN l_extendedprice * (1 - l_discount)
-                                       ELSE 0 END AS DECIMAL(25,6))) AS DOUBLE)
-           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                           AS DECIMAL(25,6))) AS DOUBLE) AS promo_revenue
+                                       ELSE 0 END AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -768,13 +768,13 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17",
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) / 7.0
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING) AS DOUBLE) / 7.0
            AS avg_yearly
     FROM lineitem, part
     WHERE p_partkey = l_partkey
       AND p_brand = 'Brand#3'
       AND l_quantity < (
-        SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+        SELECT 0.2 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE)
                       / COUNT(l_quantity))
         FROM lineitem l2 WHERE l2.l_partkey = p_partkey
       )
@@ -809,7 +809,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE o_orderkey IN (
         SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 150
+        HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) > 150
       )
       AND c_custkey = o_custkey AND o_orderkey = l_orderkey
     GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
@@ -896,7 +896,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY l_suppkey
-        HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) > 50
+        HAVING CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING) AS DOUBLE) > 50
       )
       AND s_nationkey = n_nationkey
     ORDER BY s_name

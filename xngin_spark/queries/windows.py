@@ -830,13 +830,13 @@ def events_gap_fill(spark, sf_dir):
     ),
     scored AS (
       SELECT hour_start, CAST(n AS BIGINT) AS n_events,
-             CAST(SUM(CAST(n AS DECIMAL(25,6)))
+             CAST(CAST(SUM(CAST(n AS DECIMAL(25,6)))
                   OVER (ORDER BY hour_start
-                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS STRING) AS DOUBLE)
                AS win_sum,
-             CAST(SUM(CAST(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS DECIMAL(25,6)))
+             CAST(CAST(SUM(CAST(CAST(n AS DOUBLE) * CAST(n AS DOUBLE) AS DECIMAL(25,6)))
                   OVER (ORDER BY hour_start
-                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS STRING) AS DOUBLE)
                AS win_sumsq,
              CAST(COUNT(*)
                   OVER (ORDER BY hour_start

@@ -551,12 +551,19 @@ def maintain_agg(
                 )
             ),
         )
-    adj = _signed_adjustments(changes, g, val_col)
+    # every group-key join below is NULL-SAFE (<=>): a NULL group is a
+    # group like any other, and a plain equi-join would silently split
+    # it into dangling halves (planted-NULL-group test pins this)
+    adj = _signed_adjustments(changes, g, val_col).withColumnRenamed(
+        g, "__adj_g"
+    )
     zero_dec = F.lit(0).cast(_AGG_DEC)
     merged = (
-        agg_old.join(adj, on=g, how="full_outer")
+        agg_old.join(
+            adj, F.col(g).eqNullSafe(F.col("__adj_g")), "full_outer"
+        )
         .select(
-            F.col(g),
+            F.coalesce(F.col(g), F.col("__adj_g")).alias(g),
             (
                 F.coalesce(F.col("cnt"), F.lit(0))
                 + F.coalesce(F.col("dc"), F.lit(0))
@@ -586,23 +593,48 @@ def maintain_agg(
         # (append-only ingest vs CDC with deletes) pass the flag and
         # skip the probe
         assume_destructive = bool(destructive.head(1))
-    out = merged.join(ins, on=g, how="left")
+    out = merged.join(
+        ins.withColumnRenamed(g, "__ins_g"),
+        F.col(g).eqNullSafe(F.col("__ins_g")),
+        "left",
+    ).drop("__ins_g")
     if assume_destructive:
         # deletes/updates can SHRINK extrema — recompute, but only for
-        # the groups destructive ops touch (both sides of a group-
-        # moving update), via a delta-group semi-join on the snapshot
+        # the groups destructive ops touch: the old side of every
+        # destructive row, plus the new side of updates (a delete's
+        # _new image is NULL — that's an absent row, not the NULL
+        # group; an update INTO the NULL group is the NULL group)
         affected = (
             destructive.select(F.col(f"_old.{g}").alias(g))
-            .unionByName(destructive.select(F.col(f"_new.{g}").alias(g)))
-            .filter(F.col(g).isNotNull())
+            .unionByName(
+                changes.filter(F.col("op") == "update").select(
+                    F.col(f"_new.{g}").alias(g)
+                )
+            )
             .distinct()
         )
+        # the snapshot scan keeps a PLAIN equi semi-join for non-NULL
+        # affected groups — eqNullSafe would disable dynamic partition
+        # pruning on a group-partitioned layout (plan-asserted). The
+        # NULL group rides a separate branch: its partition is read
+        # only if the delta actually touched the NULL group (lazy
+        # non-empty gate, no driver action).
+        scan_nn = new_snap.join(
+            affected.filter(F.col(g).isNotNull()), on=g, how="left_semi"
+        )
+        scan_null = new_snap.filter(F.col(g).isNull()).join(
+            affected.filter(F.col(g).isNull()), F.lit(True), "left_semi"
+        )
         recomputed = (
-            new_snap.join(affected, on=g, how="left_semi")
+            scan_nn.unionByName(scan_null)
             .groupBy(g)
             .agg(F.min(val_col).alias("min_r"), F.max(val_col).alias("max_r"))
         )
-        out = out.join(recomputed, on=g, how="left")
+        out = out.join(
+            recomputed.withColumnRenamed(g, "__rec_g"),
+            F.col(g).eqNullSafe(F.col("__rec_g")),
+            "left",
+        ).drop("__rec_g")
         # a non-null recomputed value marks a destructive-affected group
         # (never null for one that survived — cnt>0 implies rows exist);
         # otherwise merge insert extrema into the old ones
@@ -662,15 +694,22 @@ def maintain_agg_additive(
     is what makes the rollup maintainable from a change STREAM
     (streaming/sinks.streaming_agg_maintain). Schema in/out:
     (group, cnt BIGINT, total_dec DECIMAL(30,6)); groups whose count
-    reaches zero drop. For min/max (which need delta-group recompute
-    against the snapshot) use :func:`maintain_agg`."""
+    reaches zero drop. A NULL group key is a group like any other —
+    all merges here are null-safe (``<=>``), since a plain equi-join
+    would silently split the NULL group into dangling halves. For
+    min/max (which need delta-group recompute against the snapshot)
+    use :func:`maintain_agg`."""
     g = group_col
-    adj = _signed_adjustments(changes, g, val_col)
+    adj = _signed_adjustments(changes, g, val_col).withColumnRenamed(
+        g, "__adj_g"
+    )
     zero_dec = F.lit(0).cast(_AGG_STATE_DEC)
     return (
-        agg_old.join(adj, on=g, how="full_outer")
+        agg_old.join(
+            adj, F.col(g).eqNullSafe(F.col("__adj_g")), "full_outer"
+        )
         .select(
-            F.col(g),
+            F.coalesce(F.col(g), F.col("__adj_g")).alias(g),
             (
                 F.coalesce(F.col("cnt"), F.lit(0))
                 + F.coalesce(F.col("dc"), F.lit(0))
