@@ -1319,9 +1319,13 @@ def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # materialize the delta once: a real CDC feed ARRIVES materialized,
+    # and maintain_agg consumes it in several branches (adjustments,
+    # insert extrema, destructive probe, affected groups) — without
+    # this the full-outer diff join re-executes per branch
     changes = cdc_changes(
         v1, v2, ["o_orderkey"], cols=["o_orderpriority", "o_totalprice"]
-    )
+    ).localCheckpoint(eager=True)
     out = maintain_agg(
         agg_snapshot(v1, "o_orderpriority", "o_totalprice"),
         changes,
