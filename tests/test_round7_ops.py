@@ -1112,3 +1112,108 @@ def test_maintain_agg_additive_null_group(spark):
         key=lambda t: (t[0] is not None, t),
     )
     assert got == [(None, 2, 7.0), ("a", 1, 3.0)]
+
+
+def test_streaming_rollup_random_batches_and_replays(spark, tmp_path):
+    """Property test of the epoch protocol: random mutation stream cut
+    into random batches, with random REPLAYS interleaved after each
+    commit — final state must equal the recompute no matter the split
+    or replay pattern."""
+    import random
+
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes
+    from xngin_spark.streaming.sinks import (
+        _latest_rollup_epoch,
+        apply_cdc_rollup_batch,
+    )
+
+    rng = random.Random(4242)
+    schema = "k bigint, g string, v double"
+    v1_rows = [(i, f"g{rng.randrange(5)}", round(rng.uniform(-20, 20), 2)) for i in range(120)]
+    v2_rows = []
+    nk = 500
+    for k, gg, v in v1_rows:
+        r = rng.random()
+        if r < 0.2:
+            continue
+        if r < 0.4:
+            v2_rows.append((k, f"g{rng.randrange(5)}", round(rng.uniform(-20, 20), 2)))
+        else:
+            v2_rows.append((k, gg, v))
+    for _ in range(25):
+        v2_rows.append((nk, f"g{rng.randrange(5)}", round(rng.uniform(-20, 20), 2)))
+        nk += 1
+
+    rollup = str(tmp_path / "rollup")
+    v1 = spark.createDataFrame(v1_rows, schema)
+    v2 = spark.createDataFrame(v2_rows, schema)
+    agg_snapshot(v1, "g", "v").select(
+        "g", "cnt", F.col("total_dec").cast("decimal(30,6)").alias("total_dec")
+    ).write.parquet(f"{rollup}/epoch=-1")
+    changes = cdc_changes(v1, v2, ["k"], cols=["g", "v"]).localCheckpoint()
+    nb = 5
+    for b in range(nb):
+        batch = changes.filter(F.pmod(F.xxhash64("k"), F.lit(nb)) == b)
+        apply_cdc_rollup_batch(batch, b, rollup, "g", "v", ["k"])
+        if rng.random() < 0.6:  # crash-and-replay this batch
+            apply_cdc_rollup_batch(batch, b, rollup, "g", "v", ["k"])
+    final = _latest_rollup_epoch(rollup)
+    got = sorted(
+        map(
+            tuple,
+            spark.read.parquet(f"{rollup}/epoch={final}")
+            .select("g", "cnt", F.col("total_dec").cast("double"))
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            agg_snapshot(v2, "g", "v")
+            .select("g", "cnt", F.col("total_dec").cast("double"))
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+def test_cdc_changes_matches_python_reference(spark):
+    """cdc_changes vs a dict-diff reference on randomized snapshots —
+    op classification and before/after images, including NULL values
+    and NULL-vs-value transitions (eqNullSafe compare)."""
+    import random
+
+    from xngin_spark.sources.dml import cdc_changes
+
+    rng = random.Random(99)
+    def mkrow(k):
+        return (
+            k,
+            None if rng.random() < 0.15 else f"g{rng.randrange(4)}",
+            None if rng.random() < 0.15 else round(rng.uniform(0, 9), 1),
+        )
+
+    v1_rows = [mkrow(k) for k in range(80)]
+    v2_rows = [mkrow(k) for k in rng.sample(range(100), 70)]
+    schema = "k bigint, g string, v double"
+    got = {
+        r["k"]: (r["op"], tuple(r["_old"]) if r["_old"] else None,
+                 tuple(r["_new"]) if r["_new"] else None)
+        for r in cdc_changes(
+            spark.createDataFrame(v1_rows, schema),
+            spark.createDataFrame(v2_rows, schema),
+            ["k"],
+            cols=["g", "v"],
+        ).collect()
+    }
+    o = {k: (g, v) for k, g, v in v1_rows}
+    n = {k: (g, v) for k, g, v in v2_rows}
+    want = {}
+    for k in set(o) | set(n):
+        if k not in n:
+            want[k] = ("delete", o[k], None)
+        elif k not in o:
+            want[k] = ("insert", None, n[k])
+        elif o[k] != n[k]:
+            want[k] = ("update", o[k], n[k])
+    assert got == want
