@@ -320,3 +320,39 @@ def test_e2e_stmt_no_params_and_date_types(served_engine):
     assert names == ["d", "ts", "miss"]
     assert rows == [[dt.date(2024, 1, 2),
                      dt.datetime(2024, 1, 2, 3, 4, 5, 6), None]]
+
+
+def test_e2e_concurrent_clients(served_engine):
+    """The server's one-thread-per-connection model under real
+    concurrency: 6 clients issue interleaved text queries and prepared
+    statements simultaneously; every client must get its own correct
+    answers (no cross-connection statement-id or resultset bleed)."""
+    import threading
+
+    errors: list = []
+
+    def worker(wid: int) -> None:
+        try:
+            with _connect(served_engine) as conn:
+                for i in range(5):
+                    names, rows = conn.query(
+                        f"SELECT {wid} AS w, {i} AS i, {wid} * 100 + {i} AS v"
+                    )
+                    assert rows == [[str(wid), str(i), str(wid * 100 + i)]], (
+                        wid, i, rows)
+                    sid, n_params, _ = conn.stmt_prepare(
+                        "SELECT ? + ? AS s"
+                    )
+                    assert n_params == 2
+                    _, prows = conn.stmt_execute(sid, [wid, i])
+                    assert prows == [[wid + i]], (wid, i, prows)
+                    conn.stmt_close(sid)
+        except Exception as e:  # propagate to the main thread
+            errors.append((wid, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(w,)) for w in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
