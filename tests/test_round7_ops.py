@@ -1217,3 +1217,50 @@ def test_cdc_changes_matches_python_reference(spark):
         elif o[k] != n[k]:
             want[k] = ("update", o[k], n[k])
     assert got == want
+
+
+def test_scd2_to_cdc_to_maintained_rollup_end_to_end(spark, tmp_path):
+    """Three subsystems composed: an SCD2 dimension accrues two merge
+    generations; the CDC delta between the two as-of snapshots feeds
+    maintain_agg on the v1 rollup; the maintained result must equal a
+    direct aggregation of the v2 time-travel read. This is the
+    warehouse loop — versioned history in, maintained materialized
+    view out — with the time-travel reads as the only table scans."""
+    from xngin_spark.sources.dml import (
+        agg_snapshot,
+        cdc_changes,
+        maintain_agg,
+        merge_scd2,
+        scd2_init,
+        scd2_snapshot,
+    )
+
+    path = str(tmp_path / "dim")
+    schema = "k bigint, seg string, bal double"
+    gen1 = spark.createDataFrame(
+        [(i, f"s{i % 3}", float(10 * i)) for i in range(40)], schema
+    )
+    scd2_init(gen1, as_of=100).write.parquet(path)
+    gen2 = spark.createDataFrame(
+        # reprices %4, moves %7 to another segment, adds 5 new keys
+        [
+            (i, f"s{(i + (1 if i % 7 == 0 else 0)) % 3}",
+             float(10 * i + (5 if i % 4 == 0 else 0)))
+            for i in range(40)
+        ]
+        + [(100 + j, f"s{j % 3}", 7.0) for j in range(5)],
+        schema,
+    )
+    merge_scd2(spark, path, gen2, on="k", as_of=200)
+
+    v1 = scd2_snapshot(spark, path, as_of=150).select("k", "seg", "bal")
+    v2 = scd2_snapshot(spark, path, as_of=250).select("k", "seg", "bal")
+    changes = cdc_changes(v1, v2, ["k"], cols=["seg", "bal"]).localCheckpoint()
+    out = maintain_agg(
+        agg_snapshot(v1, "seg", "bal"), changes, v2, "seg", "bal"
+    )
+    expect = agg_snapshot(v2, "seg", "bal")
+    cols = ["seg", "cnt", "total_dec", "min_val", "max_val"]
+    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+        map(tuple, expect.select(*cols).collect())
+    )
