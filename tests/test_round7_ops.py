@@ -1264,3 +1264,85 @@ def test_scd2_to_cdc_to_maintained_rollup_end_to_end(spark, tmp_path):
     assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
         map(tuple, expect.select(*cols).collect())
     )
+
+
+def test_maintain_agg_multi_matches_recompute(spark):
+    """Two measures maintained in one delta pass — equivalence vs the
+    direct multi-measure aggregation under deletes, repricing updates,
+    group moves, NULL groups and NULL measure values."""
+    import random
+
+    from xngin_spark.sources.dml import (
+        agg_snapshot_multi,
+        cdc_changes,
+        maintain_agg_multi,
+    )
+
+    rng = random.Random(31)
+    schema = "k bigint, g string, a double, b double"
+
+    def mkrow(k):
+        return (
+            k,
+            None if rng.random() < 0.1 else f"g{rng.randrange(6)}",
+            None if rng.random() < 0.1 else round(rng.uniform(-30, 30), 2),
+            round(rng.uniform(0, 100), 2),
+        )
+
+    v1_rows = [mkrow(k) for k in range(250)]
+    v2_rows = []
+    for r in v1_rows:
+        x = rng.random()
+        if x < 0.15:
+            continue
+        if x < 0.35:
+            v2_rows.append(mkrow(r[0]))
+        else:
+            v2_rows.append(r)
+    v2_rows += [mkrow(1000 + j) for j in range(30)]
+    v1 = spark.createDataFrame(v1_rows, schema)
+    v2 = spark.createDataFrame(v2_rows, schema)
+    out = maintain_agg_multi(
+        agg_snapshot_multi(v1, "g", ["a", "b"]),
+        cdc_changes(v1, v2, ["k"], cols=["g", "a", "b"]).localCheckpoint(),
+        v2,
+        "g",
+        ["a", "b"],
+    )
+    expect = agg_snapshot_multi(v2, "g", ["a", "b"])
+    cols = ["g", "cnt", "total_dec_a", "total_dec_b",
+            "min_a", "max_a", "min_b", "max_b"]
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    got = sorted(map(tuple, out.select(*cols).collect()), key=key)
+    want = sorted(map(tuple, expect.select(*cols).collect()), key=key)
+    assert got == want
+
+
+def test_maintain_agg_multi_insert_only_no_snapshot_scan(spark):
+    from xngin_spark.sources.dml import (
+        agg_snapshot_multi,
+        cdc_changes,
+        maintain_agg_multi,
+    )
+
+    schema = "k bigint, g string, a double, b double"
+    v1_rows = [(1, "x", 1.0, 2.0)]
+    v2_rows = v1_rows + [(2, "x", 5.0, 0.5), (3, "y", -1.0, 9.0)]
+    v1 = spark.createDataFrame(v1_rows, schema)
+    v2 = spark.createDataFrame(v2_rows, schema)
+    out = maintain_agg_multi(
+        agg_snapshot_multi(v1, "g", ["a", "b"]),
+        cdc_changes(v1, v2, ["k"], cols=["g", "a", "b"]),
+        v2,
+        "g",
+        ["a", "b"],
+        assume_destructive=False,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in plan
+    cols = ["g", "cnt", "total_dec_a", "total_dec_b",
+            "min_a", "max_a", "min_b", "max_b"]
+    expect = agg_snapshot_multi(v2, "g", ["a", "b"])
+    assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+        map(tuple, expect.select(*cols).collect())
+    )

@@ -1529,3 +1529,108 @@ def snapshot_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return profile_drift(v1, v2, _DRIFT_COLS).orderBy("col_name")
+
+
+@register(
+    "incremental_agg_multi",
+    """
+    WITH keyed AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+             l_extendedprice,
+             COUNT(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS __n
+      FROM lineitem
+    ),
+    uniq AS (SELECT * EXCLUDE (__n) FROM keyed WHERE __n = 1),
+    newsnap AS (
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             CASE WHEN l_orderkey % 89 = 0 THEN l_quantity + 1
+                  ELSE l_quantity END AS l_quantity,
+             l_extendedprice
+      FROM uniq WHERE l_orderkey % 97 <> 0
+      UNION ALL
+      SELECT l_orderkey + 100000000, l_linenumber, l_returnflag,
+             l_quantity, l_extendedprice
+      FROM uniq WHERE l_orderkey % 101 = 0
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS STRING)
+                AS DOUBLE) AS total_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS STRING)
+                AS DOUBLE) AS total_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM newsnap
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def incremental_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure rollup maintenance on the FACT table
+    (sources/dml.maintain_agg_multi): lineitem's per-returnflag
+    (count, Σqty, Σprice, min/max of both) rollup maintained under a
+    composite-key CDC delta (deletes %97, requantified %89, re-inserts
+    %101) — every measure rides the SAME delta pass and merge join, so
+    a k-measure rollup costs one maintenance round, not k. Oracle is
+    the full multi-measure recompute over the new snapshot: the value
+    hash proves per-measure sums (decimal-exact) and extrema
+    (insert-merge + touched-group recompute) all at once."""
+    from xngin_spark.sources.dml import (
+        agg_snapshot_multi,
+        cdc_changes,
+        maintain_agg_multi,
+    )
+
+    # the synthetic lineitem VIOLATES its composite PK (a real finding
+    # constraint_check surfaces) — CDC needs unique keys, so the
+    # scenario runs over the unique-keyed subset on both engines
+    w = Window.partitionBy("l_orderkey", "l_linenumber")
+    v1 = (
+        T(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_quantity", "l_extendedprice",
+        )
+        .withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") == 1)
+        .drop("__n")
+    )
+    v2 = (
+        v1.filter(F.col("l_orderkey") % 97 != 0)
+        .withColumn(
+            "l_quantity",
+            F.when(
+                F.col("l_orderkey") % 89 == 0, F.col("l_quantity") + 1
+            ).otherwise(F.col("l_quantity")),
+        )
+        .unionByName(
+            v1.filter(F.col("l_orderkey") % 101 == 0).withColumn(
+                "l_orderkey", F.col("l_orderkey") + 100000000
+            )
+        )
+    )
+    changes = cdc_changes(
+        v1,
+        v2,
+        ["l_orderkey", "l_linenumber"],
+        cols=["l_returnflag", "l_quantity", "l_extendedprice"],
+    ).localCheckpoint(eager=True)
+    out = maintain_agg_multi(
+        agg_snapshot_multi(v1, "l_returnflag", ["l_quantity", "l_extendedprice"]),
+        changes,
+        v2,
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice"],
+    )
+    return out.select(
+        "l_returnflag",
+        "cnt",
+        F.col("total_dec_l_quantity").cast("double").alias("total_qty"),
+        F.col("total_dec_l_extendedprice").cast("double").alias("total_price"),
+        F.col("min_l_quantity").alias("min_qty"),
+        F.col("max_l_quantity").alias("max_qty"),
+        F.col("min_l_extendedprice").alias("min_price"),
+        F.col("max_l_extendedprice").alias("max_price"),
+    ).orderBy("l_returnflag")

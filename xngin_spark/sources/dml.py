@@ -723,3 +723,164 @@ def maintain_agg_additive(
         )
         .filter(F.col("cnt") > 0)
     )
+
+
+def agg_snapshot_multi(
+    df: DataFrame, group_col: str, val_cols: list[str]
+) -> DataFrame:
+    """Multi-measure rollup shape: one shared cnt plus, per measure c,
+    (total_dec_{c} DECIMAL, min_{c}, max_{c}) — all measures in ONE
+    aggregation pass."""
+    aggs = [F.count(F.lit(1)).alias("cnt")]
+    for c in val_cols:
+        aggs += [
+            F.sum(F.col(c).cast(_AGG_DEC)).alias(f"total_dec_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    return df.groupBy(group_col).agg(*aggs)
+
+
+def maintain_agg_multi(
+    agg_old: DataFrame,
+    changes: DataFrame,
+    new_snap: DataFrame,
+    group_col: str,
+    val_cols: list[str],
+    assume_destructive: bool | None = None,
+) -> DataFrame:
+    """Multi-measure :func:`maintain_agg`: every measure maintained in
+    the SAME delta pass and the SAME merge join — a rollup with k
+    measures costs one maintenance round, not k. Same structure
+    throughout: additive count + per-measure decimal sums from the
+    delta alone, insert-only extrema merged additively, destructive
+    extrema recomputed only for touched groups (one semi-joined scan
+    aggregating all measures at once), every group-key join null-safe,
+    the append-only fast path guarded in-plan. Shapes:
+    agg_old/result from :func:`agg_snapshot_multi`."""
+    g = group_col
+    if assume_destructive is False:
+        changes = changes.withColumn(
+            "op",
+            F.when(F.col("op") == "insert", F.col("op")).otherwise(
+                F.expr(
+                    "raise_error('maintain_agg_multi(assume_destructive="
+                    "False) received a non-insert change row')"
+                )
+            ),
+        )
+    plus = changes.filter(F.col("op").isin("insert", "update")).select(
+        F.col(f"_new.{g}").alias(g),
+        F.lit(1).cast("bigint").alias("dc"),
+        *[
+            F.col(f"_new.{c}").cast(_AGG_DEC).alias(f"dv_{c}")
+            for c in val_cols
+        ],
+    )
+    minus = changes.filter(F.col("op").isin("delete", "update")).select(
+        F.col(f"_old.{g}").alias(g),
+        F.lit(-1).cast("bigint").alias("dc"),
+        *[
+            (-F.col(f"_old.{c}").cast(_AGG_DEC)).alias(f"dv_{c}")
+            for c in val_cols
+        ],
+    )
+    adj = (
+        plus.unionByName(minus)
+        .groupBy(g)
+        .agg(
+            F.sum("dc").alias("dc"),
+            *[F.sum(f"dv_{c}").alias(f"dv_{c}") for c in val_cols],
+        )
+        .withColumnRenamed(g, "__adj_g")
+    )
+    zero_dec = F.lit(0).cast(_AGG_DEC)
+    merged = (
+        agg_old.join(
+            adj, F.col(g).eqNullSafe(F.col("__adj_g")), "full_outer"
+        )
+        .select(
+            F.coalesce(F.col(g), F.col("__adj_g")).alias(g),
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            ).alias("cnt"),
+            *[
+                (
+                    F.coalesce(F.col(f"total_dec_{c}"), zero_dec)
+                    + F.coalesce(F.col(f"dv_{c}"), zero_dec)
+                ).alias(f"total_dec_{c}")
+                for c in val_cols
+            ],
+            *[F.col(f"min_{c}") for c in val_cols],
+            *[F.col(f"max_{c}") for c in val_cols],
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    ins = (
+        changes.filter(F.col("op") == "insert")
+        .groupBy(F.col(f"_new.{g}").alias("__ins_g"))
+        .agg(
+            *[F.min(f"_new.{c}").alias(f"imin_{c}") for c in val_cols],
+            *[F.max(f"_new.{c}").alias(f"imax_{c}") for c in val_cols],
+        )
+    )
+    destructive = changes.filter(F.col("op").isin("delete", "update"))
+    if assume_destructive is None:
+        assume_destructive = bool(destructive.head(1))
+    out = merged.join(
+        ins, F.col(g).eqNullSafe(F.col("__ins_g")), "left"
+    ).drop("__ins_g")
+    if assume_destructive:
+        affected = (
+            destructive.select(F.col(f"_old.{g}").alias(g))
+            .unionByName(
+                changes.filter(F.col("op") == "update").select(
+                    F.col(f"_new.{g}").alias(g)
+                )
+            )
+            .distinct()
+        )
+        scan_nn = new_snap.join(
+            affected.filter(F.col(g).isNotNull()), on=g, how="left_semi"
+        )
+        scan_null = new_snap.filter(F.col(g).isNull()).join(
+            affected.filter(F.col(g).isNull()), F.lit(True), "left_semi"
+        )
+        recomputed = (
+            scan_nn.unionByName(scan_null)
+            .groupBy(F.col(g).alias("__rec_g"))
+            .agg(
+                *[F.min(c).alias(f"rmin_{c}") for c in val_cols],
+                *[F.max(c).alias(f"rmax_{c}") for c in val_cols],
+            )
+        )
+        out = out.join(
+            recomputed, F.col(g).eqNullSafe(F.col("__rec_g")), "left"
+        ).drop("__rec_g")
+
+        def mm(c):
+            return (
+                F.coalesce(
+                    f"rmin_{c}", F.least(f"min_{c}", f"imin_{c}")
+                ).alias(f"min_{c}"),
+                F.coalesce(
+                    f"rmax_{c}", F.greatest(f"max_{c}", f"imax_{c}")
+                ).alias(f"max_{c}"),
+            )
+
+    else:
+
+        def mm(c):
+            return (
+                F.least(f"min_{c}", f"imin_{c}").alias(f"min_{c}"),
+                F.greatest(f"max_{c}", f"imax_{c}").alias(f"max_{c}"),
+            )
+
+    minmax = [col for c in val_cols for col in mm(c)]
+    return out.select(
+        F.col(g),
+        "cnt",
+        *[F.col(f"total_dec_{c}") for c in val_cols],
+        *minmax,
+    )
