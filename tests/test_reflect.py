@@ -44,12 +44,13 @@ def test_tpch_reflection_roundtrip(spark, sf_dir):
     mismatched = {n: r for n, r in results.items() if r.startswith("mismatch")}
     assert not mismatched, f"reflected SQL changed results: {mismatched}"
     ok = [n for n, r in results.items() if r == "ok"]
-    # Out of SQL surface by design: q11 only (its localCheckpoint
-    # materializes the shared per-part aggregate into a LogicalRDD —
-    # data, not a plan). q21's buried-alias shape reflects since the
-    # renderer learned to flatten pass-through Project/Filter chains
-    # over joins and hoist the filters into the enclosing WHERE.
-    assert len(ok) >= 21, f"reflectable TPC-H coverage shrank: {sorted(ok)}"
+    # 22/22, matching the reference's reflect.rs round-trip: q11's
+    # localCheckpoint pin reflects through the barrier via
+    # reflect_checkpoint's registered pre-checkpoint plan; q21's
+    # buried-alias shape reflects since the renderer learned to
+    # flatten pass-through Project/Filter chains over joins and hoist
+    # the filters into the enclosing WHERE.
+    assert len(ok) == 22, f"reflectable TPC-H coverage shrank: {sorted(ok)}"
 
 
 #: Families that MUST reflect (round-7 coverage growth: all six

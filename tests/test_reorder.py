@@ -554,7 +554,9 @@ def test_reorder_join_facade_dispatches(spark):
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, expected.collect())
     )
-    # >20 vertices with a hyperedge: explicit refusal, not a bad plan
+    # a 21-vertex chain with a hyperedge is now INSIDE the 31-vertex
+    # cap (chains are ~n^3 pairs — cheap): DPhyp plans it exactly,
+    # TES machinery and all, instead of the old 20-vertex refusal
     from xngin_spark.plans.reorder import Edge
 
     many = {f"v{i:02d}": a.selectExpr(f"ak as k{i:02d}") for i in range(21)}
@@ -563,5 +565,15 @@ def test_reorder_join_facade_dispatches(spark):
         for i in range(1, 21)
     ]
     chain[5] = Edge("v05", "v06", (("k05", "k06"),), "left")
+    planned = reorder_join(many, chain, measure_ndv=False)
+    assert len(planned.columns) == 21
+    # beyond the reference's 31-relation graph cap with a hyperedge:
+    # explicit refusal, not a bad plan (GOO has no eligibility sets)
+    many33 = {f"v{i:02d}": a.selectExpr(f"ak as k{i:02d}") for i in range(33)}
+    chain33 = [
+        Edge(f"v{i-1:02d}", f"v{i:02d}", ((f"k{i-1:02d}", f"k{i:02d}"),))
+        for i in range(1, 33)
+    ]
+    chain33[5] = Edge("v05", "v06", (("k05", "k06"),), "left")
     with pytest.raises(ValueError, match="exact-DP budget"):
-        reorder_join(many, chain, measure_ndv=False)
+        reorder_join(many33, chain33, measure_ndv=False)

@@ -979,7 +979,7 @@ def test_column_profile_counts_nulls_and_distincts(spark):
     )
     got = {
         r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
-        for r in column_profile(df).collect()
+        for r in column_profile(df, approximate=False).collect()
     }
     assert got == {"x": (4, 1, 3), "s": (4, 1, 2)}
 
@@ -991,7 +991,10 @@ def test_profile_drift_deltas(spark):
     new = spark.createDataFrame(
         [(i, "k") for i in range(8)] + [(None, "j")], "x int, s string"
     )
-    got = {r["col_name"]: r for r in profile_drift(old, new).collect()}
+    got = {
+        r["col_name"]: r
+        for r in profile_drift(old, new, approximate=False).collect()
+    }
     assert got["x"]["d_rows"] == -1
     assert got["x"]["nulls_v2"] == 1
     assert got["x"]["d_distinct"] == -2
@@ -1005,10 +1008,13 @@ def test_column_profile_approximate_mode_close_to_exact(spark, sf_dir):
     from xngin_spark.queries.tpch import T
 
     df = T(spark, sf_dir, "orders")
-    exact = {r["col_name"]: r for r in column_profile(df).collect()}
-    approx = {
-        r["col_name"]: r for r in column_profile(df, approximate=True).collect()
+    exact = {
+        r["col_name"]: r
+        for r in column_profile(df, approximate=False).collect()
     }
+    # the DEFAULT is the approximate production mode (the Expand-free
+    # single pass) — calling with no kwarg must take the HLL path
+    approx = {r["col_name"]: r for r in column_profile(df).collect()}
     for c, e in exact.items():
         a = approx[c]
         assert a["n_rows"] == e["n_rows"] and a["n_nulls"] == e["n_nulls"]

@@ -1,0 +1,436 @@
+"""Round-8 fixes and additions, pinned on planted inputs.
+
+Covers the round-7 ADVICE items: backslash-safe SQL literal binding on
+the prepared-statement path, comment-aware placeholder scanning,
+explicit affected-group marking in rollup maintenance (an all-NULL
+surviving measure must overwrite stale extrema with NULL, not keep
+them), the missing-index seed contract of the vector ingest-admit
+sink, and Unreflectable (not Py4J) error shape for odd Expand tails.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xngin_spark.server import protocol as P
+
+
+# --- prepared-statement literal binding (server.py / compat.py) ----------
+
+
+def test_sql_literal_escapes_backslashes(spark):
+    """A bound string parameter containing backslashes / a trailing
+    backslash must round-trip exactly through Spark's parser — the
+    backslash is an escape character in Spark string literals, so
+    quote-doubling alone would let a trailing '\\' swallow the closing
+    quote (parameter content escaping into the statement)."""
+    from xngin_spark.server.server import MySQLServer as Server
+
+    for v in ["a\\", "\\", "it's a \\'test\\'", "c:\\tmp\\x", "plain"]:
+        lit = Server._sql_literal(v)
+        [(got,)] = spark.sql(f"SELECT {lit} AS s").collect()
+        assert got == v, (v, lit, got)
+
+
+def test_compat_lit_escapes_backslashes(spark):
+    from xngin_spark.server.compat import _lit
+
+    for v in ["x\\", "a\\'b"]:
+        [(got,)] = spark.sql(f"SELECT {_lit(v)} AS s").collect()
+        assert got == v
+
+
+def test_sql_literal_injection_cannot_escape(spark):
+    """The classic smuggle: value ends in a backslash so the next
+    quote is escaped and attacker text runs. With correct escaping the
+    whole value stays inside ONE literal."""
+    from xngin_spark.server.server import MySQLServer as Server
+
+    v = "x\\' OR 1=1 --"
+    lit = Server._sql_literal(v)
+    [(got, n)] = spark.sql(f"SELECT {lit} AS s, 1 AS n").collect()
+    assert got == v and n == 1
+
+
+# --- placeholder scanning skips comments (protocol.py) -------------------
+
+
+def test_placeholders_skip_line_comments():
+    sql = "SELECT ? -- is this a param? no\n , ?"
+    assert P.count_placeholders(sql) == 2
+    assert (
+        P.substitute_params(sql, ["1", "2"])
+        == "SELECT 1 -- is this a param? no\n , 2"
+    )
+
+
+def test_placeholders_skip_block_comments():
+    sql = "SELECT /* what? really? */ ? + ? /* tail? */"
+    assert P.count_placeholders(sql) == 2
+    assert (
+        P.substitute_params(sql, ["1", "2"])
+        == "SELECT /* what? really? */ 1 + 2 /* tail? */"
+    )
+
+
+def test_placeholders_comment_inside_string_is_text():
+    # '--' inside a quoted literal is NOT a comment opener; the ?
+    # after it is still a marker
+    sql = "SELECT '--?' , ?"
+    assert P.count_placeholders(sql) == 1
+    assert P.substitute_params(sql, ["9"]) == "SELECT '--?' , 9"
+
+
+def test_placeholders_unterminated_block_comment():
+    assert P.count_placeholders("SELECT ? /* open ?") == 1
+
+
+# --- maintenance overwrites extrema for all-NULL survivors ---------------
+
+
+def test_maintain_agg_all_null_survivors_null_extrema(spark):
+    """Delete the only non-NULL measure row of a group: the surviving
+    rows are all NULL in val_col, so the recomputed min/max are NULL —
+    the maintained rollup must OVERWRITE the stale extrema with NULL
+    (membership must not be inferred from a non-null recomputed
+    value), matching the direct GROUP BY."""
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes, maintain_agg
+
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", None), (3, "a", None), (4, "b", 1.0)],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [(2, "a", None), (3, "a", None), (4, "b", 1.0)], schema
+    )
+    out = maintain_agg(
+        agg_snapshot(v1, "g", "v"),
+        cdc_changes(v1, v2, ["k"], cols=["g", "v"]),
+        v2,
+        "g",
+        "v",
+    )
+    expect = agg_snapshot(v2, "g", "v")
+    cols = ["g", "cnt", "total_dec", "min_val", "max_val"]
+    got = sorted(map(tuple, out.select(*cols).collect()))
+    want = sorted(map(tuple, expect.select(*cols).collect()))
+    assert got == want
+    a = dict(zip(cols, next(t for t in got if t[0] == "a")))
+    assert a["min_val"] is None and a["max_val"] is None
+
+
+def test_maintain_agg_update_to_null_nulls_extrema(spark):
+    """UPDATE (not delete) that nulls the last non-NULL value — same
+    overwrite contract through the update path."""
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes, maintain_agg
+
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame([(1, "a", 5.0), (2, "a", None)], schema)
+    v2 = spark.createDataFrame([(1, "a", None), (2, "a", None)], schema)
+    out = maintain_agg(
+        agg_snapshot(v1, "g", "v"),
+        cdc_changes(v1, v2, ["k"], cols=["g", "v"]),
+        v2,
+        "g",
+        "v",
+    )
+    [r] = out.collect()
+    assert r["cnt"] == 2 and r["min_val"] is None and r["max_val"] is None
+
+
+def test_maintain_agg_multi_all_null_survivors(spark):
+    """Multi-measure twin: measure `a` goes all-NULL in one group
+    while `b` keeps values — min_a/max_a must become NULL, min_b/max_b
+    must recompute normally, in the same maintenance round."""
+    from xngin_spark.sources.dml import (
+        agg_snapshot_multi,
+        cdc_changes,
+        maintain_agg_multi,
+    )
+
+    schema = "k bigint, g string, a double, b double"
+    v1 = spark.createDataFrame(
+        [(1, "x", 9.0, 2.0), (2, "x", None, 7.0), (3, "y", 1.0, 1.0)],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [(2, "x", None, 7.0), (3, "y", 1.0, 1.0)], schema
+    )
+    out = maintain_agg_multi(
+        agg_snapshot_multi(v1, "g", ["a", "b"]),
+        cdc_changes(v1, v2, ["k"], cols=["g", "a", "b"]),
+        v2,
+        "g",
+        ["a", "b"],
+    )
+    x = next(r for r in out.collect() if r["g"] == "x")
+    assert x["min_a"] is None and x["max_a"] is None
+    assert x["min_b"] == 7.0 and x["max_b"] == 7.0
+
+
+# --- vector ingest-admit seeds a missing index ---------------------------
+
+
+def test_vector_ingest_admit_seeds_missing_index(spark, sf_dir, tmp_path):
+    """First batch against a not-yet-created index path: the stored
+    side is treated as empty (everything admits) and the index is
+    seeded by the batch itself — no separate seed step, mirroring the
+    'missing index == empty index' contract."""
+    import os
+
+    from xngin_spark.operators.clustering import ivf_persist
+    from xngin_spark.queries.pipeline import _SEM_CODEBOOK
+    from xngin_spark.streaming import embeddings_stream
+    from xngin_spark.streaming.sinks import streaming_vector_ingest_admit
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding", "label")
+        .filter(F.col("vec_id") < 40)
+        .localCheckpoint(eager=True)
+    )
+    feed = str(tmp_path / "feed")
+    os.makedirs(feed)
+    emb.coalesce(1).write.parquet(f"{feed}/staging")
+    part = [
+        f for f in os.listdir(f"{feed}/staging") if f.endswith(".parquet")
+    ][0]
+    os.rename(f"{feed}/staging/{part}", f"{feed}/v0.parquet")
+
+    idx = str(tmp_path / "ivf")  # does NOT exist
+    corpus_out = str(tmp_path / "admitted")
+    streaming_vector_ingest_admit(
+        embeddings_stream(spark, feed),
+        idx,
+        _SEM_CODEBOOK,
+        corpus_out,
+        str(tmp_path / "ckpt"),
+    )
+    admitted = spark.read.parquet(corpus_out).drop("batch")
+    got = {r["vec_id"] for r in admitted.select("vec_id").collect()}
+    assert got == set(range(40))
+    # the seeded index equals a from-scratch build over the admissions
+    rebuilt = str(tmp_path / "rebuilt")
+    ivf_persist(emb, _SEM_CODEBOOK, rebuilt)
+
+    def rows(path):
+        return {
+            (r["vec_id"], r["ivf_list"])
+            for r in spark.read.parquet(path)
+            .select("vec_id", "ivf_list")
+            .collect()
+        }
+
+    assert rows(idx) == rows(rebuilt)
+
+
+# --- scrub_rows on a missing dataset is a no-op --------------------------
+
+
+def test_scrub_rows_missing_path_noop(spark, tmp_path):
+    from xngin_spark.sources.dml import scrub_rows
+
+    gone = spark.createDataFrame([(1,)], "vec_id bigint")
+    scrub_rows(spark, str(tmp_path / "nope"), gone, "vec_id")  # no raise
+
+
+# --- column_profile production default is approximate --------------------
+
+
+def test_column_profile_default_is_approximate(spark):
+    """The default plan must NOT contain the Expand COUNT(DISTINCT)
+    rewrite — one narrow HLL pass is the 100 TB production shape."""
+    from xngin_spark.operators.profile import column_profile
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m")
+    )
+    plan = (
+        column_profile(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    exact_plan = (
+        column_profile(df, approximate=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan
+
+
+# --- reflection through the localCheckpoint barrier ----------------------
+
+
+def test_reflect_checkpoint_renders_through_barrier(spark, sf_dir):
+    from xngin_spark.plans.reflect import (
+        Unreflectable,
+        reflect_checkpoint,
+        roundtrip_equivalent,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    agg = base.groupBy("n_regionkey").agg(F.count(F.lit(1)).alias("n"))
+    pinned = reflect_checkpoint(agg)
+    out = pinned.filter(F.col("n") > 0).orderBy("n_regionkey")
+    assert roundtrip_equivalent(out)
+    # a BARE localCheckpoint (no registration) is still data-not-plan.
+    # NB: built from a FRESH plan — re-checkpointing the registered
+    # `agg` would reuse its output exprIds and legitimately resolve
+    # through the registered barrier.
+    agg2 = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bare = agg2.localCheckpoint(eager=True).filter(F.col("n") > 0)
+    with pytest.raises(Unreflectable):
+        roundtrip_equivalent(bare)
+
+
+def test_q11_reflects_roundtrip(spark, sf_dir):
+    """The last literal reflect.rs parity gap: q11's checkpoint pin
+    must not cost it its SQL surface."""
+    from xngin_spark.plans.reflect import roundtrip_equivalent
+    from xngin_spark.queries import tpch
+
+    assert roundtrip_equivalent(tpch.q11(spark, sf_dir))
+
+
+# --- DPhyp: reference's 31-vertex cap + density budget -------------------
+
+
+def test_dphyp_chain_at_31_vertices_fast():
+    """The reference's graph cap (join/graph.rs:15 MAX=31): a 31-chain
+    is ~5k csg-cmp pairs and must enumerate exactly, quickly."""
+    import time
+
+    from xngin_spark.plans.reorder import dphyp_order, tree_cost
+
+    n = 31
+    rows = {f"t{i:02d}": float(100 + 7 * i) for i in range(n)}
+    chain = [
+        (f"t{i:02d}", f"t{i + 1:02d}", [(f"c{i}", f"c{i}")])
+        for i in range(n - 1)
+    ]
+    from xngin_spark.plans.reorder import _as_edge
+
+    edges = [_as_edge(e) for e in chain]
+    t0 = time.monotonic()
+    trace = dphyp_order(rows, edges)
+    dt = time.monotonic() - t0
+    assert len(trace) == n - 1
+    assert dt < 5.0, f"31-chain took {dt:.2f}s"
+    # the exact plan can't cost more than greedy's
+    from xngin_spark.plans.reorder import goo_order
+
+    goo = goo_order(rows, edges)
+    seq = [(a, b) for a, b, _ in trace]
+    gseq = [(a, b) for a, b, _ in goo]
+    assert tree_cost(rows, edges, seq) <= tree_cost(rows, edges, gseq) + 1e-6
+
+
+def test_dphyp_star_at_17_vertices_exact_and_24_falls_back():
+    """Star pair counts are exponential ((n-1)·2^(n-2)) — vertex count
+    alone can't gate DP affordability. A 17-star (~0.6M units) must
+    enumerate exactly within the default budget; a 24-star (~96M
+    pairs) must hit the budget promptly instead of hanging."""
+    import time
+
+    from xngin_spark.plans.reorder import (
+        DPhypBudgetExceeded,
+        _as_edge,
+        dphyp_order,
+    )
+
+    def star(n):
+        rows = {
+            "hub": 1e6,
+            **{f"l{i:02d}": float(10 + i) for i in range(n - 1)},
+        }
+        edges = [
+            _as_edge(("hub", f"l{i:02d}", [(f"k{i}", f"k{i}")]))
+            for i in range(n - 1)
+        ]
+        return rows, edges
+
+    rows, edges = star(17)
+    t0 = time.monotonic()
+    trace = dphyp_order(rows, edges)
+    assert len(trace) == 16
+    assert time.monotonic() - t0 < 10.0
+    rows, edges = star(24)
+    t0 = time.monotonic()
+    with pytest.raises(DPhypBudgetExceeded):
+        dphyp_order(rows, edges)
+    assert time.monotonic() - t0 < 15.0  # aborts, never hangs
+
+
+def test_dphyp_dense_graph_exceeds_budget_and_reorder_falls_back():
+    """A 28-clique's pair count is astronomically past any budget: the
+    enumerator must raise (not hang), and reorder_join must degrade to
+    GOO for all-inner graphs."""
+    from xngin_spark.plans.reorder import (
+        DPhypBudgetExceeded,
+        _as_edge,
+        dphyp_order,
+    )
+
+    n = 28
+    rows = {f"t{i:02d}": float(50 + i) for i in range(n)}
+    edges = [
+        _as_edge((f"t{i:02d}", f"t{j:02d}", [(f"a{i}_{j}", f"a{i}_{j}")]))
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    with pytest.raises(DPhypBudgetExceeded):
+        dphyp_order(rows, edges, pair_budget=200_000)
+
+
+def test_reorder_join_budget_fallback_to_goo(spark):
+    """Force a tiny budget through reorder_join: the all-inner graph
+    must still produce a correct join via GOO fallback."""
+    from xngin_spark.plans.reorder import reorder_join
+
+    dfs = {}
+    edges = []
+    for i in range(5):
+        dfs[f"v{i}"] = spark.createDataFrame(
+            [(j, j * 10 + i) for j in range(4)], f"k{i} long, p{i} long"
+        ).withColumnRenamed(f"k{i}", "kk" if False else f"k{i}")
+    # chain on shared key values: v_i.k_i == v_{i+1}.k_{i+1}
+    for i in range(4):
+        edges.append((f"v{i}", f"v{i + 1}", [(f"k{i}", f"k{i + 1}")]))
+    out = reorder_join(
+        dfs, edges, measure_ndv=False, pair_budget=1
+    )
+    assert out.count() == 4  # keys 0..3 align across the chain
+
+
+def test_dphyp_star_exact_matches_dp_small():
+    """Density budget must not change results where both DPs run: a
+    9-star's dphyp optimum equals dpsize's."""
+    from xngin_spark.plans.reorder import (
+        _as_edge,
+        dp_order,
+        dphyp_order,
+        tree_cost,
+    )
+
+    n = 9
+    rows = {"hub": 5e4, **{f"l{i}": float(3 + i) for i in range(n - 1)}}
+    edges = [
+        _as_edge(("hub", f"l{i}", [(f"k{i}", f"k{i}")]))
+        for i in range(n - 1)
+    ]
+    d = dp_order(rows, edges)
+    h = dphyp_order(rows, edges)
+    dseq = [(a, b) for a, b, _ in d]
+    hseq = [(a, b) for a, b, _ in h]
+    assert abs(
+        tree_cost(rows, edges, dseq) - tree_cost(rows, edges, hseq)
+    ) < 1e-6

@@ -30,9 +30,13 @@ from pyspark.sql import functions as F
 def column_profile(
     df: DataFrame,
     cols: list[str] | None = None,
-    approximate: bool = False,
+    approximate: bool = True,
 ) -> DataFrame:
     """One row per column: (col_name, n_rows, n_nulls, n_distinct).
+    Default is APPROXIMATE (HLL n_distinct): exact COUNT(DISTINCT) on
+    every column costs a len(cols)× Expand over the full scan — at
+    100 TB that is len(cols) shuffled passes, so exact mode is for
+    audits that explicitly opt in with ``approximate=False``.
     NULLs don't count toward n_distinct (COUNT DISTINCT semantics in
     both engines)."""
     cols = cols or df.columns
@@ -69,7 +73,7 @@ def profile_drift(
     old: DataFrame,
     new: DataFrame,
     cols: list[str] | None = None,
-    approximate: bool = False,
+    approximate: bool = True,
 ) -> DataFrame:
     """Drift report between two snapshots: per column, both profiles
     side by side plus integer deltas — the check a pipeline gates a

@@ -29,6 +29,34 @@ class Unreflectable(Exception):
     """This plan contains a node or shape with no faithful SQL render."""
 
 
+#: localCheckpoint barriers the renderer can see through: the
+#: checkpointed DataFrame's LogicalRDD reuses the ORIGINAL plan's
+#: output attributes (same exprIds), so the pre-checkpoint analyzed
+#: plan keyed by those ids can be substituted at render time — the
+#: reflection then reads as if the barrier never existed. Registered
+#: by :func:`reflect_checkpoint`; an unregistered LogicalRDD stays
+#: Unreflectable (it really is data, not a plan). Closes the q11 gap
+#: vs the reference's 22/22 reflect.rs round-trip: the checkpoint is
+#: an EXECUTION choice (pin the shared per-part aggregate), and must
+#: not cost the plan its SQL surface.
+_BARRIERS: dict[tuple[int, ...], object] = {}
+
+
+def _output_key(jnode_or_plan) -> tuple[int, ...]:
+    out = jnode_or_plan.output()
+    return tuple(out.apply(i).exprId().id() for i in range(out.size()))
+
+
+def reflect_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """``df.localCheckpoint(eager)`` that stays reflectable: records
+    the pre-checkpoint analyzed plan so reflect_sql renders through
+    the barrier instead of raising on the LogicalRDD."""
+    original = df._jdf.queryExecution().analyzed()
+    out = df.localCheckpoint(eager=eager)
+    _BARRIERS[_output_key(out._jdf.queryExecution().analyzed())] = original
+    return out
+
+
 def _seq(s) -> list:
     return [s.apply(i) for i in range(s.size())]
 
@@ -329,7 +357,13 @@ class _Renderer:
             raise Unreflectable(
                 f"non-attribute grouping expression: {e.sql()}"
             )
-        gnames = [plist[len(plist) - k + i].child().sql() for i in range(k)]
+        # the trailing k entries must specifically be the dup Aliases —
+        # a bare trailing AttributeReference passes the per-entry guard
+        # above but has no .child(); keep the error shape Unreflectable
+        tail = [plist[len(plist) - k + i] for i in range(k)]
+        if any(_name(e) != "Alias" for e in tail):
+            raise Unreflectable("Expand Project tail is not dup aliases")
+        gnames = [e.child().sql() for e in tail]
         out_n = expand.output().size()
         sets = []
         for p in _seq(expand.projections()):
@@ -393,6 +427,16 @@ class _Renderer:
 
         if kind == "LogicalRelation":
             return f"SELECT * FROM {self._relation(node)}"
+
+        if kind == "LogicalRDD":
+            # a registered localCheckpoint barrier renders as its
+            # pre-checkpoint plan (same output attributes by
+            # construction); any other materialized RDD is data with
+            # no SQL surface
+            orig = _BARRIERS.get(_output_key(node))
+            if orig is not None:
+                return self.select(orig)
+            raise Unreflectable("LogicalRDD with no registered origin")
 
         if kind == "SubqueryAlias":
             return self.select(ch.apply(0))

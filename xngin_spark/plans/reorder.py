@@ -506,11 +506,19 @@ def dp_order(
     return trace
 
 
+class DPhypBudgetExceeded(Exception):
+    """The csg-cmp enumeration outgrew ``pair_budget`` — the graph is
+    too DENSE for exact DP at this size (a star/clique's pair count is
+    exponential in n even though a chain's is cubic). Callers fall
+    back to GOO; :func:`reorder_join` does so automatically."""
+
+
 def dphyp_order(
     rows: dict[str, float],
     edges: list[Edge],
     ndv: dict[tuple[str, str], float] | None = None,
-    max_vertices: int = 20,
+    max_vertices: int = 31,
+    pair_budget: int = 1_000_000,
 ) -> list[tuple[frozenset, frozenset, float]]:
     """DPhyp — the csg-cmp-pair DP enumerator (Moerkotte & Neumann,
     "Dynamic Programming Strikes Back", SIGMOD 2008) the reference's
@@ -531,6 +539,16 @@ def dphyp_order(
     fully contained in the growing subgraph, so enumeration itself
     respects the eligibility sets and no invalid pair is ever costed.
 
+    ``max_vertices`` matches the reference's 31-relation graph cap
+    (join/graph.rs:15 ``MAX=31``, its u32 vertex-mask width). The real
+    affordability constraint is not vertex count but ENUMERATION SIZE:
+    a 31-chain is ~5k csg-cmp pairs, a 20-star already ~5M — so the
+    enumeration carries an explicit work budget (``pair_budget``
+    counted in visited subset steps + emitted pairs) and raises
+    :class:`DPhypBudgetExceeded` when a dense graph outgrows it,
+    instead of a shape-blind vertex cutoff rejecting cheap sparse
+    graphs the reference would enumerate exactly.
+
     Returns the same oriented merge-trace format as :func:`dp_order`;
     on any graph both enumerators agree on optimal C_out (property-
     tested in tests/test_reorder.py)."""
@@ -541,6 +559,7 @@ def dphyp_order(
             f"{n} vertices > max_vertices={max_vertices}; "
             "use goo_order for very large graphs"
         )
+    budget = [int(pair_budget)]
     idx = {name: i for i, name in enumerate(names)}
     base = {name: float(r) for name, r in rows.items()}
     tes = hyper_tes(names, edges)
@@ -602,6 +621,11 @@ def dphyp_order(
         return isel, crossed, hyper
 
     def emit_csg_cmp(S1: int, S2: int) -> None:
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise DPhypBudgetExceeded(
+                f"{n}-vertex graph exceeded pair_budget={pair_budget}"
+            )
         isel, crossed, hyper = connection(S1, S2)
         mask = S1 | S2
         cur = dp.get(mask)
@@ -646,11 +670,17 @@ def dphyp_order(
         N = neighbors(S2, X)
         if not N:
             return
-        for Np in subsets(N):
+        subs = subsets(N)
+        budget[0] -= len(subs)  # visited-step work, even when no emit
+        if budget[0] < 0:
+            raise DPhypBudgetExceeded(
+                f"{n}-vertex graph exceeded pair_budget={pair_budget}"
+            )
+        for Np in subs:
             S2n = S2 | Np
             if S2n in dp:
                 emit_csg_cmp(S1, S2n)
-        for Np in subsets(N):
+        for Np in subs:
             enumerate_cmp_rec(S1, S2 | Np, X | N)
 
     def bmask(i: int) -> int:
@@ -673,11 +703,17 @@ def dphyp_order(
         N = neighbors(S, X)
         if not N:
             return
-        for Np in subsets(N):
+        subs = subsets(N)
+        budget[0] -= len(subs)
+        if budget[0] < 0:
+            raise DPhypBudgetExceeded(
+                f"{n}-vertex graph exceeded pair_budget={pair_budget}"
+            )
+        for Np in subs:
             Sn = S | Np
             if Sn in dp:
                 emit_csg(Sn)
-        for Np in subsets(N):
+        for Np in subs:
             enumerate_csg_rec(S | Np, X | N)
 
     for i in range(n - 1, -1, -1):
@@ -828,12 +864,15 @@ def dphyp_join(
     ndv: dict[tuple[str, str], float] | None = None,
     measure_ndv: bool = True,
     ndv_cache: dict[tuple[str, str], float] | None = None,
-    max_vertices: int = 20,
+    max_vertices: int = 31,
+    pair_budget: int = 1_000_000,
 ) -> DataFrame:
     """csg-cmp-pair twin of :func:`dp_join` — same graph input, same
     stats source, same C_out optimum, via :func:`dphyp_order`
     (dphyp.rs analog). Use for graphs past dp_join's 12-relation
-    dpsize cap; the two produce equal-cost plans wherever both run."""
+    dpsize cap; the two produce equal-cost plans wherever both run.
+    Raises :class:`DPhypBudgetExceeded` when the graph is too dense to
+    enumerate within ``pair_budget`` (see dphyp_order)."""
     edges = [_as_edge(e) for e in edges]
     seen: dict[str, str] = {}
     for vname, df in vertices.items():
@@ -854,7 +893,13 @@ def dphyp_join(
         )
         for n, df in vertices.items()
     }
-    trace = dphyp_order(est, edges, ndv=ndv, max_vertices=max_vertices)
+    trace = dphyp_order(
+        est,
+        edges,
+        ndv=ndv,
+        max_vertices=max_vertices,
+        pair_budget=pair_budget,
+    )
     return _build_join(vertices, edges, trace)
 
 
@@ -863,21 +908,39 @@ def reorder_join(
     edges: list[Edge | tuple],
     **kw,
 ) -> DataFrame:
-    """Size-dispatching facade — the reference's enumerator split
+    """Dispatching facade — the reference's enumerator split
     (join/reorder: dphyp for graphs DP can afford, greedy beyond):
-    exact DPhyp up to 20 relations, GOO above. Graphs with non-inner
-    hyperedges always take the DP path (GOO has no eligibility-set
-    machinery), so a >20-vertex mixed-kind graph is the caller's cue
-    to pre-partition the problem."""
+    exact DPhyp up to the reference's 31-relation graph cap
+    (join/graph.rs:15), GOO above — and GOO fallback when a DENSE
+    graph inside the cap outgrows the enumeration budget (a 31-chain
+    is ~5k csg-cmp pairs; a 20-star is already millions — shape, not
+    vertex count, is what DP affordability depends on). Graphs with
+    non-inner hyperedges always take the DP path (GOO has no
+    eligibility-set machinery), so a too-dense mixed-kind graph is the
+    caller's cue to pre-partition the problem."""
     es = [_as_edge(e) for e in edges]
-    if len(vertices) <= 20:
-        return dphyp_join(vertices, es, **kw)
+    if len(vertices) <= 31:
+        try:
+            return dphyp_join(vertices, es, **kw)
+        except DPhypBudgetExceeded:
+            if any(e.kind != "inner" for e in es):
+                raise ValueError(
+                    f"{len(vertices)}-vertex graph with non-inner "
+                    "hyperedges exceeds the exact-DP budget; split the "
+                    "graph at its outer/semi boundaries and reorder "
+                    "each inner region"
+                ) from None
+            kw.pop("pair_budget", None)
+            kw.pop("max_vertices", None)
+            return goo_join(vertices, es, **kw)
     if any(e.kind != "inner" for e in es):
         raise ValueError(
             f"{len(vertices)} vertices with non-inner hyperedges exceed "
             "the exact-DP budget; split the graph at its outer/semi "
             "boundaries and reorder each inner region"
         )
+    kw.pop("pair_budget", None)
+    kw.pop("max_vertices", None)
     return goo_join(vertices, es, **kw)
 
 

@@ -1508,9 +1508,9 @@ def snapshot_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     the %97-delete / %101-reinsert scenario shows its precise row and
     key-cardinality movement). Exact COUNT(DISTINCT) per column in
     ONE pass (Spark Expand — the audit-grade mode this oracle row
-    pins); production monitoring at 100 TB passes approximate=True
-    for a single narrow HLL pass instead (equivalence bounds tested
-    in tests/test_round7_ops.py)."""
+    opts into with approximate=False); the DEFAULT is the approximate
+    HLL single-pass production mode (equivalence bounds tested in
+    tests/test_round7_ops.py)."""
     from xngin_spark.operators.profile import profile_drift
 
     v1 = T(spark, sf_dir, "orders")
@@ -1528,7 +1528,9 @@ def snapshot_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return profile_drift(v1, v2, _DRIFT_COLS).orderBy("col_name")
+    return profile_drift(
+        v1, v2, _DRIFT_COLS, approximate=False
+    ).orderBy("col_name")
 
 
 @register(

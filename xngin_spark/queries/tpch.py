@@ -547,10 +547,17 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Decimal addition is exact and associative, so summing the per-part
     # sums equals the oracle's grand sum bit-for-bit before the double
     # cast.
-    per_part_dec = (
-        joined.groupBy("p_partkey")
-        .agg(F.sum(F.col("v").cast(DEC)).alias("inv_dec"))
-        .localCheckpoint(eager=True)
+    # reflect_checkpoint (not bare localCheckpoint): the pin is an
+    # execution choice and must not cost the plan its SQL surface —
+    # reflection substitutes the pre-checkpoint aggregate (closes the
+    # q11 gap vs the reference's reflect.rs 22/22 round-trip)
+    from xngin_spark.plans.reflect import reflect_checkpoint
+
+    per_part_dec = reflect_checkpoint(
+        joined.groupBy("p_partkey").agg(
+            F.sum(F.col("v").cast(DEC)).alias("inv_dec")
+        ),
+        eager=True,
     )
     n_parts = p.count()
     threshold = per_part_dec.agg(

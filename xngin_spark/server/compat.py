@@ -64,7 +64,10 @@ def _lit(v: object) -> str:
         return "NULL"
     if isinstance(v, (int, float)):
         return str(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # Backslash first, then quote-doubling: Spark treats \ as an escape
+    # inside string literals, so an unescaped backslash could consume
+    # the closing quote (same contract as server._sql_literal).
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def rewrite(sql: str, current_db: str | None = None) -> str | None:

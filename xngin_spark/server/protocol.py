@@ -334,49 +334,49 @@ def build_stmt_prepare_ok(stmt_id: int, n_cols: int, n_params: int) -> bytes:
     )
 
 
-def count_placeholders(sql: str) -> int:
-    """Number of ``?`` parameter markers OUTSIDE quoted literals."""
-    n, in_q = 0, ""
-    i = 0
-    while i < len(sql):
+def _marker_positions(sql: str) -> list[int]:
+    """Positions of ``?`` parameter markers that are OUTSIDE quoted
+    literals and OUTSIDE SQL comments (``-- …`` line and ``/* … */``
+    block) — a ``?`` inside either is text, not a binding slot."""
+    pos, in_q = [], ""
+    i, n = 0, len(sql)
+    while i < n:
         ch = sql[i]
         if in_q:
             if ch == in_q:
-                if i + 1 < len(sql) and sql[i + 1] == in_q:  # '' escape
+                if i + 1 < n and sql[i + 1] == in_q:  # '' escape
                     i += 1
                 else:
                     in_q = ""
+        elif ch == "-" and sql.startswith("--", i):
+            nl = sql.find("\n", i)
+            i = n if nl < 0 else nl
+        elif ch == "/" and sql.startswith("/*", i):
+            end = sql.find("*/", i + 2)
+            i = n if end < 0 else end + 1
         elif ch in ("'", '"', "`"):
             in_q = ch
         elif ch == "?":
-            n += 1
+            pos.append(i)
         i += 1
-    return n
+    return pos
+
+
+def count_placeholders(sql: str) -> int:
+    """Number of ``?`` parameter markers outside quotes and comments."""
+    return len(_marker_positions(sql))
 
 
 def substitute_params(sql: str, literals: list[str]) -> str:
-    """Replace each ``?`` outside quoted literals with the
-    corresponding pre-rendered SQL literal."""
-    out, in_q, it = [], "", iter(literals)
-    i = 0
-    while i < len(sql):
-        ch = sql[i]
-        if in_q:
-            if ch == in_q:
-                if i + 1 < len(sql) and sql[i + 1] == in_q:
-                    out.append(ch + sql[i + 1])
-                    i += 2
-                    continue
-                in_q = ""
-            out.append(ch)
-        elif ch in ("'", '"', "`"):
-            in_q = ch
-            out.append(ch)
-        elif ch == "?":
-            out.append(next(it))
-        else:
-            out.append(ch)
-        i += 1
+    """Replace each real ``?`` marker (quote- and comment-aware, same
+    scanner as count_placeholders) with the corresponding pre-rendered
+    SQL literal."""
+    out, last = [], 0
+    for p, lit in zip(_marker_positions(sql), literals):
+        out.append(sql[last:p])
+        out.append(lit)
+        last = p + 1
+    out.append(sql[last:])
     return "".join(out)
 
 

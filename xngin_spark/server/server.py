@@ -277,9 +277,12 @@ class MySQLServer:
 
     @staticmethod
     def _sql_literal(v: object) -> str:
-        """Render a decoded parameter as a SQL literal (strings get the
-        '' quote-doubling escape; bytes arrive from the wire as utf-8
-        text parameters)."""
+        """Render a decoded parameter as a SQL literal (bytes arrive
+        from the wire as utf-8 text parameters). Backslashes must be
+        escaped BEFORE quote-doubling: Spark's parser treats ``\\`` as
+        an escape inside string literals, so a bare trailing backslash
+        would swallow the closing quote and let parameter content
+        escape into the surrounding statement."""
         if v is None:
             return "NULL"
         if isinstance(v, bool):
@@ -287,7 +290,7 @@ class MySQLServer:
         if isinstance(v, (int, float)):
             return repr(v)
         s = v.decode(errors="replace") if isinstance(v, bytes) else str(v)
-        return "'" + s.replace("'", "''") + "'"
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
     def _stmt_execute(
         self, conn: socket.socket, seq: int, body: bytes, stmts: dict[int, dict]

@@ -31,6 +31,7 @@ import os
 import shutil
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -389,8 +390,13 @@ def scrub_rows(
     MinHash and IVF incremental updates; a delta that touches no file
     is a no-op. ``partition_cols`` lists hive-partition columns of the
     dataset (present in the schema but not in the files), which the
-    rewrite re-derives from the file path it replaces."""
-    stored = spark.read.parquet(path)
+    rewrite re-derives from the file path it replaces. A missing /
+    not-yet-created dataset has nothing to scrub — no-op, so index
+    maintenance can seed a fresh path with its first append."""
+    try:
+        stored = spark.read.parquet(path)
+    except AnalysisException:
+        return
     # _metadata resolves only on the raw scan: project it before joins
     scan = stored.select(
         F.col(id_col), F.col("_metadata.file_path").alias("f")
@@ -628,25 +634,44 @@ def maintain_agg(
         recomputed = (
             scan_nn.unionByName(scan_null)
             .groupBy(g)
-            .agg(F.min(val_col).alias("min_r"), F.max(val_col).alias("max_r"))
+            .agg(
+                F.min(val_col).alias("min_r"),
+                F.max(val_col).alias("max_r"),
+                # explicit membership flag: a group whose surviving rows
+                # are all NULL in val_col recomputes min_r/max_r = NULL,
+                # and coalesce would silently keep the stale pre-delete
+                # extrema — membership must not be inferred from a
+                # non-null recomputed value
+                F.lit(True).alias("__rec_hit"),
+            )
         )
         out = out.join(
             recomputed.withColumnRenamed(g, "__rec_g"),
             F.col(g).eqNullSafe(F.col("__rec_g")),
             "left",
         ).drop("__rec_g")
-        # a non-null recomputed value marks a destructive-affected group
-        # (never null for one that survived — cnt>0 implies rows exist);
-        # otherwise merge insert extrema into the old ones
-        min_out = F.coalesce("min_r", F.least("min_val", "ins_min"))
-        max_out = F.coalesce("max_r", F.greatest("max_val", "ins_max"))
+        # destructive-affected groups take the recomputed extrema
+        # UNCONDITIONALLY (even when NULL); others merge insert extrema
+        min_out = F.when(F.col("__rec_hit"), F.col("min_r")).otherwise(
+            F.least("min_val", "ins_min")
+        )
+        max_out = F.when(F.col("__rec_hit"), F.col("max_r")).otherwise(
+            F.greatest("max_val", "ins_max")
+        )
     else:
         min_out = F.least("min_val", "ins_min")
         max_out = F.greatest("max_val", "ins_max")
+    # SQL SUM over a group with zero non-NULL values is NULL, not 0 —
+    # and min_val IS NULL is exactly that condition (least/greatest
+    # skip NULLs; the recompute is a real MIN). The additive state can
+    # keep carrying 0 internally (coalesced on the next merge), but
+    # the PRESENTED sum must match the plain GROUP BY bit-for-bit.
     return out.select(
         F.col(g),
         "cnt",
-        "total_dec",
+        F.when(min_out.isNull(), F.lit(None).cast(_AGG_DEC))
+        .otherwise(F.col("total_dec"))
+        .alias("total_dec"),
         min_out.alias("min_val"),
         max_out.alias("max_val"),
     )
@@ -853,6 +878,10 @@ def maintain_agg_multi(
             .agg(
                 *[F.min(c).alias(f"rmin_{c}") for c in val_cols],
                 *[F.max(c).alias(f"rmax_{c}") for c in val_cols],
+                # explicit membership flag (see maintain_agg): an
+                # all-NULL measure must overwrite stale extrema with
+                # NULL, so membership can't ride on a non-null rmin
+                F.lit(True).alias("__rec_hit"),
             )
         )
         out = out.join(
@@ -861,26 +890,32 @@ def maintain_agg_multi(
 
         def mm(c):
             return (
-                F.coalesce(
-                    f"rmin_{c}", F.least(f"min_{c}", f"imin_{c}")
-                ).alias(f"min_{c}"),
-                F.coalesce(
-                    f"rmax_{c}", F.greatest(f"max_{c}", f"imax_{c}")
-                ).alias(f"max_{c}"),
+                F.when(F.col("__rec_hit"), F.col(f"rmin_{c}")).otherwise(
+                    F.least(f"min_{c}", f"imin_{c}")
+                ),
+                F.when(F.col("__rec_hit"), F.col(f"rmax_{c}")).otherwise(
+                    F.greatest(f"max_{c}", f"imax_{c}")
+                ),
             )
 
     else:
 
         def mm(c):
             return (
-                F.least(f"min_{c}", f"imin_{c}").alias(f"min_{c}"),
-                F.greatest(f"max_{c}", f"imax_{c}").alias(f"max_{c}"),
+                F.least(f"min_{c}", f"imin_{c}"),
+                F.greatest(f"max_{c}", f"imax_{c}"),
             )
 
-    minmax = [col for c in val_cols for col in mm(c)]
-    return out.select(
-        F.col(g),
-        "cnt",
-        *[F.col(f"total_dec_{c}") for c in val_cols],
-        *minmax,
-    )
+    # presented per-measure sum is NULL when the measure has zero
+    # non-NULL values in the group (SQL SUM semantics) — min IS NULL
+    # is exactly that condition; see maintain_agg
+    sums, minmax = [], []
+    for c in val_cols:
+        mn, mx = mm(c)
+        sums.append(
+            F.when(mn.isNull(), F.lit(None).cast(_AGG_DEC))
+            .otherwise(F.col(f"total_dec_{c}"))
+            .alias(f"total_dec_{c}")
+        )
+        minmax += [mn.alias(f"min_{c}"), mx.alias(f"max_{c}")]
+    return out.select(F.col(g), "cnt", *sums, *minmax)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 
 def incremental_window_counts(
@@ -248,9 +249,17 @@ def streaming_vector_ingest_admit(
             r["ivf_list"]
             for r in assigned.select("ivf_list").distinct().collect()
         ]
-        stored = spark.read.parquet(index_path).filter(
-            F.col("ivf_list").isin(lists)
-        )
+        try:
+            stored = spark.read.parquet(index_path).filter(
+                F.col("ivf_list").isin(lists)
+            )
+        except AnalysisException:
+            # first batch against a not-yet-created index: the stored
+            # side is empty, everything admits, and the index write
+            # below seeds the path — no separate seed step required
+            # (the epoch sink documents its epoch=-1 seed; this sink's
+            # contract is "missing index == empty index")
+            stored = assigned.limit(0)
         dup_ids = (
             assigned.select(
                 F.col(id_col).alias("new_id"),
