@@ -434,3 +434,146 @@ def test_dphyp_star_exact_matches_dp_small():
     assert abs(
         tree_cost(rows, edges, dseq) - tree_cost(rows, edges, hseq)
     ) < 1e-6
+
+
+# --- SQL-entry DPhyp route (plans/sqlreorder.py) -------------------------
+
+
+def _leafset(n):
+    """Leaf alias sets of a join side in an analyzed plan."""
+    from xngin_spark.plans.reflect import _name
+
+    if _name(n) == "Join":
+        ch = n.children()
+        return _leafset(ch.apply(0)) | _leafset(ch.apply(1))
+    if _name(n) == "SubqueryAlias":
+        return {n.alias()}
+    ch = n.children()
+    out = set()
+    for i in range(ch.size()):
+        out |= _leafset(ch.apply(i))
+    return out
+
+
+def _join_merges(n):
+    """All (left-leafset, right-leafset) merges in plan order."""
+    from xngin_spark.plans.reflect import _name
+
+    out = []
+
+    def rec(m):
+        if _name(m) == "Join":
+            ch = m.children()
+            out.append((_leafset(ch.apply(0)), _leafset(ch.apply(1))))
+            rec(ch.apply(0))
+            rec(ch.apply(1))
+            return
+        ch = m.children()
+        for i in range(ch.size()):
+            rec(ch.apply(i))
+
+    rec(n)
+    return out
+
+
+def _register_tpch_views(spark, sf_dir):
+    from xngin_spark.queries.tpch import T
+
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def test_dphyp_sql_q5_rewrites_and_matches(spark, sf_dir):
+    from xngin_spark.plans.sqlreorder import dphyp_rewrite
+    from xngin_spark.queries import ORACLE
+
+    _register_tpch_views(spark, sf_dir)
+    sql = ORACLE["q5"]
+    text, traces = dphyp_rewrite(spark, sql)
+    assert len(traces) == 1 and len(traces[0]) == 5  # 6 leaves, 5 merges
+    a = sorted(map(tuple, spark.sql(text).collect()))
+    b = sorted(map(tuple, spark.sql(sql).collect()))
+    assert a == b
+
+
+def test_dphyp_sql_emitted_nesting_matches_trace(spark, sf_dir):
+    """The re-emitted FROM nesting must BE the DPhyp merge tree — the
+    plan-snapshot claim, checked structurally on the analyzed plan."""
+    from xngin_spark.plans.sqlreorder import dphyp_rewrite
+    from xngin_spark.queries import ORACLE
+
+    _register_tpch_views(spark, sf_dir)
+    text, [trace] = dphyp_rewrite(spark, ORACLE["q5"])
+    plan = spark.sql(text)._jdf.queryExecution().analyzed()
+    merges = {
+        (frozenset(l), frozenset(r)) for l, r in _join_merges(plan)
+    }
+    for L, R in trace:
+        assert (frozenset(L), frozenset(R)) in merges or (
+            frozenset(R),
+            frozenset(L),
+        ) in merges, (sorted(L), sorted(R))
+
+
+def test_dphyp_sql_no_cartesian_in_plan(spark, sf_dir):
+    from xngin_spark.plans.sqlreorder import dphyp_sql
+    from xngin_spark.queries import ORACLE
+
+    _register_tpch_views(spark, sf_dir)
+    df = dphyp_sql(spark, ORACLE["q5"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_dphyp_rewrite_falls_back_cleanly(spark, sf_dir):
+    """Unsupported / too-small shapes return the ORIGINAL text with no
+    traces — never a partial rewrite."""
+    from xngin_spark.plans.sqlreorder import dphyp_rewrite
+
+    _register_tpch_views(spark, sf_dir)
+    for sql in (
+        "SELECT n_name FROM nation ORDER BY n_name",  # no join
+        # two-leaf join: below the 3-leaf region threshold
+        "SELECT n_name, r_name FROM nation JOIN region "
+        "ON n_regionkey = r_regionkey",
+        # window over a single table
+        "SELECT n_name, row_number() OVER (ORDER BY n_name) AS rn "
+        "FROM nation",
+    ):
+        text, traces = dphyp_rewrite(spark, sql)
+        assert text == sql and traces == []
+
+
+def test_dphyp_rewrite_result_equal_across_tpch_texts(spark, sf_dir):
+    """Every TPC-H oracle text that rewrites must stay result-equal to
+    the original — the product-path blanket guarantee."""
+    from xngin_spark.plans.sqlreorder import dphyp_rewrite
+    from xngin_spark.queries import ORACLE, load_all
+
+    load_all()
+    _register_tpch_views(spark, sf_dir)
+    rewritten = 0
+    for qn in [f"q{i}" for i in range(1, 23)]:
+        sql = ORACLE[qn]
+        try:
+            base = spark.sql(sql)
+            base.schema
+        except Exception:
+            continue  # oracle text is DuckDB-only for this query
+        text, traces = dphyp_rewrite(spark, sql)
+        if not traces:
+            assert text == sql
+            continue
+        rewritten += 1
+        a = sorted(map(tuple, spark.sql(text).collect()))
+        b = sorted(map(tuple, base.collect()))
+        assert a == b, f"{qn} rewrite changed results"
+    assert rewritten >= 3, f"only {rewritten} TPC-H texts rewrote"

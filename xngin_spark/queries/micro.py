@@ -1155,6 +1155,77 @@ def join_reorder_dphyp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q5_revenue(joined)
 
 
+def _dphyp_sql_entry(spark: SparkSession, sf_dir: str, qname: str) -> DataFrame:
+    """Shared body of the dphyp_sql_q* rows: run the query's ORACLE
+    text itself through the SQL-entry DPhyp route
+    (plans.sqlreorder.dphyp_sql — the reorder/mod.rs:24-33 product
+    path: text → join-graph extraction → DPhyp → re-emitted FROM
+    nesting). STRICT: raises if the rewriter fell back, so the gate
+    row fails loudly the day the product path stops reordering
+    instead of silently testing plain spark.sql."""
+    from xngin_spark.plans.sqlreorder import dphyp_rewrite
+    from xngin_spark.queries import ORACLE
+    from xngin_spark.queries.tpch import T
+
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+    text, traces = dphyp_rewrite(spark, ORACLE[qname])
+    if not traces:
+        raise RuntimeError(
+            f"dphyp_rewrite fell back on {qname} — SQL-entry reorder "
+            "path is no longer firing"
+        )
+    return spark.sql(text)
+
+
+@register("dphyp_sql_q5", None)
+def dphyp_sql_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q5 entered as SQL TEXT and reordered by the DPhyp product
+    path — same oracle as q5 (registered below via ORACLE copy), so
+    the re-emitted join nesting must be result-identical to the plain
+    text. The comma-join WHERE-predicate shape (the reference's own
+    .sql spelling)."""
+    return _dphyp_sql_entry(spark, sf_dir, "q5")
+
+
+@register("dphyp_sql_q8", None)
+def dphyp_sql_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q8 through the SQL-entry DPhyp route: 8-leaf region inside a
+    derived table, self-joined nation (n1/n2 — duplicate bare column
+    names across leaves, ON conditions re-qualified by leaf alias)."""
+    return _dphyp_sql_entry(spark, sf_dir, "q8")
+
+
+@register("dphyp_sql_q9", None)
+def dphyp_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q9 through the SQL-entry DPhyp route: 5-leaf region under a
+    derived table with a LIKE-filtered dimension."""
+    return _dphyp_sql_entry(spark, sf_dir, "q9")
+
+
+def _copy_tpch_oracles() -> None:
+    # the dphyp_sql_q* rows run the ORACLE TEXT itself through the
+    # rewriter, so their oracle IS the original query's — copied here
+    # (tpch imports before micro in load_all; the import makes direct
+    # module imports safe too)
+    from xngin_spark.queries import ORACLE
+    from xngin_spark.queries import tpch  # noqa: F401
+
+    for q in ("q5", "q8", "q9"):
+        ORACLE[f"dphyp_sql_{q}"] = ORACLE[q]
+
+
+_copy_tpch_oracles()
+
+
 @register(
     "join_reorder_outer",
     """
