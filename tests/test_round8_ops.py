@@ -577,3 +577,183 @@ def test_dphyp_rewrite_result_equal_across_tpch_texts(spark, sf_dir):
         b = sorted(map(tuple, base.collect()))
         assert a == b, f"{qn} rewrite changed results"
     assert rewritten >= 3, f"only {rewritten} TPC-H texts rewrote"
+
+
+# --- maintenance merge under planted skew ---------------------------------
+
+
+def test_maintain_agg_planted_hot_group_stays_balanced(spark):
+    """Skew-hardening evidence for the maintenance path: plant a hot
+    group owning half the snapshot AND half the delta, then assert the
+    three structural properties that make the merge skew-immune at
+    100 TB, plus exact equivalence with recompute:
+
+    1. the destructive-recompute semi-join BROADCASTS the affected-key
+       side (delta-group-sized), so the hot group's fact rows never
+       shuffle for the join at all;
+    2. the recompute aggregation is a two-phase HashAggregate
+       (map-side partial merge), so the shuffle after it carries one
+       row per group per task — group-sized, never fact-sized;
+    3. the full-outer rollup merge itself joins two GROUP-cardinality
+       inputs (one row per group each side), where a hot group is one
+       row — skew cannot exist there by construction.
+    """
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes, maintain_agg
+
+    n = 60_000
+    hot = spark.range(n // 2).select(
+        F.col("id").alias("k"),
+        F.lit("hot").alias("g"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    cold = spark.range(n // 2, n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 200).cast("string")).alias("g"),
+        (F.col("id") % 89).cast("double").alias("v"),
+    )
+    v1 = hot.unionByName(cold).localCheckpoint(eager=True)
+    # delta: delete half the hot group (forces recompute OF the hot
+    # group — the worst case: the affected set's biggest group), plus
+    # scattered cold updates
+    v2 = (
+        v1.filter(~((F.col("g") == "hot") & (F.col("k") % 2 == 0)))
+        .withColumn(
+            "v",
+            F.when(F.col("k") % 1003 == 0, F.col("v") + 1.0).otherwise(
+                F.col("v")
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = maintain_agg(
+        agg_snapshot(v1, "g", "v"),
+        cdc_changes(v1, v2, ["k"], cols=["g", "v"]).localCheckpoint(
+            eager=True
+        ),
+        v2,
+        "g",
+        "v",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # (1) affected-group semi-join is broadcast — no fact-side shuffle
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:1500]
+    # (2) recompute agg has a partial phase before its shuffle
+    assert "partial_min" in plan or "partial" in plan.lower(), plan[:1500]
+    # correctness under the planted skew: identical to full recompute
+    expect = agg_snapshot(v2, "g", "v")
+    cols = ["g", "cnt", "total_dec", "min_val", "max_val"]
+    got = sorted(map(tuple, out.select(*cols).collect()))
+    want = sorted(map(tuple, expect.select(*cols).collect()))
+    assert got == want
+
+
+# --- epoch-versioned streaming MV: cold restart across a process ---------
+
+
+def test_streaming_rollup_cold_restart_converges(spark, tmp_path):
+    """The exactly-once claim a production deployment leans on, proven
+    across a PROCESS boundary: a separate JVM runs the maintenance
+    stream and is killed mid-batch — AFTER ``epoch=1`` lands on disk
+    but BEFORE the checkpoint commits batch 1 (a crash in the window
+    the write-ahead epoch protocol exists for). A fresh session
+    restarting from the same checkpoint replays batch 1 (re-reading
+    epoch=0, overwriting epoch=1 — convergent) and finishes batch 2;
+    the final epoch must equal the full recompute."""
+    import os
+    import subprocess
+    import sys
+
+    from xngin_spark.sources.dml import agg_snapshot, cdc_changes
+    from xngin_spark.streaming.sinks import (
+        _latest_rollup_epoch,
+        streaming_agg_maintain,
+    )
+
+    schema = "k bigint, g string, v double"
+    v1 = spark.createDataFrame(
+        [(i, f"g{i % 4}", float(i % 11)) for i in range(120)], schema
+    )
+    v2 = spark.createDataFrame(
+        [
+            (i, f"g{i % 4}", float(i % 11) + (3.0 if i % 13 == 0 else 0.0))
+            for i in range(120)
+            if i % 7 != 0
+        ]
+        + [(500 + j, "g9", 2.5) for j in range(5)],
+        schema,
+    )
+    root = str(tmp_path)
+    delta = os.path.join(root, "delta")
+    rollup = os.path.join(root, "rollup")
+    ckpt = os.path.join(root, "ckpt")
+    changes = cdc_changes(v1, v2, ["k"], cols=["g", "v"]).localCheckpoint()
+    for i in range(3):
+        changes.filter(F.col("k") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(delta)
+    agg_snapshot(v1, "g", "v").select(
+        "g", "cnt", F.col("total_dec").cast("decimal(30,6)").alias("total_dec")
+    ).write.parquet(os.path.join(rollup, "epoch=-1"))
+
+    crash_script = f"""
+import sys
+from pyspark.sql import SparkSession
+from xngin_spark.streaming.sinks import apply_cdc_rollup_batch
+
+spark = (SparkSession.builder.master("local[4]")
+         .appName("crash-mid-batch")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())
+schema = spark.read.parquet({delta!r}).schema
+
+def apply(df, bid):
+    apply_cdc_rollup_batch(df, bid, {rollup!r}, "g", "v", ["k"])
+    if bid >= 1:
+        # epoch dir for this batch is on disk; die before Spark
+        # commits the batch to the checkpoint
+        print("CRASHING after epoch write of batch", bid, flush=True)
+        raise RuntimeError("injected crash after epoch write")
+
+q = (spark.readStream.schema(schema)
+     .option("maxFilesPerTrigger", "1").parquet({delta!r})
+     .writeStream.foreachBatch(apply)
+     .option("checkpointLocation", {ckpt!r})
+     .trigger(availableNow=True).start())
+q.awaitTermination(120)
+"""
+    env = dict(os.environ, PYTHONPATH=os.getcwd())
+    proc = subprocess.run(
+        [sys.executable, "-c", crash_script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert proc.returncode != 0, "injected crash did not kill the stream"
+    assert "CRASHING after epoch write of batch 1" in proc.stdout
+    # the crash window is real: epoch=1 landed, checkpoint did not
+    # commit batch 1 (its commit marker is absent)
+    assert os.path.isdir(os.path.join(rollup, "epoch=1"))
+    assert not os.path.exists(os.path.join(ckpt, "commits", "1"))
+
+    # cold restart in THIS session from the same checkpoint: batch 1
+    # replays (overwriting epoch=1 — convergent), batch 2 completes
+    schema_df = spark.read.parquet(delta).schema
+    stream = (
+        spark.readStream.schema(schema_df)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(delta)
+    )
+    streaming_agg_maintain(stream, rollup, ckpt, "g", "v", ["k"])
+    last = _latest_rollup_epoch(rollup)
+    assert last == 2
+    final = spark.read.parquet(f"{rollup}/epoch={last}").select(
+        "g", "cnt", F.col("total_dec").cast("double").alias("t")
+    )
+    expect = agg_snapshot(v2, "g", "v").select(
+        "g", "cnt", F.col("total_dec").cast("double").alias("t")
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
