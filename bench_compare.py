@@ -63,6 +63,15 @@ def main() -> int:
     args = ap.parse_args()
 
     old, new = _load(args.old), _load(args.new)
+    sfo, sfn = old.get("sf"), new.get("sf")
+    if sfo is not None and sfn is not None and sfo != sfn:
+        # canary normalization corrects for HOST speed, not DATA size —
+        # an sf0.1-vs-sf1 compare would flag every query
+        raise SystemExit(
+            f"scale-factor mismatch: {args.old} is sf={sfo}, "
+            f"{args.new} is sf={sfn}; compare like against like "
+            "(e.g. BENCH_SF1 round-over-round)"
+        )
     c_old, c_new = _canary(old), _canary(new)
     qo, qn = old["queries"], new["queries"]
     # Measured per-query noise bands (max/min over a run's repeat

@@ -1,8 +1,14 @@
 #!/usr/bin/env python
-"""Per-round sf1 bench point (VERDICT r06 task 7): run the gate-priority
-query subset against the synthesized 10x dataset and record
-BENCH_SF1.json, so scale regressions show up as committed numbers
-round-over-round, not as alpha extrapolations.
+"""Per-round sf1 bench point: run the FULL query corpus against the
+synthesized 10x dataset and record BENCH_SF1.json, so scale
+regressions show up as committed numbers round-over-round, not as
+alpha extrapolations.
+
+Round 8 (VERDICT r07 task 1): the default grew from the 50-query gate
+window to the WHOLE corpus — the gate queries are exactly the cheap
+ones, while the scale risks live in the tail (streaming maintenance,
+dedup_*, bpe_*, hybrid_rrf). Pass --gate for the old gate-only
+subset.
 
 - Synthesizes /tmp/xngin_scale/sf1 via tools/make_sf.py if absent
   (10x self-union of $SPARK_GRAFT_SF_DIR, see make_sf.py's contract).
@@ -36,8 +42,13 @@ def main(extra: list[str]) -> int:
             check=True,
         )
     sys.path.insert(0, REPO)
-    from __spark_entry__ import GATE_PRIORITY
+    names: list[str] = []
+    if "--gate" in extra:
+        extra = [a for a in extra if a != "--gate"]
+        from __spark_entry__ import GATE_PRIORITY
 
+        names = list(GATE_PRIORITY)
+    # no names → bench.py runs the full registered corpus
     # 3 passes, not 1: back-to-back single-pass sf1 runs were measured
     # flagging DISJOINT 1.5-3x "regression" sets (events_session
     # 4.4s->1.3s, knn_cosine 3.5s->9.3s between two round-7 runs) —
@@ -47,10 +58,10 @@ def main(extra: list[str]) -> int:
         os.environ,
         SPARK_GRAFT_SF_DIR=SF1_DIR,
         SPARK_GRAFT_REPEATS=os.environ.get("SPARK_GRAFT_REPEATS", "3"),
-        SPARK_GRAFT_OUT="BENCH_SF1.json",
+        SPARK_GRAFT_OUT=os.environ.get("SPARK_GRAFT_OUT", "BENCH_SF1.json"),
     )
     proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py"), *GATE_PRIORITY, *extra],
+        [sys.executable, os.path.join(REPO, "bench.py"), *names, *extra],
         env=env, cwd=REPO,
     )
     return proc.returncode
