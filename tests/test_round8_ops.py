@@ -757,3 +757,181 @@ q.awaitTermination(120)
     assert sorted(map(tuple, final.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+# --- COUNT(DISTINCT) maintenance (sources/dml.distinct_state) ------------
+
+
+def _distinct_vs_recompute(spark, v1_rows, v2_rows):
+    from xngin_spark.sources.dml import (
+        cdc_changes,
+        count_distinct_from_state,
+        distinct_state,
+        maintain_distinct_state,
+    )
+
+    schema = "k bigint, g string, v string"
+    v1 = spark.createDataFrame(v1_rows, schema)
+    v2 = spark.createDataFrame(v2_rows, schema)
+    state = maintain_distinct_state(
+        distinct_state(v1, "g", "v"),
+        cdc_changes(v1, v2, ["k"], cols=["g", "v"]),
+        "g",
+        "v",
+    )
+    got = sorted(
+        map(tuple, count_distinct_from_state(state, "g").collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    want = sorted(
+        map(
+            tuple,
+            v2.filter(F.col("v").isNotNull())
+            .groupBy("g")
+            .agg(F.count_distinct("v").alias("n_distinct"))
+            .collect(),
+        ),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == want
+    # and the state itself equals a from-scratch state build
+    nkey = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    rebuilt = distinct_state(v2, "g", "v")
+    assert sorted(map(tuple, state.collect()), key=nkey) == sorted(
+        map(tuple, rebuilt.collect()), key=nkey
+    )
+
+
+def test_distinct_maintain_delete_last_copy_and_survivor(spark):
+    v1 = [
+        (1, "a", "x"),
+        (2, "a", "x"),
+        (3, "a", "y"),
+        (4, "b", "z"),
+    ]
+    # delete ONE copy of x (still distinct) and the ONLY y (drops)
+    v2 = [(1, "a", "x"), (4, "b", "z")]
+    _distinct_vs_recompute(spark, v1, v2)
+
+
+def test_distinct_maintain_update_moves_value_and_group(spark):
+    v1 = [(1, "a", "x"), (2, "a", "y"), (3, "b", "x")]
+    # row 1 changes value x->y (x still in b); row 3 moves group b->a
+    v2 = [(1, "a", "y"), (2, "a", "y"), (3, "a", "x")]
+    _distinct_vs_recompute(spark, v1, v2)
+
+
+def test_distinct_maintain_null_group_and_null_values(spark):
+    v1 = [(1, None, "x"), (2, None, None), (3, "a", None)]
+    # NULL group is a group; NULL values never count
+    v2 = [(1, None, "x"), (2, None, "x"), (3, "a", "q"), (9, None, "y")]
+    _distinct_vs_recompute(spark, v1, v2)
+
+
+def test_distinct_maintain_random_mutations_equal_recompute(spark):
+    import random
+
+    rng = random.Random(77)
+
+    def mkrow(k):
+        return (
+            k,
+            None if rng.random() < 0.1 else f"g{rng.randrange(4)}",
+            None if rng.random() < 0.15 else f"v{rng.randrange(12)}",
+        )
+
+    v1 = [mkrow(k) for k in range(300)]
+    v2 = []
+    for r in v1:
+        x = rng.random()
+        if x < 0.2:
+            continue
+        v2.append(mkrow(r[0]) if x < 0.45 else r)
+    v2 += [mkrow(1000 + j) for j in range(40)]
+    _distinct_vs_recompute(spark, v1, v2)
+
+
+# --- multi-measure streaming rollup maintenance --------------------------
+
+
+def test_streaming_rollup_multi_replay_and_recompute(spark, tmp_path):
+    """Multi-measure epoch maintenance: replays converge and the final
+    epoch equals the multi-measure recompute — k measures, one merge
+    per batch."""
+    from xngin_spark.sources.dml import agg_snapshot_multi, cdc_changes
+    from xngin_spark.streaming.sinks import (
+        _latest_rollup_epoch,
+        apply_cdc_rollup_batch_multi,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    schema = "k bigint, g string, a double, b double"
+    v1 = spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i % 9), float(i % 5)) for i in range(40)],
+        schema,
+    )
+    v2 = spark.createDataFrame(
+        [
+            (i, f"g{i % 3}", float(i % 9) + (2.0 if i % 6 == 0 else 0.0),
+             float(i % 5))
+            for i in range(40)
+            if i % 8 != 0
+        ]
+        + [(200, "g7", 1.0, 9.5)],
+        schema,
+    )
+    agg_snapshot_multi(v1, "g", ["a", "b"]).select(
+        "g",
+        "cnt",
+        F.col("total_dec_a").cast("decimal(30,6)").alias("total_dec_a"),
+        F.col("total_dec_b").cast("decimal(30,6)").alias("total_dec_b"),
+    ).write.parquet(f"{rollup}/epoch=-1")
+    changes = cdc_changes(v1, v2, ["k"], cols=["g", "a", "b"]).localCheckpoint()
+    b0 = changes.filter(F.col("k") % 2 == 0)
+    b1 = changes.filter(F.col("k") % 2 == 1)
+    apply_cdc_rollup_batch_multi(b0, 0, rollup, "g", ["a", "b"], ["k"])
+    s0 = sorted(map(tuple, spark.read.parquet(f"{rollup}/epoch=0").collect()))
+    apply_cdc_rollup_batch_multi(b0, 0, rollup, "g", ["a", "b"], ["k"])
+    assert sorted(
+        map(tuple, spark.read.parquet(f"{rollup}/epoch=0").collect())
+    ) == s0
+    apply_cdc_rollup_batch_multi(b1, 1, rollup, "g", ["a", "b"], ["k"])
+    assert _latest_rollup_epoch(rollup) == 1
+    final = spark.read.parquet(f"{rollup}/epoch=1").select(
+        "g",
+        "cnt",
+        F.col("total_dec_a").cast("double").alias("ta"),
+        F.col("total_dec_b").cast("double").alias("tb"),
+    )
+    expect = agg_snapshot_multi(v2, "g", ["a", "b"]).select(
+        "g",
+        "cnt",
+        F.col("total_dec_a").cast("double").alias("ta"),
+        F.col("total_dec_b").cast("double").alias("tb"),
+    )
+    assert sorted(map(tuple, final.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+
+
+# --- UNPIVOT NULL semantics (sqlsurface.unpivot_long's oracle claim) ------
+
+
+def test_unpivot_drops_null_measures_like_filtered_union(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, None), (2, None, 5.0), (3, 1.0, 1.5)],
+        "k bigint, a double, b double",
+    )
+    df.createOrReplaceTempView("unpiv_src")
+    up = spark.sql(
+        "SELECT k, metric, val FROM unpiv_src "
+        "UNPIVOT (val FOR metric IN (a, b)) ORDER BY k, metric"
+    )
+    un = spark.sql(
+        "SELECT k, metric, val FROM ("
+        " SELECT k, 'a' AS metric, a AS val FROM unpiv_src"
+        " UNION ALL SELECT k, 'b', b FROM unpiv_src) u "
+        "WHERE val IS NOT NULL ORDER BY k, metric"
+    )
+    assert [tuple(r) for r in up.collect()] == [tuple(r) for r in un.collect()]
+    assert up.count() == 4  # two NULL measures dropped

@@ -1707,3 +1707,80 @@ def incremental_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_l_extendedprice").alias("min_price"),
         F.col("max_l_extendedprice").alias("max_price"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "incremental_distinct_maintain",
+    """
+    WITH newsnap AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS o_custkey
+      FROM orders WHERE o_orderkey % 97 <> 0
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_orderpriority, o_custkey
+      FROM orders WHERE o_orderkey % 101 = 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct
+    FROM newsnap
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def incremental_distinct_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group COUNT(DISTINCT) maintained under a CDC delta WITHOUT
+    ever touching the snapshot (sources/dml.maintain_distinct_state):
+    DISTINCT is the aggregate everyone calls unmaintainable — a delete
+    may or may not remove a group's last copy of a value — but the
+    (group, value, multiplicity) expansion IS exactly additive, so the
+    state updates from the delta alone for ANY op mix (deletes
+    included — stronger than min/max, which need a touched-group
+    recompute). Scenario: distinct customers per order priority under
+    the standard %97-delete / %89-customer-reassignment / %101-
+    reinsert delta; oracle = COUNT(DISTINCT) recomputed over the new
+    snapshot. At 100 TB the state is answer-support-sized
+    ((group, value) combinations), the merge joins on the state's own
+    composite key, and the fact table is read once at seed time,
+    never again."""
+    from xngin_spark.sources.dml import (
+        cdc_changes,
+        count_distinct_from_state,
+        distinct_state,
+        maintain_distinct_state,
+    )
+
+    v1 = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_custkey"
+    )
+    v2 = (
+        v1.filter(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_custkey",
+            F.when(
+                F.col("o_orderkey") % 89 == 0, F.col("o_custkey") + 1000000
+            ).otherwise(F.col("o_custkey")),
+        )
+        .unionByName(
+            v1.filter(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + 100000000
+            )
+        )
+    )
+    changes = cdc_changes(
+        v1, v2, ["o_orderkey"], cols=["o_orderpriority", "o_custkey"]
+    ).localCheckpoint(eager=True)
+    state = maintain_distinct_state(
+        distinct_state(v1, "o_orderpriority", "o_custkey"),
+        changes,
+        "o_orderpriority",
+        "o_custkey",
+    )
+    return (
+        count_distinct_from_state(state, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -273,3 +273,78 @@ def listagg_ordered(spark, sf_dir):
         ).alias("top_docs"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_PIVOT_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+       CAST(CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+            AS STRING) AS DOUBLE) AS urgent,
+       CAST(CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                          THEN CAST(o_totalprice AS DECIMAL(25,6)) END)
+            AS STRING) AS DOUBLE) AS low
+FROM orders
+GROUP BY 1
+ORDER BY y
+"""
+
+
+@register("pivot_sql_syntax", _PIVOT_SQL)
+def pivot_sql_syntax(spark, sf_dir):
+    """Native SQL PIVOT *clause* (the DataFrame .pivot() twin is
+    queries/analytic.pivot_wide): per-year revenue pivoted into one
+    column per order priority — the reporting reshape every warehouse
+    grows. Spark's PIVOT clause analyzes to Aggregate-with-conditional
+    -aggregates (the same plan the oracle's CASE spelling produces —
+    one hash-aggregate pass, no extra shuffle, no per-value scans),
+    which is why the cross-engine hash can be exact: both engines run
+    the identical decimal-summed conditional aggregation. Beyond the
+    reference's grammar (no PIVOT in doradb-sql); a reference user
+    gains it by switching."""
+    orders = f"parquet.`{sf_dir}/orders.parquet`"
+    return spark.sql(f"""
+        SELECT * FROM (
+          SELECT o_orderpriority,
+                 CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS y,
+                 o_totalprice
+          FROM {orders}
+        ) PIVOT (
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS STRING)
+               AS DOUBLE)
+          FOR o_orderpriority IN ('1-URGENT' AS urgent, '5-LOW' AS low)
+        ) ORDER BY y
+    """)
+
+
+_UNPIVOT_SQL = """
+SELECT p_partkey, metric, val FROM (
+  SELECT p_partkey, 'psize' AS metric, CAST(p_size AS DOUBLE) AS val
+  FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+  FROM part
+) u
+WHERE val IS NOT NULL
+ORDER BY p_partkey, metric
+"""
+
+
+@register("unpivot_sql_syntax", _UNPIVOT_SQL)
+def unpivot_sql_syntax(spark, sf_dir):
+    """Native SQL UNPIVOT *clause* (the DataFrame .unpivot() twin is
+    queries/analytic.unpivot_long): per-part metrics melted to
+    (key, metric, value) rows — the feature-table normalization shape.
+    Spark's UNPIVOT analyzes to Expand (one pass over the scan, k
+    output rows per input row, no join and no shuffle); the DuckDB
+    oracle spells the same relation as a UNION ALL of per-metric
+    projections with an explicit ``val IS NOT NULL`` — UNPIVOT's
+    default EXCLUDE NULLS drops NULL measures, so the oracle must
+    too (planted-NULL equivalence pinned in tests)."""
+    part = f"parquet.`{sf_dir}/part.parquet`"
+    return spark.sql(f"""
+        SELECT p_partkey, metric, val FROM (
+          SELECT p_partkey, CAST(p_size AS DOUBLE) AS psize, p_retailprice
+          FROM {part}
+        ) UNPIVOT (val FOR metric IN (psize, p_retailprice))
+        ORDER BY p_partkey, metric
+    """)

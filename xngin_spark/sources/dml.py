@@ -750,6 +750,167 @@ def maintain_agg_additive(
     )
 
 
+def maintain_agg_additive_multi(
+    agg_old: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    val_cols: list[str],
+) -> DataFrame:
+    """Multi-measure :func:`maintain_agg_additive`: k additive
+    measures maintained from the delta alone in ONE pass and ONE
+    merge join — the streaming-state twin of
+    :func:`maintain_agg_multi`'s additive half. Schema in/out:
+    (group, cnt BIGINT, total_dec_{c} DECIMAL(30,6) per measure);
+    same null-safe group merge, same fixed decimal carrier."""
+    g = group_col
+    plus = changes.filter(F.col("op").isin("insert", "update")).select(
+        F.col(f"_new.{g}").alias(g),
+        F.lit(1).cast("bigint").alias("dc"),
+        *[
+            F.col(f"_new.{c}").cast(_AGG_STATE_DEC).alias(f"dv_{c}")
+            for c in val_cols
+        ],
+    )
+    minus = changes.filter(F.col("op").isin("delete", "update")).select(
+        F.col(f"_old.{g}").alias(g),
+        F.lit(-1).cast("bigint").alias("dc"),
+        *[
+            (-F.col(f"_old.{c}").cast(_AGG_STATE_DEC)).alias(f"dv_{c}")
+            for c in val_cols
+        ],
+    )
+    adj = (
+        plus.unionByName(minus)
+        .groupBy(g)
+        .agg(
+            F.sum("dc").alias("dc"),
+            *[F.sum(f"dv_{c}").alias(f"dv_{c}") for c in val_cols],
+        )
+        .withColumnRenamed(g, "__adj_g")
+    )
+    zero = F.lit(0).cast(_AGG_STATE_DEC)
+    return (
+        agg_old.join(
+            adj, F.col(g).eqNullSafe(F.col("__adj_g")), "full_outer"
+        )
+        .select(
+            F.coalesce(F.col(g), F.col("__adj_g")).alias(g),
+            (
+                F.coalesce(F.col("cnt"), F.lit(0))
+                + F.coalesce(F.col("dc"), F.lit(0))
+            ).alias("cnt"),
+            *[
+                (
+                    F.coalesce(
+                        F.col(f"total_dec_{c}").cast(_AGG_STATE_DEC), zero
+                    )
+                    + F.coalesce(F.col(f"dv_{c}").cast(_AGG_STATE_DEC), zero)
+                )
+                .cast(_AGG_STATE_DEC)
+                .alias(f"total_dec_{c}")
+                for c in val_cols
+            ],
+        )
+        .filter(F.col("cnt") > 0)
+    )
+
+
+def distinct_state(
+    df: DataFrame, group_col: str, val_col: str
+) -> DataFrame:
+    """Maintainable state for per-group ``COUNT(DISTINCT val)``: the
+    (group, val, vcnt) sub-rollup — one row per distinct value per
+    group carrying how many base rows hold it. COUNT(DISTINCT) ignores
+    NULLs, so NULL values never enter the state. The classic
+    expansion trick that makes the UNmaintainable aggregate
+    maintainable: DISTINCT itself is neither additive nor subtractable
+    (a delete may or may not remove the last copy of a value), but
+    the per-value multiplicity IS exactly additive — so the state is
+    delta-maintainable (:func:`maintain_distinct_state`) and the
+    answer is a group-sized derivation (:func:`count_distinct_from_state`).
+
+    Scale: state size = Σ per-group value cardinalities — the size of
+    the ANSWER's support, not of the fact table; a 100 TB fact table
+    with 1M (group, value) combinations keeps a 1M-row state."""
+    return (
+        df.filter(F.col(val_col).isNotNull())
+        .groupBy(group_col, val_col)
+        .agg(F.count(F.lit(1)).alias("vcnt"))
+    )
+
+
+def maintain_distinct_state(
+    state_old: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Maintain :func:`distinct_state` from a :func:`cdc_changes`
+    delta ALONE — no snapshot access of any kind, for ANY op mix
+    (unlike min/max, which need a recompute for deletes): the
+    per-(group, value) multiplicity takes +1 for each insert/update
+    new image and −1 for each delete/update old image, merged by one
+    full-outer join on (group, value); rows whose multiplicity
+    reaches zero drop, which is precisely when the value stops
+    counting as distinct. NULL group keys are groups (null-safe
+    join); NULL values never count (COUNT DISTINCT semantics).
+
+    The merge join is keyed (group, value) — the state's OWN key —
+    so a hot GROUP is spread across its many values and the shuffle
+    is as balanced as the value distribution itself."""
+    g, v = group_col, val_col
+    plus = changes.filter(
+        F.col("op").isin("insert", "update")
+        & F.col(f"_new.{v}").isNotNull()
+    ).select(
+        F.col(f"_new.{g}").alias(g),
+        F.col(f"_new.{v}").alias(v),
+        F.lit(1).cast("bigint").alias("d"),
+    )
+    minus = changes.filter(
+        F.col("op").isin("delete", "update")
+        & F.col(f"_old.{v}").isNotNull()
+    ).select(
+        F.col(f"_old.{g}").alias(g),
+        F.col(f"_old.{v}").alias(v),
+        F.lit(-1).cast("bigint").alias("d"),
+    )
+    adj = (
+        plus.unionByName(minus)
+        .groupBy(g, v)
+        .agg(F.sum("d").alias("d"))
+        .withColumnRenamed(g, "__adj_g")
+        .withColumnRenamed(v, "__adj_v")
+    )
+    return (
+        state_old.join(
+            adj,
+            F.col(g).eqNullSafe(F.col("__adj_g"))
+            & (F.col(v) == F.col("__adj_v")),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col(g), F.col("__adj_g")).alias(g),
+            F.coalesce(F.col(v), F.col("__adj_v")).alias(v),
+            (
+                F.coalesce(F.col("vcnt"), F.lit(0))
+                + F.coalesce(F.col("d"), F.lit(0))
+            ).alias("vcnt"),
+        )
+        .filter(F.col("vcnt") > 0)
+    )
+
+
+def count_distinct_from_state(
+    state: DataFrame, group_col: str
+) -> DataFrame:
+    """Derive (group, n_distinct) from a :func:`distinct_state` —
+    a group-sized aggregation over the state, never the fact table."""
+    return state.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_distinct")
+    )
+
+
 def agg_snapshot_multi(
     df: DataFrame, group_col: str, val_cols: list[str]
 ) -> DataFrame:

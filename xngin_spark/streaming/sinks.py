@@ -373,6 +373,83 @@ def apply_cdc_rollup_batch(
             _shutil.rmtree(p, ignore_errors=True)
 
 
+def apply_cdc_rollup_batch_multi(
+    batch_df: DataFrame,
+    batch_id: int,
+    rollup_path: str,
+    group_col: str,
+    val_cols: list[str],
+    key_cols: list[str],
+) -> None:
+    """Multi-measure :func:`apply_cdc_rollup_batch` — same write-ahead
+    epoch protocol (read newest epoch < batch_id, apply the delta,
+    overwrite epoch=batch_id, prune below the predecessor), with k
+    measures folded in the one delta pass
+    (sources/dml.maintain_agg_additive_multi)."""
+    from xngin_spark.sources.dml import maintain_agg_additive_multi
+
+    spark = batch_df.sparkSession
+    batch = batch_df.dropDuplicates(key_cols).localCheckpoint(eager=True)
+    prior = _latest_rollup_epoch(rollup_path, below=batch_id)
+    if prior is None:
+        raise ValueError(
+            f"no seed epoch under {rollup_path} — write the initial "
+            "agg state to epoch=-1 before starting the stream"
+        )
+    agg_old = spark.read.parquet(f"{rollup_path}/epoch={prior}")
+    updated = maintain_agg_additive_multi(
+        agg_old, batch, group_col, val_cols
+    )
+    updated.write.mode("overwrite").parquet(
+        f"{rollup_path}/epoch={batch_id}"
+    )
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    for p in _glob.glob(_os.path.join(rollup_path, "epoch=*")):
+        try:
+            e = int(_os.path.basename(p).split("=", 1)[1])
+        except ValueError:
+            continue
+        if e < prior:
+            _shutil.rmtree(p, ignore_errors=True)
+
+
+def streaming_agg_maintain_multi(
+    change_stream: DataFrame,
+    rollup_path: str,
+    checkpoint_dir: str,
+    group_col: str,
+    val_cols: list[str],
+    key_cols: list[str],
+    timeout_s: int = 180,
+) -> None:
+    """Multi-measure :func:`streaming_agg_maintain`: a k-measure
+    maintained materialized view costs one maintenance round per
+    micro-batch, not k — same epoch protocol, same replay
+    convergence, same seed contract (epoch=-1 holding the
+    maintain_agg_additive_multi-shaped state)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_rollup_batch_multi(
+            batch_df, batch_id, rollup_path, group_col, val_cols, key_cols
+        )
+
+    q = (
+        change_stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"agg-maintain-multi sink did not finish in {timeout_s}s"
+        )
+
+
 def streaming_agg_maintain(
     change_stream: DataFrame,
     rollup_path: str,
