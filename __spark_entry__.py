@@ -92,12 +92,24 @@ GATE_PRIORITY = [
     # window_rank / window_agg_per_group (window machinery gate-proven
     # via window_frames; windowed top-k via events_topk_per_window).
     "mark_join_q",
-    "single_join_q",
     "scalar_funcs",
     "predicates",
-    "agg_distinct",
     "cube_agg",
     "window_frames",
+    # Round-8 swaps: dphyp_sql_q5 / incremental_distinct_maintain
+    # replace single_join_q / agg_distinct in the window.
+    # dphyp_sql_q5 is the SQL-entry join-reorder product path's first
+    # value-checked row (the reference runs reorder inside every plan
+    # pipeline, join/reorder/mod.rs:24-33 — round-7 verdict task 2);
+    # Attach/single-join machinery stays gate-proven via
+    # q11/q15/q17/q22 and single_join_q keeps its local oracle.
+    # incremental_distinct_maintain is the CDC-maintenance family's
+    # first gate row AND carries COUNT(DISTINCT) value evidence in its
+    # own oracle; plain distinct aggregation stays gate-proven via
+    # q16's COUNT(DISTINCT), and agg_distinct (sum-distinct evidence)
+    # keeps its local oracle compare in test_tpch_parity.py.
+    "dphyp_sql_q5",
+    "incremental_distinct_maintain",
 ]
 
 

@@ -935,3 +935,17 @@ def test_unpivot_drops_null_measures_like_filtered_union(spark):
     )
     assert [tuple(r) for r in up.collect()] == [tuple(r) for r in un.collect()]
     assert up.count() == 4  # two NULL measures dropped
+
+
+def test_engine_sql_reorder_flag(spark, sf_dir):
+    """Engine.sql(..., reorder=True) is the product-path switch onto
+    the DPhyp route — results identical to the plain path."""
+    from xngin_spark.engine import Engine
+    from xngin_spark.queries import ORACLE, load_all
+
+    load_all()
+    e = Engine(sf_dir, spark=spark)
+    sql = ORACLE["q5"]
+    a = sorted(map(tuple, e.sql(sql, reorder=True).collect()))
+    b = sorted(map(tuple, e.sql(sql).collect()))
+    assert a == b

@@ -31,15 +31,28 @@ class Engine:
         if data_dir:
             self.catalog.register_dir(data_dir)
 
-    def sql(self, query: str, dialect: str = "ansi") -> DataFrame:
+    def sql(
+        self, query: str, dialect: str = "ansi", reorder: bool = False
+    ) -> DataFrame:
         """Run SQL in the reference's dialect surface (MySQL-isms shimmed).
 
         ``dialect`` selects the input dialect like the reference's
         parser flag (doradb-sql/src/parser/dialect.rs:14-20):
         ``ansi`` (default, "ident" quoting), ``mysql`` ("string"
         literals), or ``spark`` for untouched Spark SQL.
-        """
-        return self.spark.sql(rewrite_sql(query, dialect))
+
+        ``reorder=True`` routes the text through the DPhyp join
+        reorderer (plans/sqlreorder.dphyp_sql — the reference runs its
+        reorder inside every plan pipeline, join/reorder/mod.rs:24-33;
+        here it is opt-in because Catalyst CBO/AQE already serve the
+        default path well). Result-identical by construction; falls
+        back to the plain text on any unsupported shape."""
+        text = rewrite_sql(query, dialect)
+        if reorder:
+            from xngin_spark.plans.sqlreorder import dphyp_sql
+
+            return dphyp_sql(self.spark, text)
+        return self.spark.sql(text)
 
     def table(self, name: str) -> DataFrame:
         try:
