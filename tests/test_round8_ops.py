@@ -949,3 +949,91 @@ def test_engine_sql_reorder_flag(spark, sf_dir):
     a = sorted(map(tuple, e.sql(sql, reorder=True).collect()))
     b = sorted(map(tuple, e.sql(sql).collect()))
     assert a == b
+
+
+# --- BLAS fast paths (assignment / pairwise / winnow hash) ---------------
+
+
+def test_assign_clusters_matches_nearest(spark):
+    """The Arrow-batched BLAS assignment must reproduce the expression
+    argmin exactly: same nearest centroid, lowest-index tie-break
+    (duplicate centroids force the tie)."""
+    from xngin_spark.operators.clustering import _nearest, assign_clusters
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.7, 0.7, 0.0]),
+        (4, [-1.0, -1.0, 0.5]),
+        (5, [0.0, 0.0, 0.0]),  # equidistant from duplicate centroids
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 1.0, 0.0], [-1.0, -1.0, 0.0]]
+    want = {
+        r.vec_id: r.c
+        for r in df.withColumn("c", _nearest(F.col("embedding"), cents)["c"]).collect()
+    }
+    got = {r.vec_id: r.cluster for r in assign_clusters(df, cents).collect()}
+    assert got == want
+    # the tie row must land on the FIRST of the duplicate centroids
+    assert got[5] == min(
+        i for i, c in enumerate(cents) if c == cents[got[5]]
+    )
+
+
+def test_cosine_dup_pairs_blas_matches_decimal(spark):
+    """BLAS Gram-matrix pair scoring ≡ the decimal-deterministic join
+    on vectors whose cosines sit far from the threshold (the contract:
+    same pair SET; scores agree to float tolerance)."""
+    import random
+
+    from xngin_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, 1 if i % 2 else 0, base))
+        if i % 5 == 0:  # planted near-dup in the same block
+            rows.append(
+                (1000 + i, 1 if i % 2 else 0, [x + rng.gauss(0, 0.01) for x in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, cluster int, embedding array<double>")
+    dec = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.cosine_dup_pairs(df, threshold=0.8, block_col="cluster").collect()
+    }
+    for chunk in (2048, 3):  # default slab and a forced multi-slab pass
+        blas = {
+            (r.id_a, r.id_b): r.cosine
+            for r in S.cosine_dup_pairs_blas(
+                df, threshold=0.8, block_col="cluster", row_chunk=chunk
+            ).collect()
+        }
+        assert set(blas) == set(dec)
+        assert all(abs(blas[k] - dec[k]) < 1e-9 for k in blas)
+
+
+def test_winnow_numpy_equals_expression(spark, sf_dir):
+    """The vectorized numpy rolling hash must emit the IDENTICAL
+    (id, fp) set as the all-JVM expression twin — on real documents and
+    on non-ASCII text (code-point vs byte handling)."""
+    from xngin_spark.operators import dedup as D
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    a = {(r.id, r.fp) for r in D.winnow_fingerprints(docs).collect()}
+    b = {(r.id, r.fp) for r in D._winnow_fingerprints_expr(docs).collect()}
+    assert a == b and len(a) > 0
+
+    uni = spark.createDataFrame(
+        [
+            (1, "žluťoučký kůň úpěl ďábelské ódy — příliš žluťoučký"),
+            (2, "数据去重指纹测试：滚动哈希在多字节字符上的一致性验证"),
+            (3, "short"),  # below k+w-1 → dropped by both
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    ua = {(r.id, r.fp) for r in D.winnow_fingerprints(uni).collect()}
+    ub = {(r.id, r.fp) for r in D._winnow_fingerprints_expr(uni).collect()}
+    assert ua == ub and {i for i, _ in ua} == {1, 2}

@@ -15,8 +15,12 @@ Designed for the 100 TB case first:
 - n-gram Jaccard: exact pairwise verification used as ground truth for
   the approximate families (quadratic — always bound its input).
 
-No Python UDFs anywhere: signatures use xxhash64/transform/aggregate
-expressions, so everything whole-stage-codegens.
+No row-at-a-time Python UDFs anywhere: signatures use
+xxhash64/transform/aggregate expressions. The one Python stage is the
+winnowing rolling hash — exact integer arithmetic computed as
+Arrow-batched vectorized numpy (mapInPandas), because Catalyst
+interprets (does not codegen) the higher-order-function form; the
+all-JVM expression twin is kept and equivalence-tested.
 """
 
 from __future__ import annotations
@@ -492,15 +496,79 @@ def winnow_fingerprints(
     catches partial overlap (plagiarism / quote / crawl-boilerplate
     reuse) that whole-document hashing misses.
 
-    Scale shape: the ENTIRE selection runs as nested array expressions
-    inside one codegen'd projection — grams, window minima, and
-    distinct fingerprints never leave the row, so there is NO shuffle
-    and no row explosion until the final per-fingerprint explode of the
-    (few) distinct minima. Returns (id, fp) rows.
+    Scale shape: ONE map-side Arrow-batched pass — grams, window
+    minima, and per-doc distinct fingerprints are vectorized numpy over
+    each batch, so there is NO shuffle and the only rows leaving the
+    pass are the (few) distinct minima per doc. Returns (id, fp) rows.
 
     Docs shorter than k+w-1 produce no full window and are dropped —
     same rule as the oracle.
     """
+    # The rolling hash is EXACT integer arithmetic (codes·31^j mod
+    # 2³¹−1), so the engine may compute it any way that produces the
+    # same integers. The expression form (kept below as
+    # _winnow_fingerprints_expr) evaluates ~|text|·k interpreted
+    # higher-order lambdas per doc — Catalyst does not codegen
+    # ArrayAggregate/ArrayTransform — and dominated the winnow family's
+    # wall-clock (99% of dedup_winnow at sf0.1). This Arrow-batched
+    # numpy form computes the identical integers with three vectorized
+    # ops per doc (code-point decode, sliding-window int64 matvec
+    # against the 31-powers, sliding min) — proven ≡ the expression
+    # form by test AND by the unchanged DuckDB value oracle. Still one
+    # map-side pass: no shuffle, corpus streams partition-parallel.
+    idt = {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
+    pows = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+    min_len = k + w - 1
+
+    def process(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        pv = np.array(pows, dtype=np.int64)
+        empty = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                              "fp": pd.Series([], dtype="int64")})
+        for pdf in batches:
+            ids_out: list = []
+            fps_out: list = []
+            for did, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or len(txt) < min_len:
+                    continue
+                # utf-32-le == one uint32 code point per character —
+                # the vectorized twin of ascii(substring(text, i, 1))
+                codes = np.frombuffer(
+                    txt.encode("utf-32-le"), dtype="<u4"
+                ).astype(np.int64)
+                # code < 2^21, power < 2^31, k terms → sums < 2^56:
+                # exact in int64, mod once ≡ Horner-mod-every-step
+                grams = (sliding_window_view(codes, k) @ pv) % WINNOW_MOD
+                fps = np.unique(sliding_window_view(grams, w).min(axis=1))
+                ids_out.append(np.full(len(fps), did, dtype=np.int64))
+                fps_out.append(fps)
+            if ids_out:
+                yield pd.DataFrame(
+                    {"id": np.concatenate(ids_out), "fp": np.concatenate(fps_out)}
+                )
+            else:
+                yield empty
+
+    return (
+        fan_out(df)
+        .select(F.col(id_col), F.col(text_col))
+        .mapInPandas(process, f"id {idt}, fp bigint")
+    )
+
+
+def _winnow_fingerprints_expr(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 12,
+    w: int = 4,
+) -> DataFrame:
+    """Pure-expression winnowing (the pre-numpy form) — kept as the
+    all-JVM reference implementation; the equivalence test pins
+    numpy ≡ expression on real documents."""
     # char codes extracted ONCE per row; each gram is then a Horner
     # fold over a k-slice — ((c0·B + c1)·B + …) mod M equals the
     # power-weighted sum mod M, so the oracle's explicit-powers

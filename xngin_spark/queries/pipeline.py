@@ -469,21 +469,24 @@ def dedup_semantic(spark, sf_dir):
     ~100x the sf0.1 pairwise work); occupancy-targeted k restores the
     linear envelope, which is how SemDeDup runs at paper scale (k is
     chosen so clusters stay tens-of-thousands at 100M+ docs)."""
-    from xngin_spark.operators.clustering import _nearest, kmeans_fit
+    from xngin_spark.operators.clustering import assign_clusters, kmeans_fit
     from xngin_spark.operators.corpus import connected_components_star
 
     emb = T(spark, sf_dir, "embeddings")
     n = emb.count()
     k = max(8, -(-n // 250))
     cents = kmeans_fit(emb, k=k, max_iter=2)
-    assigned = emb.withColumn(
-        "cluster", _nearest(F.col("embedding"), cents)["c"]
-    )
+    # rows-only query → no SQL-oracle determinism constraint, so both
+    # the assignment and the within-cluster pairwise run on the BLAS
+    # fast paths (one matmul per Arrow batch / per cluster) instead of
+    # interpreted higher-order folds — k grows with n here (n/250), so
+    # the expression form's n·k·d interpreted cost is the scale hazard
+    assigned = assign_clusters(emb, cents)
     # tau=0.4: tight enough to mean "semantic duplicate" on this data
     # (0.3 links ~all of a cluster into one chain component — 47
     # keepers out of 2000 at sf0.1) and keeps the similarity graph
     # sparse for the contraction rounds; still non-vacuous at every SF
-    pairs = S.cosine_dup_pairs(assigned, threshold=0.4, block_col="cluster")
+    pairs = S.cosine_dup_pairs_blas(assigned, threshold=0.4, block_col="cluster")
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     comps = connected_components_star(
         edges, emb.select("vec_id"), id_col="vec_id"
