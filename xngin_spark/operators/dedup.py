@@ -278,7 +278,16 @@ def minhash_lsh_pairs(
     # sides consume `sigs`; without a barrier they race the cold cache
     # and each recomputes the signatures
     sigs.count()
-    banded = _band_buckets(sigs, id_col, k, bands, portable)
+    # banding feeds the bucket-size count AND both self-join sides —
+    # persist the (band, bucket, id) rows (24 B each) so the explode +
+    # band-hash transform runs once, not three times (measured ~1s per
+    # recompute at sf1)
+    banded = track_persisted(
+        _band_buckets(sigs, id_col, k, bands, portable).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
+    banded.count()
 
     if max_bucket_size is not None:
         # one extra (band,bucket) count agg (map-side partial, 24B rows)

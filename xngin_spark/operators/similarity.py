@@ -221,6 +221,94 @@ def cosine_dup_pairs_blas(
     return df.groupBy(block_col).applyInPandas(score, out_schema)
 
 
+#: Default quantization grid for the integer-exact cosine screen:
+#: floor(x · 2²⁴). For |x| < 8 and d ≤ 512 every square/dot sum stays
+#: far inside int64; relative quantization error ~2⁻²⁴ ≈ 6e-8 — noise
+#: for a near-dup screen.
+GRID_BITS = 24
+
+
+def cosine_dup_pairs_grid(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "cluster",
+    grid_bits: int = GRID_BITS,
+    row_chunk: int = 2048,
+) -> DataFrame:
+    """Within-block near-duplicate pairs on a FLOOR-GRID integer
+    cosine — value-checkable across engines AND BLAS-fast.
+
+    The decimal fold (``cosine_dup_pairs``) pays occupancy²·d
+    *interpreted* decimal operations: Catalyst never codegens
+    higher-order lambdas, and exact decimal accumulation has no BLAS
+    form. The grid variant quantizes each coordinate once —
+    q = floor(x·2^bits), EXACT in IEEE doubles because the scale is a
+    power of two — and scores pairs with int64 dot products, which are
+    order-independent exact integers any engine (numpy, Spark, DuckDB)
+    reproduces bit-for-bit. The final
+    cosine = double(dot) / sqrt(double(na2)·double(nb2)) is three
+    correctly-rounded IEEE ops on identical integers, so the emitted
+    doubles are bit-identical too. Same recipe as the JL projection's
+    floor-grid accumulation (operators/quantize.py), extended to the
+    pairwise screen.
+
+    Scale shape: identical to ``cosine_dup_pairs_blas`` — one shuffle
+    onto the block key, then per-block Gram work in ``row_chunk`` slabs
+    (int64 matmul), cost follows block occupancy. Result differs from
+    the exact-arithmetic screen only by the ~2⁻²⁴ quantization of each
+    coordinate. Oracle twin: ``grid_cosine_oracle_cte``.
+    """
+    scale = float(1 << grid_bits)
+    idt = {f.name: f.dataType.simpleString() for f in df.schema.fields}[id_col]
+    out_schema = f"id_a {idt}, id_b {idt}, cosine double"
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"id_a": [], "id_b": [], "cosine": []}
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        Q = np.floor(X * scale).astype(np.int64)
+        n2 = (Q * Q).sum(axis=1)  # int64, exact
+        ids = pdf[id_col].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, n, row_chunk):
+            e = min(s + row_chunk, n)
+            D = Q[s:e] @ Q.T  # int64 dots, exact
+            cos = D.astype(np.float64) / np.sqrt(
+                n2[s:e, None].astype(np.float64) * n2[None, :].astype(np.float64)
+            )
+            ri, cj = np.nonzero(cos >= threshold)
+            keep = cj > (ri + s)
+            ri, cj = ri[keep], cj[keep]
+            out_a.append(ids[ri + s])
+            out_b.append(ids[cj])
+            out_c.append(cos[ri, cj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else [],
+                "id_b": np.concatenate(out_b) if out_b else [],
+                "cosine": np.concatenate(out_c) if out_c else [],
+            }
+        )
+
+    return df.groupBy(block_col).applyInPandas(score, out_schema)
+
+
+def grid_scale_sql(grid_bits: int = GRID_BITS) -> str:
+    """The grid scale as a SQL double literal — oracles quantize with
+    ``CAST(floor(CAST(x AS DOUBLE) * <this>) AS BIGINT)``, mirroring
+    ``cosine_dup_pairs_grid`` exactly."""
+    return repr(float(1 << grid_bits))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]

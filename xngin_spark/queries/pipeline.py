@@ -551,7 +551,10 @@ _QUADRANT_DIST_SQL = """
 
 
 def _sem_checked_oracle() -> str:
-    return """
+    from xngin_spark.operators.similarity import grid_scale_sql
+
+    g = grid_scale_sql()
+    return f"""
     WITH RECURSIVE
     cfg AS (
       SELECT greatest(CAST(ceil(log2(greatest(COUNT(*) / 250.0, 2.0)))
@@ -566,28 +569,29 @@ def _sem_checked_oracle() -> str:
                AS cluster
       FROM embeddings, cfg
     ),
-    n AS (
-      SELECT vec_id,
-             sqrt(CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS nrm
+    q AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {g}) AS BIGINT) AS qv
       FROM embeddings, generate_series(1, 64) t(i)
-      GROUP BY vec_id
+    ),
+    n AS (
+      SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS n2
+      FROM q GROUP BY vec_id
     ),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(CAST(SUM(CAST(CAST(ea.embedding[t.i] AS DOUBLE)
-                  * CAST(eb.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
+             CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
       FROM assigned a JOIN assigned b
              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-           JOIN embeddings ea ON ea.vec_id = a.vec_id
-           JOIN embeddings eb ON eb.vec_id = b.vec_id,
-           generate_series(1, 64) t(i)
+           JOIN q qa ON qa.vec_id = a.vec_id
+           JOIN q qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
       GROUP BY 1, 2
     ),
     pairs AS (
       SELECT p.id_a, p.id_b
       FROM p JOIN n na ON na.vec_id = p.id_a JOIN n nb ON nb.vec_id = p.id_b
-      WHERE p.dot / (na.nrm * nb.nrm) >= 0.4
+      WHERE CAST(p.dot AS DOUBLE)
+              / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.4
     ),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
@@ -612,11 +616,12 @@ def dedup_semantic_checked(spark, sf_dir):
     keeper pipeline as dedup_semantic, with the k-means codebook FROZEN
     to data-independent constants (the production deployment shape —
     centroids come from a one-off training run and are then fixed) so
-    every stage is deterministic and DuckDB-expressible. Assignment
-    distance and cosine both accumulate through DECIMAL(25,9) (exact,
-    order-independent) with the (dist, cid) tie-break mirrored on both
-    engines; the component labels are recomputed by the oracle with a
-    recursive reachability CTE. Upgrades the semantic-dedup family from
+    every stage is deterministic and DuckDB-expressible. The pairwise
+    stage scores the FLOOR-GRID integer cosine (cosine_dup_pairs_grid:
+    q = floor(x·2²⁴), int64 dots — exact, order-independent, BLAS-
+    shaped) with the identical quantization in the oracle's CTEs; the
+    component labels are recomputed by the oracle with a recursive
+    reachability CTE. Upgrades the semantic-dedup family from
     rows-only to a value-checked row — the trained-codebook variant
     keeps its planted tests."""
     import math
@@ -640,7 +645,7 @@ def dedup_semantic_checked(spark, sf_dir):
             "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
         ),
     )
-    pairs = S.cosine_dup_pairs(assigned, threshold=0.4, block_col="cluster")
+    pairs = S.cosine_dup_pairs_grid(assigned, threshold=0.4, block_col="cluster")
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -1285,36 +1290,53 @@ def audio_energy(spark, sf_dir):
     return M.audio_window_energy(M.as_media_table(d))
 
 
-@register(
-    "dedup_embedding_cosine",
-    """
-    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+def _embedding_grid_oracle() -> str:
+    from xngin_spark.operators.similarity import grid_scale_sql
+
+    g = grid_scale_sql()
+    return f"""
+    WITH q AS (
+      SELECT vec_id, label, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {g}) AS BIGINT) AS qv
+      FROM embeddings, generate_series(1, 64) t(i)
+    ),
     n AS (
-      SELECT vec_id,
-             sqrt(CAST(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE)
-                  * CAST(embedding[i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE)) AS nrm
-      FROM e, generate_series(1, 64) t(i)
-      GROUP BY vec_id
+      SELECT vec_id, label, CAST(SUM(qv * qv) AS BIGINT) AS n2
+      FROM q GROUP BY vec_id, label
     ),
     p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             CAST(CAST(SUM(CAST(CAST(a.embedding[t.i] AS DOUBLE)
-                  * CAST(b.embedding[t.i] AS DOUBLE) AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dot
-      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id,
-           generate_series(1, 64) t(i)
+             CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           JOIN q qa ON qa.vec_id = a.vec_id
+           JOIN q qb ON qb.vec_id = b.vec_id AND qb.i = qa.i
       GROUP BY 1, 2
     )
-    SELECT p.id_a, p.id_b, p.dot / (na.nrm * nb.nrm) AS cosine
+    SELECT p.id_a, p.id_b,
+           CAST(p.dot AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
     FROM p JOIN n na ON na.vec_id = p.id_a JOIN n nb ON nb.vec_id = p.id_b
-    WHERE p.dot / (na.nrm * nb.nrm) >= 0.3
-    """,
-)
+    WHERE CAST(p.dot AS DOUBLE)
+             / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) >= 0.3
+    """
+
+
+@register("dedup_embedding_cosine", _embedding_grid_oracle())
 def dedup_embedding_cosine(spark, sf_dir):
-    # embedding-cosine near-dup, blocked by label (the scale path blocks
-    # on an LSH bucket / IVF list; the blocked-self-join shape is what
-    # matters). Decimal-deterministic dot+norm match the oracle exactly.
+    """Embedding-cosine near-dup, blocked by label (the scale path
+    blocks on an LSH bucket / IVF list; the blocked-self-join shape is
+    what matters). Scored on the FLOOR-GRID integer cosine
+    (cosine_dup_pairs_grid): q = floor(x·2²⁴) per coordinate, int64
+    dots — exact, order-independent, bit-reproduced by the DuckDB
+    oracle, and BLAS-shaped (per-block Gram matmul) instead of
+    occupancy²·d interpreted decimal folds. Same switch the JL
+    projection made in round 7 (floor-grid BIGINT beats
+    decimal-by-string for cross-engine determinism AND speed);
+    ~2⁻²⁴ coordinate quantization is noise for a near-dup screen. The
+    exact-arithmetic decimal screen (cosine_dup_pairs) remains the
+    audit-grade verifier, planted-tested in tests/test_operators.py."""
     e = T(spark, sf_dir, "embeddings")
-    return S.cosine_dup_pairs(e, threshold=0.3, block_col="label")
+    return S.cosine_dup_pairs_grid(e, threshold=0.3, block_col="label")
 
 
 @register("knn_cosine_ivf")  # no oracle: iterative k-means training (rows-only)
