@@ -1550,6 +1550,9 @@ _PQ_CODEBOOK = [
 
 
 def _pq_checked_oracle() -> str:
+    from xngin_spark.operators.similarity import grid_scale_sql
+
+    g = grid_scale_sql()
     cents = ", ".join(
         "(" + str(ci) + ", [" + ", ".join(repr(x) for x in c) + "])"
         for ci, c in enumerate(_PQ_CODEBOOK)
@@ -1558,10 +1561,12 @@ def _pq_checked_oracle() -> str:
     WITH cents(cid, cv) AS (VALUES {cents}),
     sd AS (
       SELECT e.vec_id, s.s, c.cid,
-             SUM(CAST((CAST(e.embedding[(s.s - 1) * 8 + t.i] AS DOUBLE)
-                       - c.cv[t.i])
-                      * (CAST(e.embedding[(s.s - 1) * 8 + t.i] AS DOUBLE)
-                         - c.cv[t.i]) AS DECIMAL(25,9))) AS dist
+             CAST(SUM(
+               CAST(floor((CAST(e.embedding[(s.s - 1) * 8 + t.i] AS DOUBLE)
+                           - c.cv[t.i]) * {g}) AS BIGINT)
+               * CAST(floor((CAST(e.embedding[(s.s - 1) * 8 + t.i] AS DOUBLE)
+                             - c.cv[t.i]) * {g}) AS BIGINT)
+             ) AS BIGINT) AS dist
       FROM embeddings e, generate_series(1, 8) s(s), cents c,
            generate_series(1, 8) t(i)
       GROUP BY e.vec_id, s.s, c.cid
@@ -1594,80 +1599,82 @@ def knn_l2_pq_checked(spark, sf_dir):
     codebook (deployed shape — codebooks train once), queries scored
     by asymmetric distance (ADC: per-subspace query→codeword distance
     table, candidate distance = sum over subspaces of the table entry
-    at the candidate's code). Per-subspace assignment distances and
-    the ADC sum both accumulate through DECIMAL(25,9) with the
-    (dist, cid) tie-break mirrored, so DuckDB reproduces codes, ADC
-    distances and ranks bit-for-bit. The trained-PQ variant
-    (knn_l2_pq) keeps its recall-bounded tests."""
+    at the candidate's code). Per-subspace distances are FLOOR-GRID
+    integers — qd = floor((x−c)·2²⁴) per coordinate (x−c is ONE IEEE
+    subtraction, the power-of-two scale and floor are exact), so the
+    Σqd² distances are order-independent int64 values numpy, Spark and
+    DuckDB reproduce bit-for-bit; the (dist, cid) tie-break and ADC
+    integer sums are mirrored in the oracle. The numpy pass computes
+    the WHOLE per-vector distance tensor as one broadcasted matmul per
+    Arrow batch instead of 8×4 interpreted decimal folds per row; the
+    (vec_id, subspace, codeword, dist) table then feeds argmin-encode
+    and ADC as ordinary codegen'd aggregates — the exact CTE structure
+    of the oracle. The trained-PQ variant (knn_l2_pq) keeps its
+    recall-bounded tests."""
     from pyspark.sql import Window
 
-    from xngin_spark.operators.clustering import DEC9, _lit_matrix
+    from xngin_spark.operators.similarity import GRID_BITS
 
     emb = T(spark, sf_dir, "embeddings")
-    carr = _lit_matrix(_PQ_CODEBOOK)
+    cb = [list(map(float, c)) for c in _PQ_CODEBOOK]
+    scale = float(1 << GRID_BITS)
 
-    def sub(vec, s):
-        # subspace s (1-based Column) of a 64-dim vector, 8 dims
-        return F.slice(vec, (s - 1) * 8 + 1, 8)
+    def process(batches):
+        import numpy as np
+        import pandas as pd
 
-    def dist_dec(a, b):
-        return F.aggregate(
-            F.zip_with(
-                a,
-                b,
-                lambda x, c: (
-                    (x.cast("double") - c) * (x.cast("double") - c)
-                ).cast(DEC9),
-            ),
-            F.lit(0).cast(DEC9),
-            lambda acc, x: (acc + x).cast(DEC9),
-        )
-
-    def scored_sub(vec, s):
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(len(_PQ_CODEBOOK) - 1)),
-            lambda c: F.struct(
-                dist_dec(sub(vec, s), F.element_at(carr, c + 1)).alias("d"),
-                c.alias("c"),
-            ),
-        )
-
-    codes = F.transform(
-        F.sequence(F.lit(1), F.lit(8)),
-        lambda s: F.array_min(scored_sub(F.col("embedding"), s))["c"],
-    )
-    encoded = emb.select("vec_id", codes.alias("codes"))
-    # per-query distance table: 8 subspaces × 4 codewords of decimals
-    dtable = F.transform(
-        F.sequence(F.lit(1), F.lit(8)),
-        lambda s: F.transform(
-            F.sequence(F.lit(0), F.lit(len(_PQ_CODEBOOK) - 1)),
-            lambda c: dist_dec(
-                sub(F.col("qvec"), s), F.element_at(carr, c + 1)
-            ),
-        ),
-    )
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-    ).select("qid", dtable.alias("dt"))
-    adc = (
-        encoded.crossJoin(F.broadcast(q))
-        .select(
-            "qid",
-            "vec_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("dt"),
-                    F.col("codes"),
-                    lambda row, code: F.element_at(row, code + 1),
-                ),
-                F.lit(0).cast(DEC9),
-                lambda acc, x: (acc + x).cast(DEC9),
+        C = np.array(cb, dtype=np.float64)  # 4 codewords × 8 dims
+        ncw = C.shape[0]
+        for pdf in batches:
+            bsz = len(pdf)
+            if not bsz:
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pd.Series([], dtype="int64"),
+                        "s": pd.Series([], dtype="int32"),
+                        "cid": pd.Series([], dtype="int32"),
+                        "dist": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            ).reshape(bsz, 8, 8)  # B × subspace × dim
+            Q = np.floor(
+                (X[:, :, None, :] - C[None, None, :, :]) * scale
+            ).astype(np.int64)  # B × 8 × 4 × 8
+            dist = (Q * Q).sum(axis=3)  # B × 8 × 4, exact int64
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), 8 * ncw),
+                    "s": np.tile(np.repeat(np.arange(1, 9), ncw), bsz).astype(
+                        "int32"
+                    ),
+                    "cid": np.tile(np.arange(ncw), 8 * bsz).astype("int32"),
+                    "dist": dist.reshape(-1),
+                }
             )
-            .cast("double")
-            .alias("adc_dist"),
+
+    from xngin_spark.operators.util import fan_out
+
+    sd = (
+        fan_out(emb.select("vec_id", "embedding"))
+        .mapInPandas(process, "vec_id long, s int, cid int, dist long")
+        .localCheckpoint(eager=False)  # codes AND dt consume it
+    )
+    codes = sd.groupBy("vec_id", "s").agg(
+        F.min(F.struct("dist", "cid")).alias("m")
+    ).select("vec_id", "s", F.col("m.cid").alias("code"))
+    dt = sd.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "s", "cid", "dist"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(dt),
+            (codes.s == dt.s) & (codes.code == dt.cid),
         )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("dist").cast("double").alias("adc_dist"))
     )
     w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
     return adc.withColumn(
