@@ -238,8 +238,10 @@ def kmeans_fit(
 def ivf_index(
     corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
 ) -> DataFrame:
-    """Corpus + ``ivf_list`` column (nearest-centroid id) — map-side."""
-    return fan_out(corpus).withColumn("ivf_list", _nearest(F.col(vec_col), centroids)["c"])
+    """Corpus + ``ivf_list`` column (nearest-centroid id) — map-side,
+    via the BLAS assignment pass (same argmin + tie-break as
+    ``_nearest``, equivalence-pinned in tests)."""
+    return assign_clusters(corpus, centroids, vec_col=vec_col, out_col="ivf_list")
 
 
 def cosine_topk_ivf(
