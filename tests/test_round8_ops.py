@@ -973,12 +973,22 @@ def test_assign_clusters_matches_nearest(spark):
         r.vec_id: r.c
         for r in df.withColumn("c", _nearest(F.col("embedding"), cents)["c"]).collect()
     }
-    got = {r.vec_id: r.cluster for r in assign_clusters(df, cents).collect()}
+    # min_blas_k=1 forces the BLAS/Arrow path (4 centroids would
+    # otherwise dispatch to the expression path — also asserted below)
+    got = {
+        r.vec_id: r.cluster
+        for r in assign_clusters(df, cents, min_blas_k=1).collect()
+    }
     assert got == want
     # the tie row must land on the FIRST of the duplicate centroids
     assert got[5] == min(
         i for i, c in enumerate(cents) if c == cents[got[5]]
     )
+    # small-k dispatch: same assignments through the expression arm,
+    # and no Python boundary in its plan
+    small = assign_clusters(df, cents)
+    assert {r.vec_id: r.cluster for r in small.collect()} == want
+    assert "MapInPandas" not in small._jdf.queryExecution().executedPlan().toString()
 
 
 def test_cosine_dup_pairs_blas_matches_decimal(spark):

@@ -72,11 +72,21 @@ def _nearest(vec_col, centroids: list[list[float]]):
     return F.array_min(scored)  # struct compare: min d, then min c
 
 
+#: Below this many centroids the interpreted expression argmin beats
+#: the Arrow round-trip: the matmul's advantage scales with k, while
+#: shipping each row JVM→Arrow→python→Arrow→JVM is a fixed per-byte
+#: cost (measured at sf0.1: k=8 IVF assignment +0.3s via Arrow, k=80
+#: SemDeDup assignment 10× faster via BLAS). k is known driver-side,
+#: so dispatch costs nothing.
+BLAS_MIN_K = 16
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    min_blas_k: int = BLAS_MIN_K,
 ) -> DataFrame:
     """Centroid assignment as one Arrow-batched BLAS pass: every input
     column passes through unchanged plus an ``out_col`` int cluster id.
@@ -98,6 +108,12 @@ def assign_clusters(
     """
     from pyspark.sql.types import IntegerType, StructField, StructType
 
+    if len(centroids) < min_blas_k:
+        # small codebooks: k·d interpreted ops/row are cheaper than
+        # round-tripping the row through Arrow; same argmin contract
+        return fan_out(df).withColumn(
+            out_col, _nearest(F.col(vec_col), centroids)["c"]
+        )
     cents = [[float(x) for x in row] for row in centroids]
     cols = list(df.columns)
     # StructType.add mutates in place — build a fresh schema instead of
