@@ -1047,3 +1047,126 @@ def test_winnow_numpy_equals_expression(spark, sf_dir):
     ua = {(r.id, r.fp) for r in D.winnow_fingerprints(uni).collect()}
     ub = {(r.id, r.fp) for r in D._winnow_fingerprints_expr(uni).collect()}
     assert ua == ub and {i for i, _ in ua} == {1, 2}
+
+
+# --- BM25 persisted index: probe identity + CDC maintenance --------------
+
+
+def _bm25_index_rows(spark, path):
+    out = {}
+    for sub in ("postings", "doclen", "termstats"):
+        out[sub] = sorted(
+            map(tuple, spark.read.parquet(f"{path}/{sub}").collect())
+        )
+    m = spark.read.json(f"{path}/_meta").head()
+    out["stats"] = (int(m["n_docs"]), int(m["sum_dl"]))
+    return out
+
+
+def test_bm25_index_update_equals_rebuild(spark, sf_dir, tmp_path):
+    """update(index(v1), diff(v1, v2)) ≡ rebuild(index(v2)) row-for-row
+    on ALL FOUR index tables — postings, doclen, the signed-delta
+    maintained termstats, and the additively maintained exact corpus
+    stats — with inserts, updates, and deletes in one batch."""
+    from xngin_spark.operators.corpus import (
+        bm25_index_persist,
+        bm25_index_update,
+    )
+    from xngin_spark.sources.dml import table_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") < 400)
+    v2 = (
+        d.filter(F.col("doc_id") < 400)
+        .filter(F.col("doc_id") % 50 != 0)  # deletes
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" upd"))
+            ).otherwise(F.col("text")),  # updates
+        )
+        .unionByName(d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)))
+    )  # inserts
+
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    bm25_index_persist(v1, inc)
+    bm25_index_persist(v2, full)
+
+    diff = table_diff(v1, v2, keys=["doc_id"])
+    ops = {r["op"] for r in diff.collect()}
+    assert ops == {"insert", "update", "delete"}, f"test setup weak: {ops}"
+
+    bm25_index_update(v2, diff, inc)
+    assert _bm25_index_rows(spark, inc) == _bm25_index_rows(spark, full)
+
+
+def test_bm25_probe_after_update_matches_inmemory(spark, sf_dir, tmp_path):
+    """After a CDC update, probing the maintained index must reproduce
+    the in-memory bm25_topk ranking over the new snapshot bit-for-bit
+    (shared scoring tail + maintained stats inside the 8-digit
+    rounding tolerance)."""
+    from xngin_spark.operators.corpus import (
+        bm25_index_persist,
+        bm25_index_probe,
+        bm25_index_update,
+        bm25_topk,
+    )
+    from xngin_spark.sources.dml import table_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") < 300)
+    v2 = d.filter((F.col("doc_id") < 250) | (F.col("doc_id") >= 280)).filter(
+        F.col("doc_id") < 350
+    )
+    idx = str(tmp_path / "idx")
+    bm25_index_persist(v1, idx)
+    bm25_index_update(v2, table_diff(v1, v2, keys=["doc_id"]), idx)
+
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "query"), (1, "customer"), (1, "order")],
+        "qid long, term string",
+    )
+    got = sorted(map(tuple, bm25_index_probe(spark, idx, qt, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(v2, qt, k=5).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_bm25_index_update_pure_insert_appends_postings(spark, sf_dir, tmp_path):
+    """A pure-insert delta must not rewrite existing postings/doclen
+    files (termstats legitimately rewrites rows for touched tokens)."""
+    import os
+
+    from xngin_spark.operators.corpus import (
+        bm25_index_persist,
+        bm25_index_update,
+    )
+    from xngin_spark.sources.dml import table_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") < 300)
+    v2 = d.filter(F.col("doc_id") < 350)
+    idx = str(tmp_path / "idx")
+    bm25_index_persist(v1, idx)
+    before = {
+        sub: set(os.listdir(f"{idx}/{sub}")) for sub in ("postings", "doclen")
+    }
+    bm25_index_update(v2, table_diff(v1, v2, keys=["doc_id"]), idx)
+    for sub in ("postings", "doclen"):
+        after = set(os.listdir(f"{idx}/{sub}"))
+        assert before[sub] - after == set(), f"{sub} files rewritten on pure insert"
+        assert len(after) > len(before[sub])
+
+
+def test_bm25_index_update_requires_meta(spark, sf_dir, tmp_path):
+    from xngin_spark.operators.corpus import bm25_index_update
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    empty_diff = d.limit(0).select("doc_id", F.lit("insert").alias("op"))
+    with pytest.raises(ValueError, match="_meta"):
+        bm25_index_update(d, empty_diff, str(tmp_path / "nothere"))

@@ -346,6 +346,24 @@ def bm25_topk(
     cand = tf.join(
         F.broadcast(query_terms), tf["tok"] == query_terms["term"]
     ).join(dfreq, "tok").join(dl, id_col)
+    return _bm25_rank(cand, n_docs, avgdl, k1, b, k, id_col)
+
+
+def _bm25_rank(
+    cand: DataFrame,
+    n_docs: float,
+    avgdl: float,
+    k1: float,
+    b: float,
+    k: int,
+    id_col: str,
+) -> DataFrame:
+    """THE BM25 scoring tail (per-term Robertson idf, 8-digit round,
+    decimal sum, (score desc, id) rank) — defined once so the in-memory
+    ranker and the persisted-index probe can never drift. ``cand``
+    carries (qid, id_col, tf, df, dl)."""
+    from pyspark.sql import Window
+
     idf = F.log(
         1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
     )
@@ -364,6 +382,228 @@ def bm25_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("qid", "rnk")
     )
+
+
+def bm25_index_persist(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "overwrite",
+) -> None:
+    """Write a persistent BM25 inverted index: ``postings/``
+    (id, tok, tf), ``doclen/`` (id, dl), ``termstats/`` (tok, df),
+    plus the corpus-level statistics (n_docs, sum_dl — EXACT integers,
+    so they can be maintained additively from a CDC delta instead of
+    re-scanned) in the one-row ``_meta/`` dataset alongside the column
+    names.
+
+    The retrieval twin of minhash_index_persist / ivf_persist: the
+    corpus is tokenized ONCE at ingest; every later query batch probes
+    the stored postings without touching text. avgdl is derived at
+    probe time as sum_dl / n_docs — one exact integer division to
+    double, inside the ranking's 8-digit rounding tolerance (the same
+    tolerance that already absorbs engine AVG differences). ``_meta``
+    goes through Spark's writers, so the index round-trips on any
+    Hadoop filesystem and a probe can never silently run with
+    mismatched columns or stale statistics.
+    """
+    pairs = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+    )
+    tf = (
+        pairs.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)  # feeds all three index tables
+    )
+    tf.write.mode(mode).parquet(f"{path}/postings")
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
+    dl.write.mode(mode).parquet(f"{path}/doclen")
+    tf.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    ).write.mode(mode).parquet(f"{path}/termstats")
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+    ).first()
+    _write_bm25_meta(
+        df.sparkSession, path, id_col, text_col,
+        int(stats["n_docs"]), int(stats["sum_dl"] or 0), mode=mode,
+    )
+
+
+def _write_bm25_meta(
+    spark, path: str, id_col: str, text_col: str,
+    n_docs: int, sum_dl: int, mode: str = "overwrite",
+) -> None:
+    spark.createDataFrame(
+        [(id_col, text_col, n_docs, sum_dl)],
+        "id_col string, text_col string, n_docs long, sum_dl long",
+    ).coalesce(1).write.mode(mode).json(f"{path}/_meta")
+
+
+def bm25_index_update(
+    new_snapshot: DataFrame,
+    diff: DataFrame,
+    index_path: str,
+    op_col: str = "op",
+) -> None:
+    """Apply a ``table_diff`` CDC delta to a persisted BM25 index
+    IN PLACE — closing the incremental-maintenance triad (MinHash,
+    IVF, and now the lexical index follow deltas instead of rebuilds).
+
+    Cost shape: delta-sized tokenize + surgical copy-on-write.
+    Inserted/updated docs tokenize from a delta-sized semi-join of the
+    snapshot; deleted/updated ids are scrubbed from ``postings`` and
+    ``doclen`` by rewriting only the files that contain them
+    (sources/dml.scrub_rows). ``termstats`` is maintained from the
+    SIGNED document-frequency delta (+1 per fresh (doc, tok), −1 per
+    gone (doc, tok)) — only delta-touched tokens are rewritten; a token
+    whose df reaches 0 leaves the table. The ``_meta`` statistics
+    follow additively (n_docs ± insert/delete counts, sum_dl ± length
+    sums), never re-scanning the corpus — the maintain_agg discipline
+    applied to the index's own statistics. Contract:
+    update(index(v1), diff) ≡ rebuild(index(v2)) row-for-row on every
+    table and the stats (equivalence-tested, tests/test_round8_ops.py).
+    """
+    from pyspark.errors import AnalysisException
+
+    from xngin_spark.sources.dml import scrub_rows
+
+    spark = new_snapshot.sparkSession
+    try:
+        meta = spark.read.json(f"{index_path}/_meta").head()
+    except AnalysisException as exc:
+        raise ValueError(
+            f"no _meta under {index_path} — not a bm25_index_persist "
+            "index (updating with guessed columns would corrupt it)"
+        ) from exc
+    id_col, text_col = meta["id_col"], meta["text_col"]
+
+    gone = (
+        diff.filter(F.col(op_col).isin("delete", "update"))
+        .select(id_col)
+        .localCheckpoint(eager=True)
+    )
+    fresh_ids = diff.filter(F.col(op_col).isin("insert", "update")).select(
+        id_col
+    )
+    n_ins = diff.filter(F.col(op_col) == "insert").count()
+    n_del = diff.filter(F.col(op_col) == "delete").count()
+
+    changed = new_snapshot.join(F.broadcast(fresh_ids), id_col)
+    new_tf = (
+        fan_out(changed)
+        .select(
+            F.col(id_col),
+            F.explode_outer(tokens(F.col(text_col))).alias("tok"),
+        )
+        .filter(F.col("tok").isNotNull())
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
+    new_dl = new_tf.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("dl")
+    ).localCheckpoint(eager=True)
+
+    # read the OUTGOING rows BEFORE the scrub: their token set drives
+    # the df adjustment, their lengths the sum_dl adjustment — both
+    # delta-sized results
+    old_post = (
+        spark.read.parquet(f"{index_path}/postings")
+        .join(F.broadcast(gone), id_col)
+        .select("tok")
+        .localCheckpoint(eager=True)
+    )
+    old_dl_sum = (
+        spark.read.parquet(f"{index_path}/doclen")
+        .join(F.broadcast(gone), id_col)
+        .agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("long"))
+        .first()[0]
+    )
+
+    # signed df delta per token; only these tokens' termstats rows move
+    df_delta = (
+        new_tf.select("tok", F.lit(1).alias("d"))
+        .unionByName(old_post.select("tok", F.lit(-1).alias("d")))
+        .groupBy("tok")
+        .agg(F.sum("d").cast("long").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    merged = (
+        spark.read.parquet(f"{index_path}/termstats")
+        .join(F.broadcast(df_delta.select("tok")), "tok")
+        .join(df_delta, "tok", "full_outer")
+        .select(
+            "tok",
+            (F.coalesce(F.col("df"), F.lit(0)) + F.col("d")).alias("df"),
+        )
+        .filter(F.col("df") > 0)
+        .localCheckpoint(eager=True)
+    )
+    scrub_rows(spark, f"{index_path}/termstats", df_delta.select("tok"), "tok")
+    merged.write.mode("append").parquet(f"{index_path}/termstats")
+
+    scrub_rows(spark, f"{index_path}/postings", gone, id_col)
+    new_tf.write.mode("append").parquet(f"{index_path}/postings")
+    scrub_rows(spark, f"{index_path}/doclen", gone, id_col)
+    new_dl.write.mode("append").parquet(f"{index_path}/doclen")
+
+    new_dl_sum = new_dl.agg(
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
+    ).first()[0]
+    _write_bm25_meta(
+        spark, index_path, id_col, text_col,
+        int(meta["n_docs"]) + n_ins - n_del,
+        int(meta["sum_dl"]) + int(new_dl_sum) - int(old_dl_sum),
+    )
+    spark.catalog.refreshByPath(index_path)
+
+
+def bm25_index_probe(
+    spark,
+    path: str,
+    query_terms: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Rank a query batch against a persisted BM25 index — the probe
+    half of bm25_index_persist. The query batch is small by
+    construction, so its distinct terms are collected driver-side and
+    pushed into the postings/termstats scans as an IN filter (parquet
+    predicate pushdown: the scan reads only row groups containing
+    candidate terms — at 100 TB the probe cost follows the candidate
+    postings, never the corpus). Scoring reuses the EXACT in-memory
+    ranking tail (``_bm25_rank``), so index-probe results are
+    bit-identical to ``bm25_topk`` over the same snapshot.
+    """
+    terms = [
+        r.term for r in query_terms.select("term").distinct().collect()
+    ]
+    meta = spark.read.json(f"{path}/_meta").head()
+    id_col = meta["id_col"]
+    n_docs = float(meta["n_docs"])
+    avgdl = float(meta["sum_dl"]) / float(meta["n_docs"])
+    post = spark.read.parquet(f"{path}/postings").filter(
+        F.col("tok").isin(terms)
+    )
+    ts = spark.read.parquet(f"{path}/termstats").filter(
+        F.col("tok").isin(terms)
+    )
+    dl = spark.read.parquet(f"{path}/doclen")
+    cand = (
+        post.join(F.broadcast(query_terms), post["tok"] == query_terms["term"])
+        .join(F.broadcast(ts), "tok")
+        .join(dl, id_col)
+    )
+    return _bm25_rank(cand, n_docs, avgdl, k1, b, k, id_col)
 
 
 def rrf_fuse(

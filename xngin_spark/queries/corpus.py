@@ -219,9 +219,7 @@ _BM25_QUERIES = [
 ]
 
 
-@register(
-    "bm25_topk",
-    f"""
+_BM25_ORACLE = f"""
     WITH q(qid, term) AS (
       VALUES {", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in _BM25_QUERIES)}
     ),
@@ -260,8 +258,10 @@ _BM25_QUERIES = [
       FROM scored
     ) WHERE rnk <= 5
     ORDER BY qid, rnk
-    """,
-)
+    """
+
+
+@register("bm25_topk", _BM25_ORACLE)
 def bm25_topk_q(spark, sf_dir):
     """Okapi BM25 lexical retrieval over the document corpus — the
     inverted-index ranking complement to the embedding-space ANN
@@ -272,6 +272,30 @@ def bm25_topk_q(spark, sf_dir):
     the ranking bit-for-bit (operators/corpus.bm25_topk)."""
     qt = spark.createDataFrame(_BM25_QUERIES, "qid long, term string")
     return C.bm25_topk(T(spark, sf_dir, "documents"), qt, k=5)
+
+
+@register("bm25_index_probe", _BM25_ORACLE)
+def bm25_index_probe_q(spark, sf_dir):
+    """The PRODUCTION retrieval shape as a first-class query: persist
+    the BM25 inverted index (postings / doclen / termstats / exact
+    integer corpus stats), then rank the query batch against the
+    STORED tables — query terms pushed into the postings scan as a
+    parquet IN filter, corpus text untouched. Same oracle as
+    bm25_topk because the probe reuses the identical scoring tail
+    (_bm25_rank): index + probe must reproduce the in-memory ranking
+    bit-for-bit. Index build cost is charged to this query on purpose
+    (paid once at ingest in production); incremental CDC maintenance
+    of the same index is bm25_index_update, equivalence-tested in
+    tests/test_round8_ops.py."""
+    import os
+    import tempfile
+
+    d = T(spark, sf_dir, "documents")
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    path = os.path.join(tempfile.gettempdir(), f"xngin_bm25_{tag}")
+    C.bm25_index_persist(d, path)
+    qt = spark.createDataFrame(_BM25_QUERIES, "qid long, term string")
+    return C.bm25_index_probe(spark, path, qt, k=5)
 
 
 _HYBRID_RRF_ORACLE = f"""
