@@ -2761,6 +2761,105 @@ def ann_recall_eval(spark, sf_dir):
     )
 
 
+def _idcg10_literal() -> str:
+    """IDCG@10 for linear gains 10..1 — computed ONCE in Python and
+    embedded as the SAME decimal literal in both engines, so the
+    normalizer can never diverge by an engine's log ulp."""
+    import math
+
+    return repr(
+        float(sum(round((11 - i) / math.log2(i + 1), 8) for i in range(1, 11)))
+    )
+
+
+def _ranking_eval_oracle() -> str:
+    idcg = _idcg10_literal()
+    leg = """
+      SELECT a.qid,
+             CAST(CAST(SUM(CAST(round(r.rel / log2(a.rank + 1), 8)
+                  AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS dcg,
+             MIN(a.rank) AS first_hit
+      FROM {ap} a JOIN rel r ON r.qid = a.qid AND r.vec_id = a.vec_id
+      GROUP BY a.qid
+    """
+    return f"""
+    WITH ex AS (SELECT qid, vec_id, rank FROM ({_KNN_ORACLE}) t),
+    rel AS (SELECT qid, vec_id, CAST(11 - rank AS DOUBLE) AS rel FROM ex),
+    ap_ivf AS (SELECT qid, vec_id, rank FROM ({_ivf_checked_oracle()}) t),
+    ap_lsh AS (SELECT qid, vec_id, rank FROM ({_LSH_CHECKED_ORACLE}) t),
+    iv AS ({leg.format(ap="ap_ivf")}),
+    lv AS ({leg.format(ap="ap_lsh")})
+    SELECT q.qid,
+           round(COALESCE(iv.dcg, 0.0) / {idcg}, 8) AS ivf_ndcg,
+           round(COALESCE(1.0 / iv.first_hit, 0.0), 8) AS ivf_mrr,
+           round(COALESCE(lv.dcg, 0.0) / {idcg}, 8) AS lsh_ndcg,
+           round(COALESCE(1.0 / lv.first_hit, 0.0), 8) AS lsh_mrr
+    FROM (SELECT DISTINCT qid FROM ex) q
+    LEFT JOIN iv ON iv.qid = q.qid
+    LEFT JOIN lv ON lv.qid = q.qid
+    """
+
+
+@register("retrieval_ranking_eval", _ranking_eval_oracle())
+def retrieval_ranking_eval(spark, sf_dir):
+    """Ranking-QUALITY evaluation of the approximate retrievers —
+    nDCG@10 and MRR of the value-checked IVF and LSH lists against
+    the exact cosine top-10 as graded ground truth (rel = 11 − exact
+    rank). Completes the eval family: ann_recall_eval answers "did
+    the candidates come back", this answers "in a useful ORDER" —
+    the metric that actually gates an index config for RAG serving.
+    All three legs are oracle-checked pipelines; contributions are
+    rounded then decimal-summed (the tfidf/bm25 discipline), and the
+    IDCG normalizer is one shared literal, so every metric value is
+    engine-reproduced. Cost bounded by queries × k, never corpus."""
+    DEC = "decimal(25,9)"
+    idcg = float(_idcg10_literal())
+    exact = knn_cosine(spark, sf_dir)
+    rel = exact.select(
+        "qid", "vec_id", (F.lit(11) - F.col("rank")).cast("double").alias("rel")
+    )
+
+    def leg(ap, prefix):
+        per = (
+            ap.select("qid", "vec_id", "rank")
+            .join(rel, ["qid", "vec_id"])
+            .groupBy("qid")
+            .agg(
+                F.sum(
+                    F.round(
+                        F.col("rel") / F.log2(F.col("rank") + 1), 8
+                    ).cast(DEC)
+                )
+                .cast("double")
+                .alias(f"{prefix}_dcg"),
+                F.min("rank").alias(f"{prefix}_first"),
+            )
+        )
+        return per
+
+    iv = leg(knn_cosine_ivf_checked(spark, sf_dir), "ivf")
+    lv = leg(knn_cosine_lsh_checked(spark, sf_dir), "lsh")
+    spine = exact.select("qid").distinct()
+    out = spine.join(F.broadcast(iv), "qid", "left").join(
+        F.broadcast(lv), "qid", "left"
+    )
+    return out.select(
+        "qid",
+        F.round(F.coalesce(F.col("ivf_dcg"), F.lit(0.0)) / idcg, 8).alias(
+            "ivf_ndcg"
+        ),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("ivf_first"), F.lit(0.0)), 8
+        ).alias("ivf_mrr"),
+        F.round(F.coalesce(F.col("lsh_dcg"), F.lit(0.0)) / idcg, 8).alias(
+            "lsh_ndcg"
+        ),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("lsh_first"), F.lit(0.0)), 8
+        ).alias("lsh_mrr"),
+    )
+
+
 def _dedup_recall_oracle(k: int = 16, bands: int = 8) -> str:
     from xngin_spark.operators.dedup import _P, _perm_consts
 
