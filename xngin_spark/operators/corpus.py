@@ -718,6 +718,79 @@ def _driver_components(edges_uv: DataFrame, nodes, id_col: str) -> DataFrame:
     )
 
 
+def pagerank_fixed(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a (src, dst) edge table — the
+    graph-centrality member of the corpus family (which document is
+    the HUB of a boilerplate/near-dup neighborhood, which page
+    anchors a link cluster). Pass both directions for an undirected
+    similarity graph.
+
+    A FIXED iteration count (production runs a budget, not
+    convergence detection — detection costs a full extra pass per
+    round) keeps the computation a finite composition of joins and
+    aggregates, so it is value-checkable: per-edge contributions are
+    rounded to 8 digits then DECIMAL-summed (order-independent — the
+    tfidf/bm25 discipline), and each iteration's rank is
+    round(base + sum, 8), making every intermediate bit-reproducible
+    by an unrolled-CTE oracle. Simplified form without dangling-mass
+    redistribution: a node with no out-edges keeps contributing
+    nothing (documented contract; symmetric similarity graphs have no
+    one-way dangling nodes by construction).
+
+    Scale shape: per iteration ONE join of the edge list with the
+    rank vector (both shuffled on src — the partitioning is reused
+    across iterations) and one groupBy(dst) — linear in |E| per
+    round; ranks localCheckpoint per iteration so lineage stays O(1).
+    """
+    base = 1.0 - damping
+    e = edges.localCheckpoint(eager=True)
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    ranks = (
+        nodes.select(F.col(id_col).alias("nid"))
+        .distinct()
+        .withColumn("r", F.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["nid"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("nid"),
+                F.round(
+                    F.lit(damping) * F.col("r") / F.col("outdeg"), 8
+                ).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("nid").agg(
+            F.sum(F.col("c").cast("decimal(25,9)")).cast("double").alias("s")
+        )
+        ranks = (
+            ranks.select("nid")
+            .join(sums, "nid", "left")
+            .select(
+                "nid",
+                F.round(
+                    F.lit(base) + F.coalesce(F.col("s"), F.lit(0.0)), 8
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(
+        F.col("nid").alias(id_col), F.col("r").alias("rank_score")
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

@@ -749,6 +749,73 @@ def dedup_best_keeper(spark, sf_dir):
     )
 
 
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    base = repr(1.0 - damping)  # SAME double literal both engines
+    d = repr(float(damping))
+    pairs = _winnow_oracle(t=8, extra_where="AND doc_id < 1000")
+    it = """
+    r{n} AS (
+      SELECT n.nid, round({base} + COALESCE(s.s, 0.0), 8) AS r
+      FROM n LEFT JOIN (
+        SELECT e.dst AS nid,
+               CAST(CAST(SUM(CAST(round({d} * p.r / o.outdeg, 8)
+                    AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS s
+        FROM edges e JOIN r{p} p ON p.nid = e.src
+             JOIN outdeg o ON o.src = e.src
+        GROUP BY e.dst) s ON s.nid = n.nid
+    )"""
+    steps = ",".join(
+        it.format(n=i + 1, p=i, base=base, d=d) for i in range(iters)
+    )
+    return f"""
+    WITH pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+               FROM edges GROUP BY src),
+    n AS (SELECT doc_id AS nid FROM documents WHERE doc_id < 1000),
+    r0 AS (SELECT nid, CAST(1.0 AS DOUBLE) AS r FROM n),
+    {steps}
+    SELECT nid AS doc_id, r AS rank_score FROM r{iters}
+    """
+
+
+@register("pagerank_dedup_graph", _pagerank_oracle())
+def pagerank_dedup_graph(spark, sf_dir):
+    """Graph centrality over the near-dup similarity graph, fully
+    value-checked: 3 fixed PageRank iterations on the winnowing
+    passage-overlap edges (both directions — undirected similarity)
+    identify the HUB documents of boilerplate neighborhoods — the
+    pages that share passages with the most (and most-connected)
+    others, which is the right priority order for a manual
+    boilerplate review queue (connected components say WHICH cluster;
+    centrality says WHO anchors it). The DuckDB oracle re-runs the
+    identical unrolled iterations: contributions rounded then
+    decimal-summed, the damping/base constants embedded as the SAME
+    double literals in both engines. Input-bounded like the other
+    pairwise verifiers (doc_id < 1000); per-iteration cost is linear
+    in |E| at any scale (operators/corpus.pagerank_fixed)."""
+    from xngin_spark.operators.corpus import pagerank_fixed
+    from xngin_spark.operators.dedup import (
+        release_persisted,
+        winnow_candidate_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = winnow_candidate_pairs(d, min_shared=8)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    out = pagerank_fixed(edges, d.select("doc_id"), id_col="doc_id", iters=3)
+    release_persisted()
+    return out
+
+
 @register(
     "docs_stream_dedup",
     """
