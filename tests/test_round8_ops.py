@@ -1170,3 +1170,97 @@ def test_bm25_index_update_requires_meta(spark, sf_dir, tmp_path):
     empty_diff = d.limit(0).select("doc_id", F.lit("insert").alias("op"))
     with pytest.raises(ValueError, match="_meta"):
         bm25_index_update(d, empty_diff, str(tmp_path / "nothere"))
+
+
+def test_bm25_batch_replay_idempotent(spark, sf_dir, tmp_path):
+    """bm25_index_update's exactly-once claim, tested directly:
+    re-applying a CDC micro-batch (foreachBatch replay) must leave
+    every index table AND the maintained stats identical."""
+    from xngin_spark.operators.corpus import bm25_index_persist
+    from xngin_spark.sources.dml import cdc_changes
+    from xngin_spark.streaming.sinks import apply_cdc_bm25_batch
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") < 300)
+    v2 = (
+        v1.filter(F.col("doc_id") % 40 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 9 == 0, F.concat(F.col("text"), F.lit(" upd"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 330)))
+    )
+    idx = str(tmp_path / "idx")
+    bm25_index_persist(v1, idx)
+    changes = cdc_changes(v1, v2, ["doc_id"], cols=["text"]).localCheckpoint()
+    b0 = changes.filter(F.col("doc_id") % 2 == 0)
+    b1 = changes.filter(F.col("doc_id") % 2 == 1)
+
+    apply_cdc_bm25_batch(b0, 0, idx)
+    state0 = _bm25_index_rows(spark, idx)
+    apply_cdc_bm25_batch(b0, 0, idx)  # replay
+    assert _bm25_index_rows(spark, idx) == state0
+
+    apply_cdc_bm25_batch(b1, 1, idx)
+    state1 = _bm25_index_rows(spark, idx)
+    apply_cdc_bm25_batch(b1, 1, idx)  # replay
+    assert _bm25_index_rows(spark, idx) == state1
+
+    from xngin_spark.operators.corpus import bm25_index_persist as rebuild
+
+    full = str(tmp_path / "full")
+    rebuild(v2, full)
+    assert state1 == _bm25_index_rows(spark, full)
+
+
+def test_streaming_bm25_maintain_e2e(spark, sf_dir, tmp_path):
+    """The lexical index follows a CDC change STREAM end-to-end: three
+    micro-batches of image-carrying rows drive the maintained index to
+    the rebuild state, and a probe of the maintained index reproduces
+    the in-memory ranking over the new snapshot bit-for-bit."""
+    import os
+
+    from xngin_spark.operators.corpus import (
+        bm25_index_persist,
+        bm25_index_probe,
+        bm25_topk,
+    )
+    from xngin_spark.sources.dml import cdc_changes
+    from xngin_spark.streaming.sinks import streaming_bm25_maintain
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") < 300)
+    v2 = d.filter((F.col("doc_id") % 30 != 0) & (F.col("doc_id") < 360))
+    idx = str(tmp_path / "idx")
+    bm25_index_persist(v1, idx)
+
+    changes = cdc_changes(v1, v2, ["doc_id"], cols=["text"])
+    delta_dir = str(tmp_path / "delta")
+    for i in range(3):  # three delivery chunks -> three micro-batches
+        changes.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(delta_dir)
+    schema = spark.read.parquet(delta_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(delta_dir)
+    )
+    streaming_bm25_maintain(stream, idx, str(tmp_path / "ckpt"), timeout_s=120)
+
+    full = str(tmp_path / "full")
+    bm25_index_persist(v2, full)
+    assert _bm25_index_rows(spark, idx) == _bm25_index_rows(spark, full)
+
+    qt = spark.createDataFrame(
+        [(0, "spark"), (0, "query"), (1, "customer")], "qid long, term string"
+    )
+    got = sorted(map(tuple, bm25_index_probe(spark, idx, qt, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(v2, qt, k=5).collect()))
+    assert got == want and len(got) > 0

@@ -465,11 +465,20 @@ def bm25_index_update(
     SIGNED document-frequency delta (+1 per fresh (doc, tok), −1 per
     gone (doc, tok)) — only delta-touched tokens are rewritten; a token
     whose df reaches 0 leaves the table. The ``_meta`` statistics
-    follow additively (n_docs ± insert/delete counts, sum_dl ± length
+    follow additively (n_docs ± presence-based counts, sum_dl ± length
     sums), never re-scanning the corpus — the maintain_agg discipline
     applied to the index's own statistics. Contract:
     update(index(v1), diff) ≡ rebuild(index(v2)) row-for-row on every
     table and the stats (equivalence-tested, tests/test_round8_ops.py).
+
+    REPLAY-IDEMPOTENT by construction (the keyed-state exactly-once
+    recipe: scrub-then-append): EVERY batch key's old rows are read
+    (driving the signed adjustments) and scrubbed — an insert key that
+    is somehow already present (an at-least-once redelivery) cancels
+    itself instead of double-counting — so applying the same batch
+    twice equals applying it once, which is what the streaming sink
+    (streaming/sinks.streaming_bm25_maintain) leans on across
+    micro-batch replays.
     """
     from pyspark.errors import AnalysisException
 
@@ -485,16 +494,12 @@ def bm25_index_update(
         ) from exc
     id_col, text_col = meta["id_col"], meta["text_col"]
 
-    gone = (
-        diff.filter(F.col(op_col).isin("delete", "update"))
-        .select(id_col)
-        .localCheckpoint(eager=True)
-    )
+    # scrub EVERY batch key, not just delete/update: presence-based
+    # adjustments make redelivered inserts cancel instead of double-count
+    batch_ids = diff.select(id_col).distinct().localCheckpoint(eager=True)
     fresh_ids = diff.filter(F.col(op_col).isin("insert", "update")).select(
         id_col
     )
-    n_ins = diff.filter(F.col(op_col) == "insert").count()
-    n_del = diff.filter(F.col(op_col) == "delete").count()
 
     changed = new_snapshot.join(F.broadcast(fresh_ids), id_col)
     new_tf = (
@@ -511,22 +516,27 @@ def bm25_index_update(
     new_dl = new_tf.groupBy(id_col).agg(
         F.sum("tf").cast("long").alias("dl")
     ).localCheckpoint(eager=True)
+    n_fresh = new_dl.count()
 
     # read the OUTGOING rows BEFORE the scrub: their token set drives
     # the df adjustment, their lengths the sum_dl adjustment — both
     # delta-sized results
     old_post = (
         spark.read.parquet(f"{index_path}/postings")
-        .join(F.broadcast(gone), id_col)
+        .join(F.broadcast(batch_ids), id_col)
         .select("tok")
         .localCheckpoint(eager=True)
     )
-    old_dl_sum = (
+    old_present = (
         spark.read.parquet(f"{index_path}/doclen")
-        .join(F.broadcast(gone), id_col)
-        .agg(F.coalesce(F.sum("dl"), F.lit(0)).cast("long"))
-        .first()[0]
+        .join(F.broadcast(batch_ids), id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+        )
+        .first()
     )
+    n_old, old_dl_sum = int(old_present["n"]), int(old_present["s"])
 
     # signed df delta per token; only these tokens' termstats rows move
     df_delta = (
@@ -550,9 +560,9 @@ def bm25_index_update(
     scrub_rows(spark, f"{index_path}/termstats", df_delta.select("tok"), "tok")
     merged.write.mode("append").parquet(f"{index_path}/termstats")
 
-    scrub_rows(spark, f"{index_path}/postings", gone, id_col)
+    scrub_rows(spark, f"{index_path}/postings", batch_ids, id_col)
     new_tf.write.mode("append").parquet(f"{index_path}/postings")
-    scrub_rows(spark, f"{index_path}/doclen", gone, id_col)
+    scrub_rows(spark, f"{index_path}/doclen", batch_ids, id_col)
     new_dl.write.mode("append").parquet(f"{index_path}/doclen")
 
     new_dl_sum = new_dl.agg(
@@ -560,8 +570,8 @@ def bm25_index_update(
     ).first()[0]
     _write_bm25_meta(
         spark, index_path, id_col, text_col,
-        int(meta["n_docs"]) + n_ins - n_del,
-        int(meta["sum_dl"]) + int(new_dl_sum) - int(old_dl_sum),
+        int(meta["n_docs"]) - n_old + int(n_fresh),
+        int(meta["sum_dl"]) + int(new_dl_sum) - old_dl_sum,
     )
     spark.catalog.refreshByPath(index_path)
 

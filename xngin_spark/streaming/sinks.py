@@ -491,3 +491,58 @@ def streaming_agg_maintain(
         raise TimeoutError(
             f"agg-maintain sink did not finish in {timeout_s}s"
         )
+
+
+def apply_cdc_bm25_batch(batch_df: DataFrame, batch_id: int, index_path: str) -> None:
+    """One micro-batch of image-carrying CDC rows (op, _old, _new —
+    cdc_changes' shape) applied to a persisted BM25 index. The fresh
+    documents' text comes from the ``_new`` images, so the sink NEVER
+    reads the base table — the lexical index follows the change feed
+    alone.
+
+    Exactly-once comes from the update primitive itself, not an epoch
+    protocol: bm25_index_update is replay-idempotent (every batch
+    key's old rows are read-then-scrubbed, and all adjustments are
+    presence-based), so a foreachBatch replay after a crash re-applies
+    to the same end state. In-batch duplicate rows collapse on the CDC
+    key BEFORE any state is touched (at-least-once delivery)."""
+    from xngin_spark.operators.corpus import bm25_index_update
+
+    spark = batch_df.sparkSession
+    meta = spark.read.json(f"{index_path}/_meta").head()
+    id_col, text_col = meta["id_col"], meta["text_col"]
+    b = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+    if not b.count():
+        return
+    snapshot_like = b.filter(F.col("op").isin("insert", "update")).select(
+        F.col(id_col), F.col(f"_new.{text_col}").alias(text_col)
+    )
+    bm25_index_update(snapshot_like, b.select(id_col, "op"), index_path)
+
+
+def streaming_bm25_maintain(
+    change_stream: DataFrame,
+    index_path: str,
+    checkpoint_dir: str,
+    timeout_s: int = 180,
+) -> None:
+    """Maintain a persisted BM25 index from a CDC change STREAM — the
+    lexical-index member of the streaming ingest loop (the rollup MV
+    and vector screens already run as streams; with this, every index
+    family the engine persists follows the change feed end-to-end).
+    Per-batch cost is delta-sized tokenize + surgical copy-on-write;
+    the corpus is never re-read. Runs availableNow to exhaustion."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        apply_cdc_bm25_batch(batch_df, batch_id, index_path)
+
+    q = (
+        change_stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(f"bm25-maintain sink did not finish in {timeout_s}s")
