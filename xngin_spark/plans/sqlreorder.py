@@ -113,8 +113,8 @@ class _DPhypRenderer(_Renderer):
 
     def select(self, node) -> str:
         kind = _name(node)
-        pushed = False
         ch = node.children()
+        f = None
         if ch.size() == 1 and kind in (
             "Project",
             "Aggregate",
@@ -124,14 +124,23 @@ class _DPhypRenderer(_Renderer):
             f = node if kind == "Filter" else None
             if f is None and _name(ch.apply(0)) == "Filter":
                 f = ch.apply(0)
-            if f is not None:
-                self._pending.append(_conjuncts(f.condition()))
-                pushed = True
+        # EVERY select() entry opens a fresh conjunct scope: the arm's
+        # own same-level filter, or an empty sentinel. Attribute exprIds
+        # flow unchanged through Window/Limit/Deduplicate/derived-table
+        # boundaries, so an outer WHERE equality would otherwise be
+        # classified as an edge of a join region BELOW one of those
+        # operators and get injected into its JOIN ON — filtering rows
+        # before the window/limit computes. The base renderer re-enters
+        # select() exactly at those scope boundaries (derived tables,
+        # setop children, the inner query of a LIMIT arm), so masking
+        # per entry leaves only the filter directly above the join
+        # region (modulo the base arms' inline Filter consumption)
+        # visible to _dphyp_fragment.
+        self._pending.append(_conjuncts(f.condition()) if f is not None else [])
         try:
             return super().select(node)
         finally:
-            if pushed:
-                self._pending.pop()
+            self._pending.pop()
 
     def _join_fragment(self, node, may_hoist=True, extra_on=None):
         try:
