@@ -9,8 +9,9 @@ the round-9 verdict tasks as they land.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
-from tests.test_round8_ops import _register_tpch_views
+from tests.test_round8_ops import _bm25_index_rows, _register_tpch_views
 
 
 def _rows(df):
@@ -90,3 +91,186 @@ def test_dphyp_inner_region_still_reorders_inside_derived_table(spark, sf_dir):
     text, traces = dphyp_rewrite(spark, sql)
     assert traces, "inner 3-leaf comma-join region should still rewrite"
     assert _rows(spark.sql(text)) == base
+
+
+# --- ADVICE medium: BM25 index update must survive MID-batch crashes ------
+
+
+def _bm25_versions(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") < 300)
+    v2 = (
+        v1.filter(F.col("doc_id") % 40 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 9 == 0,
+                F.concat(F.col("text"), F.lit(" upd")),
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 330))
+        )
+    )
+    return v1, v2
+
+
+class _Boom(RuntimeError):
+    pass
+
+
+# (n-th scrub_rows call, crash before/after it) — covers every gap in
+# the apply sequence: termstats scrub/append, postings scrub/append,
+# doclen scrub/append. "meta" crashes before the _meta commit write.
+_CRASH_POINTS = [
+    (1, "before"),
+    (1, "after"),
+    (2, "before"),
+    (2, "after"),
+    (3, "before"),
+    (3, "after"),
+    ("meta", "before"),
+]
+
+
+@pytest.mark.parametrize(
+    "point,when", _CRASH_POINTS, ids=[f"{n}-{w}" for n, w in _CRASH_POINTS]
+)
+def test_bm25_update_replay_converges_after_midbatch_crash(
+    spark, sf_dir, tmp_path, monkeypatch, point, when
+):
+    """The round-8 ADVICE scenario: a crash BETWEEN the update's table
+    writes (e.g. termstats appended, postings not yet scrubbed) used to
+    make the foreachBatch replay recompute the delta against
+    half-mutated tables and double-apply it. The stage-then-commit
+    protocol must roll the replay forward from the staged absolutes to
+    exactly the rebuild state, at every crash point."""
+    from xngin_spark.operators import corpus
+    from xngin_spark.operators.corpus import (
+        bm25_index_persist,
+        bm25_index_update,
+    )
+    from xngin_spark.sources import dml
+    from xngin_spark.sources.dml import table_diff
+
+    v1, v2 = _bm25_versions(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    bm25_index_persist(v1, idx)
+    diff = table_diff(v1, v2, keys=["doc_id"]).localCheckpoint(eager=True)
+
+    real_scrub = dml.scrub_rows
+    calls = {"n": 0}
+
+    def crashing_scrub(*args, **kwargs):
+        calls["n"] += 1
+        if point == calls["n"] and when == "before":
+            raise _Boom(f"crash before scrub #{point}")
+        out = real_scrub(*args, **kwargs)
+        if point == calls["n"] and when == "after":
+            raise _Boom(f"crash after scrub #{point}")
+        return out
+
+    monkeypatch.setattr(dml, "scrub_rows", crashing_scrub)
+    if point == "meta":
+        real_meta = corpus._write_bm25_meta
+
+        def crashing_meta(*args, **kwargs):
+            if kwargs.get("applied_token") is not None:
+                raise _Boom("crash before _meta commit")
+            return real_meta(*args, **kwargs)
+
+        monkeypatch.setattr(corpus, "_write_bm25_meta", crashing_meta)
+
+    with pytest.raises(_Boom):
+        bm25_index_update(v2, diff, idx, batch_token="s:1")
+
+    # replay (what foreachBatch does after the crash) with the real
+    # primitives restored
+    monkeypatch.setattr(dml, "scrub_rows", real_scrub)
+    if point == "meta":
+        monkeypatch.setattr(corpus, "_write_bm25_meta", real_meta)
+    bm25_index_update(v2, diff, idx, batch_token="s:1")
+
+    full = str(tmp_path / "full")
+    bm25_index_persist(v2, full)
+    assert _bm25_index_rows(spark, idx) == _bm25_index_rows(spark, full)
+
+    # a second replay of the committed batch is a pure no-op
+    bm25_index_update(v2, diff, idx, batch_token="s:1")
+    assert _bm25_index_rows(spark, idx) == _bm25_index_rows(spark, full)
+
+
+def test_bm25_update_committed_token_skips_even_with_different_delta(
+    spark, sf_dir, tmp_path
+):
+    """Token gating is the skip mechanism: a replay carrying the same
+    batch token must not re-apply ANYTHING (the redelivered content is
+    by contract the same batch)."""
+    from xngin_spark.operators.corpus import (
+        bm25_index_persist,
+        bm25_index_update,
+    )
+    from xngin_spark.sources.dml import table_diff
+
+    v1, v2 = _bm25_versions(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    bm25_index_persist(v1, idx)
+    diff = table_diff(v1, v2, keys=["doc_id"])
+    bm25_index_update(v2, diff, idx, batch_token="s:7")
+    state = _bm25_index_rows(spark, idx)
+
+    poison = v2.limit(0)
+    poison_diff = table_diff(v2, poison, keys=["doc_id"])
+    bm25_index_update(poison, poison_diff, idx, batch_token="s:7")
+    assert _bm25_index_rows(spark, idx) == state
+
+
+def test_bm25_update_ignores_stale_foreign_intent(spark, sf_dir, tmp_path):
+    """An intent left behind by a DIFFERENT (already committed) batch
+    must not be rolled forward — a fresh token recomputes from the live
+    tables."""
+    from xngin_spark.operators.corpus import (
+        bm25_index_persist,
+        bm25_index_update,
+    )
+    from xngin_spark.sources.dml import table_diff
+
+    v1, v2 = _bm25_versions(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    bm25_index_persist(v1, idx)
+    mid = v1.filter(F.col("doc_id") % 40 != 0)
+    bm25_index_update(mid, table_diff(v1, mid, keys=["doc_id"]), idx,
+                      batch_token="s:1")
+    # the _txn dir now holds batch s:1's staged state; apply s:2 on top
+    bm25_index_update(v2, table_diff(mid, v2, keys=["doc_id"]), idx,
+                      batch_token="s:2")
+    full = str(tmp_path / "full")
+    bm25_index_persist(v2, full)
+    assert _bm25_index_rows(spark, idx) == _bm25_index_rows(spark, full)
+
+
+def test_bm25_probe_on_drained_index_returns_empty(spark, sf_dir, tmp_path):
+    """ADVICE low: CDC deletes can legitimately drain an index to zero
+    docs; probing it must return an empty ranking, not divide by zero."""
+    from xngin_spark.operators.corpus import (
+        bm25_index_persist,
+        bm25_index_probe,
+        bm25_index_update,
+    )
+    from xngin_spark.sources.dml import table_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") < 50)
+    empty = v1.limit(0)
+    idx = str(tmp_path / "idx")
+    bm25_index_persist(v1, idx)
+    bm25_index_update(empty, table_diff(v1, empty, keys=["doc_id"]), idx)
+
+    meta = spark.read.json(f"{idx}/_meta").head()
+    assert int(meta["n_docs"]) == 0
+    qt = spark.createDataFrame([(0, "spark")], "qid long, term string")
+    assert bm25_index_probe(spark, idx, qt, k=5).collect() == []

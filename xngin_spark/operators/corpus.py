@@ -440,11 +440,63 @@ def bm25_index_persist(
 def _write_bm25_meta(
     spark, path: str, id_col: str, text_col: str,
     n_docs: int, sum_dl: int, mode: str = "overwrite",
+    applied_token: str | None = None,
 ) -> None:
     spark.createDataFrame(
-        [(id_col, text_col, n_docs, sum_dl)],
-        "id_col string, text_col string, n_docs long, sum_dl long",
+        [(id_col, text_col, n_docs, sum_dl, applied_token)],
+        "id_col string, text_col string, n_docs long, sum_dl long,"
+        " applied_token string",
     ).coalesce(1).write.mode(mode).json(f"{path}/_meta")
+
+
+def _read_json_head(spark, path: str):
+    """One-row JSON dataset → Row, or None when the path is missing or
+    unreadable (a crash mid-write leaves no committed files)."""
+    try:
+        rows = spark.read.json(path).take(1)
+    except Exception:
+        return None
+    return rows[0] if rows else None
+
+
+def _row_get(row, field: str, default=None):
+    """Row field access tolerating absent fields: Spark's JSON writer
+    drops null values, so a null token/applied_token (and any field
+    added after an index was persisted) is simply missing on read."""
+    return row[field] if field in row.__fields__ else default
+
+
+def _bm25_apply_txn(spark, index_path: str, intent) -> None:
+    """Apply a fully staged BM25 update transaction to the live index
+    tables. Idempotent at every crash point: each table is scrubbed by
+    the staged key set before its staged ABSOLUTE rows are appended, so
+    a partial earlier apply (including half-appended files from a v2
+    committer) is erased and re-applied; ``_meta`` — carrying the
+    batch token — is written LAST and is the commit point."""
+    from xngin_spark.sources.dml import scrub_rows
+
+    txn = f"{index_path}/_txn"
+    id_col = intent["id_col"]
+    keys = spark.read.parquet(f"{txn}/keys").localCheckpoint(eager=True)
+    toks = spark.read.parquet(f"{txn}/tokens").localCheckpoint(eager=True)
+    scrub_rows(spark, f"{index_path}/termstats", toks, "tok")
+    spark.read.parquet(f"{txn}/termstats").write.mode("append").parquet(
+        f"{index_path}/termstats"
+    )
+    scrub_rows(spark, f"{index_path}/postings", keys, id_col)
+    spark.read.parquet(f"{txn}/postings").write.mode("append").parquet(
+        f"{index_path}/postings"
+    )
+    scrub_rows(spark, f"{index_path}/doclen", keys, id_col)
+    spark.read.parquet(f"{txn}/doclen").write.mode("append").parquet(
+        f"{index_path}/doclen"
+    )
+    _write_bm25_meta(
+        spark, index_path, id_col, intent["text_col"],
+        int(intent["n_docs"]), int(intent["sum_dl"]),
+        applied_token=_row_get(intent, "token"),
+    )
+    spark.catalog.refreshByPath(index_path)
 
 
 def bm25_index_update(
@@ -452,6 +504,7 @@ def bm25_index_update(
     diff: DataFrame,
     index_path: str,
     op_col: str = "op",
+    batch_token: str | None = None,
 ) -> None:
     """Apply a ``table_diff`` CDC delta to a persisted BM25 index
     IN PLACE — closing the incremental-maintenance triad (MinHash,
@@ -471,27 +524,52 @@ def bm25_index_update(
     update(index(v1), diff) ≡ rebuild(index(v2)) row-for-row on every
     table and the stats (equivalence-tested, tests/test_round8_ops.py).
 
-    REPLAY-IDEMPOTENT by construction (the keyed-state exactly-once
-    recipe: scrub-then-append): EVERY batch key's old rows are read
-    (driving the signed adjustments) and scrubbed — an insert key that
-    is somehow already present (an at-least-once redelivery) cancels
-    itself instead of double-counting — so applying the same batch
-    twice equals applying it once, which is what the streaming sink
-    (streaming/sinks.streaming_bm25_maintain) leans on across
-    micro-batch replays.
+    CRASH-SAFE via stage-then-commit, not just whole-batch replay
+    idempotence: all deltas are computed against the v1 state and
+    staged as ABSOLUTE new rows under ``{index_path}/_txn`` (postings,
+    doclen, termstats, the scrub key/token sets, and an ``intent``
+    record carrying the new exact stats — written LAST, so a readable
+    intent implies complete staging). Only then do the live tables
+    mutate, each by scrub-then-append of the staged absolutes — which
+    is idempotent at EVERY crash point because the staged rows carry
+    the scrub keys — and ``_meta`` (recording ``batch_token``) commits
+    the batch last. A replay with the same ``batch_token`` skips an
+    already-committed batch, rolls FORWARD a crashed apply from the
+    staged absolutes (never recomputing deltas against half-mutated
+    tables — the failure mode of plain re-execution), and recomputes
+    from scratch only when staging itself never completed (live tables
+    are then untouched). Callers without replay semantics may leave
+    ``batch_token`` None: staging still bounds the crash window, and a
+    missing ``_meta`` recovers from the intent.
     """
-    from pyspark.errors import AnalysisException
-
-    from xngin_spark.sources.dml import scrub_rows
-
     spark = new_snapshot.sparkSession
-    try:
-        meta = spark.read.json(f"{index_path}/_meta").head()
-    except AnalysisException as exc:
-        raise ValueError(
-            f"no _meta under {index_path} — not a bm25_index_persist "
-            "index (updating with guessed columns would corrupt it)"
-        ) from exc
+    txn = f"{index_path}/_txn"
+    meta = _read_json_head(spark, f"{index_path}/_meta")
+    intent = _read_json_head(spark, f"{txn}/intent")
+    if meta is None:
+        # a crash during the _meta overwrite (post-apply, pre-commit)
+        # leaves the tables updated but the meta gone; the intent holds
+        # everything needed to finish. Anything else is not an index.
+        if intent is None:
+            raise ValueError(
+                f"no _meta under {index_path} — not a bm25_index_persist "
+                "index (updating with guessed columns would corrupt it)"
+            )
+        _bm25_apply_txn(spark, index_path, intent)
+        meta = _read_json_head(spark, f"{index_path}/_meta")
+        if batch_token is not None and _row_get(intent, "token") == batch_token:
+            return  # the recovered transaction WAS this batch
+    if batch_token is not None and _row_get(meta, "applied_token") == batch_token:
+        return  # committed by a previous attempt — replay no-op
+    if (
+        batch_token is not None
+        and intent is not None
+        and _row_get(intent, "token") == batch_token
+    ):
+        # staging completed but the apply crashed: roll forward from
+        # the staged absolutes
+        _bm25_apply_txn(spark, index_path, intent)
+        return
     id_col, text_col = meta["id_col"], meta["text_col"]
 
     # scrub EVERY batch key, not just delete/update: presence-based
@@ -557,23 +635,33 @@ def bm25_index_update(
         .filter(F.col("df") > 0)
         .localCheckpoint(eager=True)
     )
-    scrub_rows(spark, f"{index_path}/termstats", df_delta.select("tok"), "tok")
-    merged.write.mode("append").parquet(f"{index_path}/termstats")
-
-    scrub_rows(spark, f"{index_path}/postings", batch_ids, id_col)
-    new_tf.write.mode("append").parquet(f"{index_path}/postings")
-    scrub_rows(spark, f"{index_path}/doclen", batch_ids, id_col)
-    new_dl.write.mode("append").parquet(f"{index_path}/doclen")
-
     new_dl_sum = new_dl.agg(
         F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
     ).first()[0]
-    _write_bm25_meta(
-        spark, index_path, id_col, text_col,
+
+    # stage the transaction (all delta-sized), intent LAST — the
+    # staging writes never touch the live tables, so a crash anywhere
+    # up to the intent commit leaves the index at v1 and a recompute
+    # remains valid
+    new_tf.write.mode("overwrite").parquet(f"{txn}/postings")
+    new_dl.write.mode("overwrite").parquet(f"{txn}/doclen")
+    merged.write.mode("overwrite").parquet(f"{txn}/termstats")
+    df_delta.select("tok").write.mode("overwrite").parquet(f"{txn}/tokens")
+    batch_ids.write.mode("overwrite").parquet(f"{txn}/keys")
+    intent_row = (
+        batch_token, id_col, text_col,
         int(meta["n_docs"]) - n_old + int(n_fresh),
         int(meta["sum_dl"]) + int(new_dl_sum) - old_dl_sum,
     )
-    spark.catalog.refreshByPath(index_path)
+    spark.createDataFrame(
+        [intent_row],
+        "token string, id_col string, text_col string,"
+        " n_docs long, sum_dl long",
+    ).coalesce(1).write.mode("overwrite").json(f"{txn}/intent")
+
+    _bm25_apply_txn(
+        spark, index_path, _read_json_head(spark, f"{txn}/intent")
+    )
 
 
 def bm25_index_probe(
@@ -600,7 +688,11 @@ def bm25_index_probe(
     meta = spark.read.json(f"{path}/_meta").head()
     id_col = meta["id_col"]
     n_docs = float(meta["n_docs"])
-    avgdl = float(meta["sum_dl"]) / float(meta["n_docs"])
+    # a drained corpus (CDC deletes can legitimately empty the index)
+    # has no postings, so no candidate row ever evaluates the ranking
+    # expression — avgdl only needs to be finite (missing index ==
+    # empty index, the streaming sinks' convention)
+    avgdl = (float(meta["sum_dl"]) / n_docs) if n_docs else 1.0
     post = spark.read.parquet(f"{path}/postings").filter(
         F.col("tok").isin(terms)
     )

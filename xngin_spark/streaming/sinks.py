@@ -493,19 +493,27 @@ def streaming_agg_maintain(
         )
 
 
-def apply_cdc_bm25_batch(batch_df: DataFrame, batch_id: int, index_path: str) -> None:
+def apply_cdc_bm25_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    token_prefix: str = "",
+) -> None:
     """One micro-batch of image-carrying CDC rows (op, _old, _new —
     cdc_changes' shape) applied to a persisted BM25 index. The fresh
     documents' text comes from the ``_new`` images, so the sink NEVER
     reads the base table — the lexical index follows the change feed
     alone.
 
-    Exactly-once comes from the update primitive itself, not an epoch
-    protocol: bm25_index_update is replay-idempotent (every batch
-    key's old rows are read-then-scrubbed, and all adjustments are
-    presence-based), so a foreachBatch replay after a crash re-applies
-    to the same end state. In-batch duplicate rows collapse on the CDC
-    key BEFORE any state is touched (at-least-once delivery)."""
+    Exactly-once comes from bm25_index_update's stage-then-commit
+    protocol: the batch token (``token_prefix:batch_id`` — the prefix
+    scopes tokens to one stream, so a NEW stream replaying batch ids
+    from 0 against an existing index is never mistaken for a
+    redelivery) lets a foreachBatch replay skip a committed batch or
+    roll a crashed apply forward from its staged absolutes, including
+    crashes BETWEEN the update's table writes. In-batch duplicate rows
+    collapse on the CDC key BEFORE any state is touched (at-least-once
+    delivery)."""
     from xngin_spark.operators.corpus import bm25_index_update
 
     spark = batch_df.sparkSession
@@ -517,7 +525,12 @@ def apply_cdc_bm25_batch(batch_df: DataFrame, batch_id: int, index_path: str) ->
     snapshot_like = b.filter(F.col("op").isin("insert", "update")).select(
         F.col(id_col), F.col(f"_new.{text_col}").alias(text_col)
     )
-    bm25_index_update(snapshot_like, b.select(id_col, "op"), index_path)
+    bm25_index_update(
+        snapshot_like,
+        b.select(id_col, "op"),
+        index_path,
+        batch_token=f"{token_prefix}:{batch_id}",
+    )
 
 
 def streaming_bm25_maintain(
@@ -534,7 +547,9 @@ def streaming_bm25_maintain(
     the corpus is never re-read. Runs availableNow to exhaustion."""
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
-        apply_cdc_bm25_batch(batch_df, batch_id, index_path)
+        apply_cdc_bm25_batch(
+            batch_df, batch_id, index_path, token_prefix=checkpoint_dir
+        )
 
     q = (
         change_stream.writeStream.foreachBatch(apply)
