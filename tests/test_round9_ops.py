@@ -274,3 +274,40 @@ def test_bm25_probe_on_drained_index_returns_empty(spark, sf_dir, tmp_path):
     assert int(meta["n_docs"]) == 0
     qt = spark.createDataFrame([(0, "spark")], "qid long, term string")
     assert bm25_index_probe(spark, idx, qt, k=5).collect() == []
+
+
+# --- ADVICE low: barrier registry must stay bounded; IVF index stays
+# --- deterministic ---------------------------------------------------------
+
+
+def test_reflect_barrier_registry_is_bounded(spark):
+    from xngin_spark.plans import reflect
+    from xngin_spark.plans.reflect import _BARRIERS, reflect_checkpoint
+
+    start = dict(_BARRIERS)
+    base = spark.range(5)
+    for i in range(reflect._BARRIERS_CAP + 40):
+        reflect_checkpoint(base.withColumn("x", F.lit(i)))
+    assert len(_BARRIERS) <= reflect._BARRIERS_CAP
+    # restore pre-test entries evicted by the churn so other tests'
+    # live checkpoints stay reflectable
+    for k, v in start.items():
+        _BARRIERS.setdefault(k, v)
+
+
+def test_ivf_index_default_matches_expression_argmin(spark, sf_dir):
+    """Persisted-artifact assignment must ride the expression path
+    (identical IEEE arithmetic on any host/BLAS build) even at
+    codebook sizes where assign_clusters dispatches to BLAS."""
+    from xngin_spark.operators import clustering as C
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    cents = C.kmeans_fit(emb, 24, "embedding", max_iter=2)
+    assert len(cents) >= C.BLAS_MIN_K
+    got = C.ivf_index(emb, cents)
+    want = emb.withColumn(
+        "ivf_list", C._nearest(F.col("embedding"), cents)["c"]
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )

@@ -252,11 +252,27 @@ def kmeans_fit(
 
 
 def ivf_index(
-    corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding"
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    deterministic: bool = True,
 ) -> DataFrame:
-    """Corpus + ``ivf_list`` column (nearest-centroid id) — map-side,
-    via the BLAS assignment pass (same argmin + tie-break as
-    ``_nearest``, equivalence-pinned in tests)."""
+    """Corpus + ``ivf_list`` column (nearest-centroid id) — map-side.
+
+    Index contents feed PERSISTED, equivalence-tested artifacts
+    (``ivf_index_update``'s update ≡ rebuild row-for-row contract must
+    hold even when the update and the rebuild run on different hosts or
+    BLAS builds), so the default assignment is the expression-path
+    argmin (``_nearest``) — identical IEEE arithmetic everywhere Spark
+    runs. ``deterministic=False`` opts into the Arrow+BLAS matmul pass
+    (same argmin + lowest-index tie-break, but near-tie distances are
+    summed in BLAS order and can resolve differently across BLAS
+    builds/thread counts) for transient in-memory assignment where
+    throughput dominates and nothing is persisted."""
+    if deterministic:
+        return fan_out(corpus).withColumn(
+            "ivf_list", _nearest(F.col(vec_col), centroids)["c"]
+        )
     return assign_clusters(corpus, centroids, vec_col=vec_col, out_col="ivf_list")
 
 
@@ -283,7 +299,8 @@ def cosine_topk_ivf(
 
     if centroids is None:
         centroids = kmeans_fit(corpus, nlist, vec_col, max_iter=max_iter)
-    indexed = ivf_index(corpus, centroids, vec_col)
+    # transient per-call assignment, nothing persisted → BLAS path OK
+    indexed = ivf_index(corpus, centroids, vec_col, deterministic=False)
 
     carr = _lit_matrix(centroids)
     probe_lists = F.slice(

@@ -22,6 +22,8 @@ output names, which bare-attribute SQL can't disambiguate) also raise.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame
 
 
@@ -39,7 +41,17 @@ class Unreflectable(Exception):
 #: vs the reference's 22/22 reflect.rs round-trip: the checkpoint is
 #: an EXECUTION choice (pin the shared per-part aggregate), and must
 #: not cost the plan its SQL surface.
-_BARRIERS: dict[tuple[int, ...], object] = {}
+_BARRIERS: "OrderedDict[tuple[int, ...], object]" = OrderedDict()
+
+#: Each registry entry pins a py4j reference to a JVM logical plan (and
+#: transitively its relation metadata) for as long as it lives, so the
+#: registry is LRU-bounded: a long-lived server session re-checkpointing
+#: per query (one per q11 execution) cycles through the cap instead of
+#: leaking plans for the process lifetime. Evicting a still-referenced
+#: barrier only costs reflectability (Unreflectable on the next render
+#: attempt — an explicit error, never a wrong answer), and only under
+#: >cap simultaneously-live checkpoints.
+_BARRIERS_CAP = 256
 
 
 def _output_key(jnode_or_plan) -> tuple[int, ...]:
@@ -53,8 +65,21 @@ def reflect_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     the barrier instead of raising on the LogicalRDD."""
     original = df._jdf.queryExecution().analyzed()
     out = df.localCheckpoint(eager=eager)
-    _BARRIERS[_output_key(out._jdf.queryExecution().analyzed())] = original
+    key = _output_key(out._jdf.queryExecution().analyzed())
+    _BARRIERS[key] = original
+    _BARRIERS.move_to_end(key)
+    while len(_BARRIERS) > _BARRIERS_CAP:
+        _BARRIERS.popitem(last=False)
     return out
+
+
+def _barrier_origin(key: tuple[int, ...]):
+    """Registered pre-checkpoint plan for ``key``, refreshing its LRU
+    position, or None."""
+    got = _BARRIERS.get(key)
+    if got is not None:
+        _BARRIERS.move_to_end(key)
+    return got
 
 
 def _seq(s) -> list:
@@ -433,7 +458,7 @@ class _Renderer:
             # pre-checkpoint plan (same output attributes by
             # construction); any other materialized RDD is data with
             # no SQL surface
-            orig = _BARRIERS.get(_output_key(node))
+            orig = _barrier_origin(_output_key(node))
             if orig is not None:
                 return self.select(orig)
             raise Unreflectable("LogicalRDD with no registered origin")
