@@ -311,3 +311,25 @@ def test_ivf_index_default_matches_expression_argmin(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, want.collect())
     )
+
+
+# --- verdict #5: PageRank dangling-mass redistribution ---------------------
+
+
+def test_pagerank_conserves_mass_on_directed_chain(spark):
+    """On a pure chain a→b→c→d the tail is dangling; with uniform
+    redistribution total rank mass stays ≈ N each iteration instead of
+    leaking the tail's damped mass (the pre-fix behavior)."""
+    from xngin_spark.operators.corpus import pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4)], "id long")
+    out = pagerank_fixed(edges, nodes, id_col="id", iters=3)
+    total = sum(r.rank_score for r in out.collect())
+    assert abs(total - 4.0) < 1e-6, f"rank mass leaked: {total}"
+    # the head (no in-edges, no dangling boost beyond uniform) ranks
+    # lowest; interior nodes accumulate chain mass
+    ranks = {r.id: r.rank_score for r in out.collect()}
+    assert ranks[1] == min(ranks.values())

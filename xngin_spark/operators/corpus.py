@@ -839,11 +839,19 @@ def pagerank_fixed(
     aggregates, so it is value-checkable: per-edge contributions are
     rounded to 8 digits then DECIMAL-summed (order-independent — the
     tfidf/bm25 discipline), and each iteration's rank is
-    round(base + sum, 8), making every intermediate bit-reproducible
-    by an unrolled-CTE oracle. Simplified form without dangling-mass
-    redistribution: a node with no out-edges keeps contributing
-    nothing (documented contract; symmetric similarity graphs have no
-    one-way dangling nodes by construction).
+    round(base + dangling_share + sum, 8), making every intermediate
+    bit-reproducible by an unrolled-CTE oracle.
+
+    Dangling mass is redistributed: nodes with no out-edges (a real
+    directed link graph always has them — the last page of every crawl
+    frontier) contribute damping · Σ r_dangling / N uniformly to every
+    node, so total rank mass is conserved instead of silently leaking
+    each iteration. The share is one extra decimal-summed aggregate
+    per iteration (an anti-join of the N-row rank vector against the
+    out-degree table, then a 1-row broadcast), computed with the same
+    round-then-decimal-sum discipline so the oracle stays hash-exact.
+    On symmetric similarity graphs, isolated nodes (no edges at all)
+    are the only dangling set.
 
     Scale shape: per iteration ONE join of the edge list with the
     rank vector (both shuffled on src — the partitioning is reused
@@ -863,6 +871,7 @@ def pagerank_fixed(
         .withColumn("r", F.lit(1.0))
         .localCheckpoint(eager=True)
     )
+    n_nodes = float(ranks.count())
     for _ in range(iters):
         contrib = (
             e.join(ranks, e["src"] == ranks["nid"])
@@ -877,13 +886,31 @@ def pagerank_fixed(
         sums = contrib.groupBy("nid").agg(
             F.sum(F.col("c").cast("decimal(25,9)")).cast("double").alias("s")
         )
+        # 1-row dangling share: decimal-summed rank mass of nodes with
+        # no out-edges, spread uniformly (broadcast, no extra shuffle)
+        dang = (
+            ranks.join(outdeg, ranks["nid"] == outdeg["src"], "left_anti")
+            .agg(F.sum(F.col("r").cast("decimal(25,9)")).alias("ds"))
+            .select(
+                F.round(
+                    F.lit(damping)
+                    * F.coalesce(F.col("ds").cast("double"), F.lit(0.0))
+                    / F.lit(n_nodes),
+                    8,
+                ).alias("dshare")
+            )
+        )
         ranks = (
             ranks.select("nid")
             .join(sums, "nid", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "nid",
                 F.round(
-                    F.lit(base) + F.coalesce(F.col("s"), F.lit(0.0)), 8
+                    F.lit(base)
+                    + F.col("dshare")
+                    + F.coalesce(F.col("s"), F.lit(0.0)),
+                    8,
                 ).alias("r"),
             )
             .localCheckpoint(eager=True)

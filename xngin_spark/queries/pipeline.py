@@ -749,14 +749,31 @@ def dedup_best_keeper(spark, sf_dir):
     )
 
 
-def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+def _pagerank_steps(
+    iters: int, damping: float, id_out: str = "doc_id"
+) -> str:
+    """Unrolled PageRank iterations over CTEs ``edges``/``outdeg``/``n``
+    (nid)/``r0`` — shared by every pagerank oracle. Mirrors
+    operators/corpus.pagerank_fixed expression-for-expression:
+    contributions rounded then decimal-summed, the 1-row dangling share
+    (decimal-summed rank mass of nodes absent from outdeg, spread over
+    N) cross-joined, damping/base embedded as the SAME double
+    literals."""
     base = repr(1.0 - damping)  # SAME double literal both engines
     d = repr(float(damping))
-    pairs = _winnow_oracle(t=8, extra_where="AND doc_id < 1000")
     it = """
     r{n} AS (
-      SELECT n.nid, round({base} + COALESCE(s.s, 0.0), 8) AS r
-      FROM n LEFT JOIN (
+      SELECT n.nid, round({base} + dg.dshare + COALESCE(s.s, 0.0), 8) AS r
+      FROM n
+      CROSS JOIN (
+        SELECT round({d} * COALESCE(
+                 CAST(CAST(SUM(CAST(p.r AS DECIMAL(25,9))) AS STRING)
+                      AS DOUBLE), 0.0)
+               / (SELECT CAST(COUNT(*) AS DOUBLE) FROM n), 8) AS dshare
+        FROM r{p} p
+        WHERE p.nid NOT IN (SELECT src FROM outdeg)
+      ) dg
+      LEFT JOIN (
         SELECT e.dst AS nid,
                CAST(CAST(SUM(CAST(round({d} * p.r / o.outdeg, 8)
                     AS DECIMAL(25,9))) AS STRING) AS DOUBLE) AS s
@@ -768,18 +785,25 @@ def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
         it.format(n=i + 1, p=i, base=base, d=d) for i in range(iters)
     )
     return f"""
+    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
+               FROM edges GROUP BY src),
+    r0 AS (SELECT nid, CAST(1.0 AS DOUBLE) AS r FROM n),
+    {steps}
+    SELECT nid AS {id_out}, r AS rank_score FROM r{iters}
+    """
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    pairs = _winnow_oracle(t=8, extra_where="AND doc_id < 1000")
+    return f"""
     WITH pairs AS ({pairs}),
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM pairs
       UNION ALL
       SELECT doc_b AS src, doc_a AS dst FROM pairs
     ),
-    outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg
-               FROM edges GROUP BY src),
     n AS (SELECT doc_id AS nid FROM documents WHERE doc_id < 1000),
-    r0 AS (SELECT nid, CAST(1.0 AS DOUBLE) AS r FROM n),
-    {steps}
-    SELECT nid AS doc_id, r AS rank_score FROM r{iters}
+    {_pagerank_steps(iters, damping)}
     """
 
 
@@ -814,6 +838,55 @@ def pagerank_dedup_graph(spark, sf_dir):
     out = pagerank_fixed(edges, d.select("doc_id"), id_col="doc_id", iters=3)
     release_persisted()
     return out
+
+
+def _pagerank_chain_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    return f"""
+    WITH ev AS (
+      SELECT event_id, user_id, ts FROM events WHERE user_id < 100
+    ),
+    hop AS (
+      SELECT event_id AS src,
+             LEAD(event_id) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM ev
+    ),
+    edges AS (SELECT src, dst FROM hop WHERE dst IS NOT NULL),
+    n AS (SELECT event_id AS nid FROM ev),
+    {_pagerank_steps(iters, damping, id_out="event_id")}
+    """
+
+
+@register("pagerank_event_chain", _pagerank_chain_oracle())
+def pagerank_event_chain(spark, sf_dir):
+    """PageRank over a genuinely DIRECTED graph — each user's event
+    stream as a chain (event → next event by time), where every user's
+    LAST event is a dangling node by construction. This is the row that
+    pins the dangling-mass redistribution: without the uniform
+    damping·Σr_dangling/N term, a chain graph leaks the tail mass every
+    iteration and ranks drift low (the round-8 verdict watch item).
+    Value-checked against the same unrolled-CTE oracle as the
+    similarity-graph row — the dangling share is one extra
+    decimal-summed aggregate per iteration on both engines. Scale
+    shape: the chain edges come from one window over the event stream
+    (shuffle on user_id), then pagerank_fixed's |E|-linear iterations."""
+    from pyspark.sql import Window
+
+    from xngin_spark.catalog import events_df
+    from xngin_spark.operators.corpus import pagerank_fixed
+
+    ev = events_df(spark, sf_dir).filter(F.col("user_id") < 100).select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        ev.withColumn("dst", F.lead("event_id").over(w))
+        .filter(F.col("dst").isNotNull())
+        .select(F.col("event_id").alias("src"), "dst")
+    )
+    return pagerank_fixed(
+        edges, ev.select("event_id"), id_col="event_id", iters=3
+    )
 
 
 @register(
