@@ -333,3 +333,194 @@ def test_pagerank_conserves_mass_on_directed_chain(spark):
     # lowest; interior nodes accumulate chain mass
     ranks = {r.id: r.rank_score for r in out.collect()}
     assert ranks[1] == min(ranks.values())
+
+
+# --- verdict #4: index small-file debt is bounded --------------------------
+
+
+def _parquet_count(path):
+    import os
+
+    return sum(
+        1
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+
+
+def test_bm25_churn_file_count_bounded(spark, sf_dir, tmp_path):
+    """20 CDC update cycles against a persisted BM25 index: the
+    scrub-then-append cycle accretes delta files, auto_compact bin-packs
+    past the threshold, and the final state still equals a rebuild
+    (compaction must be invisible to contents) with the probe
+    bit-identical to the in-memory ranker."""
+    from xngin_spark.operators.corpus import (
+        bm25_index_persist,
+        bm25_index_probe,
+        bm25_index_update,
+        bm25_topk,
+    )
+    from xngin_spark.sources.dml import table_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def version(i: int):
+        keep = d.filter((F.col("doc_id") + i) % 7 != 0).filter(
+            F.col("doc_id") < 120
+        )
+        return keep.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == i % 5,
+                F.concat(F.col("text"), F.lit(f" v{i}")),
+            ).otherwise(F.col("text")),
+        ).localCheckpoint(eager=True)
+
+    idx = str(tmp_path / "idx")
+    prev = version(0)
+    bm25_index_persist(prev, idx)
+    peak = {s: 0 for s in ("postings", "doclen", "termstats")}
+    for i in range(1, 21):
+        cur = version(i)
+        bm25_index_update(
+            cur, table_diff(prev, cur, keys=["doc_id"]), idx,
+            batch_token=f"churn:{i}",
+        )
+        prev = cur
+        for s in peak:
+            peak[s] = max(peak[s], _parquet_count(f"{idx}/{s}"))
+
+    # auto_compact's threshold is 32; a cycle adds at most a handful of
+    # files, so the running peak staying under ~45 means the debt is
+    # BOUNDED (uncompacted, 20 cycles × per-cycle appends blow well past
+    # this on the touched tables)
+    for s, n in peak.items():
+        assert n <= 45, f"{s} peaked at {n} files — compaction not firing"
+
+    full = str(tmp_path / "full")
+    bm25_index_persist(prev, full)
+    assert _bm25_index_rows(spark, idx) == _bm25_index_rows(spark, full)
+
+    qt = spark.createDataFrame(
+        [(0, "spark"), (1, "customer")], "qid long, term string"
+    )
+    got = sorted(map(tuple, bm25_index_probe(spark, idx, qt, k=5).collect()))
+    want = sorted(map(tuple, bm25_topk(prev, qt, k=5).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_ivf_churn_per_partition_files_bounded(spark, sf_dir, tmp_path):
+    """Same bound for the partitioned IVF index: per-LIST file counts
+    stay bounded across 20 update cycles and update == rebuild."""
+    import os
+
+    from xngin_spark.operators import clustering as C
+    from xngin_spark.sources.dml import table_diff
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 400)
+        .localCheckpoint(eager=True)
+    )
+    cents = C.kmeans_fit(emb.orderBy("vec_id"), 4, "embedding", max_iter=2)
+
+    def version(i: int):
+        return emb.filter((F.col("vec_id") + i) % 9 != 0).localCheckpoint(
+            eager=True
+        )
+
+    idx = str(tmp_path / "ivf")
+    prev = version(0)
+    C.ivf_persist(prev, cents, idx)
+    peak = 0
+    for i in range(1, 21):
+        cur = version(i)
+        C.ivf_index_update(
+            cur, table_diff(prev, cur, keys=["vec_id"]), idx, cents,
+            id_col="vec_id",
+        )
+        prev = cur
+        for dname in os.listdir(idx):
+            if dname.startswith("ivf_list="):
+                peak = max(peak, _parquet_count(os.path.join(idx, dname)))
+    assert peak <= 45, f"an ivf list peaked at {peak} files"
+
+    rebuilt = str(tmp_path / "full")
+    C.ivf_persist(prev, cents, rebuilt)
+    a = sorted(map(tuple, spark.read.parquet(idx).collect()))
+    b = sorted(map(tuple, spark.read.parquet(rebuilt).collect()))
+    assert a == b and len(a) > 0
+
+
+# --- verdict #7: nprobe auto-tuning ----------------------------------------
+
+
+def test_tune_nprobe_curve_matches_rerunning_ivf(spark, sf_dir):
+    """The probe-rank identity behind tune_nprobe, checked against
+    ground truth: recall@k at every nprobe from the one-pass curve must
+    equal literally re-running cosine_topk_ivf at that nprobe."""
+    from xngin_spark.operators import clustering as C
+    from xngin_spark.operators.similarity import cosine_topk
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") < 300)
+        .localCheckpoint(eager=True)
+    )
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    cents = C.kmeans_fit(emb.orderBy("vec_id"), 6, "embedding", max_iter=2)
+
+    best, curve = C.tune_nprobe(
+        emb, queries, cents, k=8, recall_target=0.9
+    )
+    got = {r["nprobe"]: r["recall"] for r in curve.collect()}
+    assert set(got) == set(range(1, 7))
+
+    exact = {
+        (r["qid"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=8).collect()
+    }
+    assert len(exact) == 4 * 8
+    for p in range(1, 7):
+        approx = {
+            (r["qid"], r["vec_id"])
+            for r in C.cosine_topk_ivf(
+                emb, queries, k=8, nprobe=p, centroids=cents
+            ).collect()
+        }
+        want = round(len(exact & approx) / len(exact), 8)
+        assert got[p] == want, f"nprobe={p}: curve {got[p]} vs rerun {want}"
+    assert got[6] == 1.0  # nprobe = nlist ⇒ exact
+    assert best is not None and got[best] >= 0.9
+    assert best == min(p for p in range(1, 7) if got[p] >= 0.9)
+
+
+# --- verdict #3: BENCH_SF1 coverage tied to queries() -----------------------
+
+
+def test_bench_sf1_covers_full_corpus():
+    """Every registered query must have an sf1 3-pass median in
+    BENCH_SF1.json — post-bench registrations can't silently skip the
+    sf1 artifact (round-8 verdict item #2). Regenerate with
+    tools/bench_sf1.py after registering queries."""
+    import json
+    from pathlib import Path
+
+    from xngin_spark import queries as Q
+
+    Q.load_all()
+    doc = json.loads(
+        (Path(__file__).parent.parent / "BENCH_SF1.json").read_text()
+    )
+    benched = set(doc["queries"])
+    missing = sorted(set(Q.QUERIES) - benched)
+    assert not missing, (
+        f"{len(missing)} queries missing from BENCH_SF1.json: "
+        f"{missing[:10]} — run tools/bench_sf1.py"
+    )

@@ -356,3 +356,55 @@ def test_e2e_concurrent_clients(served_engine):
     for t in threads:
         t.join(timeout=120)
     assert not errors, errors
+
+
+def test_e2e_xngin_reorder_sysvar(served_engine, monkeypatch):
+    """SET xngin_reorder=1 routes this connection's COM_QUERY texts
+    through the DPhyp product path (Engine.sql(reorder=True)) — the
+    session-sysvar surface the reference ships its reorder behind
+    (session.rs builds the plan pipeline per query). Observed by
+    spying the dphyp_sql entry in-process (the server runs in a
+    thread), result-checked against the plain run, and isolated per
+    connection."""
+    from xngin_spark.plans import sqlreorder
+
+    calls: list[str] = []
+    real = sqlreorder.dphyp_sql
+
+    def spy(spark, sql):
+        calls.append(sql)
+        return real(spark, sql)
+
+    monkeypatch.setattr(sqlreorder, "dphyp_sql", spy)
+
+    sql = (
+        "SELECT n_name, COUNT(*) AS cnt"
+        " FROM customer, nation, region"
+        " WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+        " GROUP BY n_name ORDER BY n_name"
+    )
+    with _connect(served_engine) as conn:
+        _, rows = conn.query("SELECT @@xngin_reorder AS r")
+        assert rows == [["0"]]
+        _, plain = conn.query(sql)
+        assert not calls
+
+        conn.query("SET xngin_reorder = 1")
+        _, rows = conn.query("SELECT @@xngin_reorder AS r")
+        assert rows == [["1"]]
+        _, reordered = conn.query(sql)
+        assert len(calls) >= 1 and sql in calls[-1]
+        assert reordered == plain and len(plain) > 0
+
+        conn.query("SET SESSION xngin_reorder = OFF")
+        n = len(calls)
+        conn.query(sql)
+        assert len(calls) == n
+
+    # a fresh connection starts with the sysvar off
+    with _connect(served_engine) as conn2:
+        _, rows = conn2.query("SELECT @@xngin_reorder AS r")
+        assert rows == [["0"]]
+        n = len(calls)
+        conn2.query(sql)
+        assert len(calls) == n

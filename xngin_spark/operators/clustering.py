@@ -341,6 +341,93 @@ def cosine_topk_ivf(
     )
 
 
+def tune_nprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    recall_target: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "qid",
+) -> tuple[int | None, DataFrame]:
+    """Smallest ``nprobe`` whose recall@k against the exact cosine
+    top-k meets ``recall_target`` on a held-out query sample — the knob
+    a 100 TB operator otherwise sets blind. Returns
+    ``(nprobe_or_None, curve)`` where ``curve`` is one row per nprobe
+    value (nprobe, hits, recall).
+
+    ONE pass covers every nprobe value via the probe-rank identity: an
+    exact top-k member is retrieved at nprobe=p iff the list containing
+    it ranks ≤ p among the query's centroid distances — because IVF
+    candidates are a subset of the corpus scored by the same cosine
+    (and the same tie-break), a true top-k member present among the
+    candidates always survives the top-k re-rank. So recall@k(p) is the
+    cumulative distribution of hit probe-ranks: |queries|·k exact hits
+    joined once against the assignment and the per-query probe order,
+    instead of nlist full IVF runs. Cost: one exact top-k on the sample
+    (the ground truth any tuner needs) + one corpus assignment pass.
+    """
+    from xngin_spark.operators.similarity import cosine_topk
+
+    spark = corpus.sparkSession
+    nlist = len(centroids)
+    exact = cosine_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col,
+    ).select("qid", F.col(id_col))
+    assigned = ivf_index(corpus, centroids, vec_col).select(
+        id_col, "ivf_list"
+    )
+    carr = _lit_matrix(centroids)
+    ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nlist - 1)),
+                lambda i: F.struct(
+                    _sq_dist(F.col(vec_col), F.element_at(carr, i + 1)).alias(
+                        "d"
+                    ),
+                    i.alias("c"),
+                ),
+            )
+        ),
+        lambda s: s["c"],
+    )
+    pq = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.posexplode(ordered).alias("pos", "ivf_list"),
+    ).select("qid", (F.col("pos") + 1).alias("probe_rank"), "ivf_list")
+    hit_ranks = exact.join(assigned, id_col).join(
+        F.broadcast(pq), ["qid", "ivf_list"]
+    )
+    spine = spark.range(1, nlist + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    total = exact.count()
+    curve = (
+        spine.join(
+            hit_ranks.select("probe_rank"),
+            F.col("probe_rank") <= F.col("nprobe"),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(F.count("probe_rank").alias("hits"))
+        .select(
+            "nprobe",
+            "hits",
+            F.round(F.col("hits") / F.lit(float(total)), 8).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+    best = None
+    for r in curve.collect():  # nlist rows — metadata-scale
+        if r["recall"] >= recall_target:
+            best = int(r["nprobe"])
+            break
+    return best, curve
+
+
 def ivf_persist(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -413,6 +500,10 @@ def ivf_index_update(
         .parquet(path)
     )
     spark.catalog.refreshByPath(path)
+    # bound per-list small-file debt (probes read single partitions)
+    from xngin_spark.sources.layout import auto_compact
+
+    auto_compact(spark, path)
 
 
 def cosine_topk_ivf_persisted(

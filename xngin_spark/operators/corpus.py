@@ -663,6 +663,15 @@ def bm25_index_update(
         spark, index_path, _read_json_head(spark, f"{txn}/intent")
     )
 
+    # bound the small-file debt the scrub-then-append cycle accretes:
+    # a no-op listing while healthy, a bin-pack past the threshold —
+    # strictly after the commit point, so replays (which skip committed
+    # batches) never re-enter it
+    from xngin_spark.sources.layout import auto_compact
+
+    for sub in ("postings", "doclen", "termstats"):
+        auto_compact(spark, f"{index_path}/{sub}")
+
 
 def bm25_index_probe(
     spark,

@@ -974,6 +974,12 @@ def minhash_index_update(
     scrub_then_append("sigs", new_sigs)
     scrub_then_append("bands", new_bands)
 
+    # bound the small-file debt the update cycle accretes
+    from xngin_spark.sources.layout import auto_compact
+
+    for sub in ("sigs", "bands"):
+        auto_compact(spark, f"{index_path}/{sub}")
+
 
 def minhash_screen(
     new_df: DataFrame,

@@ -1211,6 +1211,62 @@ def dphyp_sql_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dphyp_sql_entry(spark, sf_dir, "q9")
 
 
+#: q5 with the FROM list adversarially permuted fact-first: Spark's
+#: syntactic order (CBO join reorder off — the default) then builds
+#: lineitem ⋈ supplier before any selective dimension arrives, a plan
+#: whose intermediate is the whole fact table. The DPhyp route restores
+#: the selective order from cost (region='ASIA' → nation → supplier /
+#: customer-side before the fact join). Measured by tools/dphyp_win.py:
+#: 13.5× at sf0.1 (DPHYP_WIN.json) — the reason the product path exists
+#: at 100 TB, where the mis-ordered intermediate is petabytes.
+DPHYP_WIN_SQL = """
+    SELECT n_name,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))) AS STRING) AS DOUBLE) AS revenue
+    FROM lineitem, supplier, customer, orders, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+
+@register("dphyp_sql_win", DPHYP_WIN_SQL)
+def dphyp_sql_win(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adversarial mis-ordered q5 text (DPHYP_WIN_SQL) through the
+    DPhyp product path — the row that justifies the feature: plain
+    ``spark.sql`` on this text runs the fact-fact join first (13.5×
+    slower at sf0.1, DPHYP_WIN.json); the rewrite restores q5's
+    selective order and this row runs at q5 speed. Value-checked
+    against the SAME text in DuckDB (whose optimizer reorders
+    regardless), so the rewrite's result-identity is oracle-pinned on
+    the exact text the win is claimed for. STRICT like the other
+    dphyp_sql rows: raises if the rewriter falls back."""
+    from xngin_spark.plans.sqlreorder import dphyp_rewrite
+    from xngin_spark.queries.tpch import T
+
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+    text, traces = dphyp_rewrite(spark, DPHYP_WIN_SQL)
+    if not traces:
+        raise RuntimeError(
+            "dphyp_rewrite fell back on the adversarial q5 text — "
+            "SQL-entry reorder path is no longer firing"
+        )
+    return spark.sql(text)
+
+
 def _copy_tpch_oracles() -> None:
     # the dphyp_sql_q* rows run the ORACLE TEXT itself through the
     # rewriter, so their oracle IS the original query's — copied here

@@ -1596,6 +1596,126 @@ def knn_cosine_ivf_checked(spark, sf_dir):
     )
 
 
+_NPROBE_TARGET = 0.9
+
+
+def _nprobe_tuned_oracle() -> str:
+    tgt = repr(float(_NPROBE_TARGET))
+    return f"""
+    WITH cents(cid, s1, s2, s3, s4) AS (VALUES {_quadrant_cents_sql()}),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             {_QUADRANT_DIST_SQL} AS dist
+      FROM embeddings e, cents c
+    ),
+    assigned AS (
+      SELECT vec_id, cid AS ivf_list FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rk
+        FROM d) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS qid, cid AS ivf_list,
+             CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cid) AS INTEGER)
+               AS probe_rank
+      FROM d WHERE vec_id < 5
+    ),
+    ex AS (SELECT qid, vec_id FROM ({_KNN_ORACLE}) t),
+    hits AS (
+      SELECT p.probe_rank
+      FROM ex JOIN assigned a ON a.vec_id = ex.vec_id
+           JOIN probes p ON p.qid = ex.qid AND p.ivf_list = a.ivf_list
+    ),
+    spine AS (SELECT CAST(g AS INTEGER) AS nprobe
+              FROM generate_series(1, {len(_SEM_SIGNS)}) t(g)),
+    curve AS (
+      SELECT s.nprobe,
+             CAST(COUNT(h.probe_rank) AS BIGINT) AS hits,
+             round(CAST(COUNT(h.probe_rank) AS DOUBLE)
+                   / (SELECT CAST(COUNT(*) AS DOUBLE) FROM ex), 8) AS recall
+      FROM spine s LEFT JOIN hits h ON h.probe_rank <= s.nprobe
+      GROUP BY s.nprobe
+    )
+    SELECT nprobe, hits, recall,
+           COALESCE(nprobe = MIN(CASE WHEN recall >= {tgt} THEN nprobe END)
+                             OVER (), FALSE) AS tuned
+    FROM curve
+    """
+
+
+@register("ivf_nprobe_tuned", _nprobe_tuned_oracle())
+def ivf_nprobe_tuned(spark, sf_dir):
+    """nprobe auto-tuning over the frozen quadrant codebook, fully
+    value-checked: the recall@10-vs-nprobe curve of the checked IVF
+    retriever against the exact cosine top-10, with ``tuned`` marking
+    the smallest nprobe meeting the 0.9 recall target — the knob a
+    100 TB operator otherwise sets blind (retrieval_ranking_eval
+    measures a FIXED nprobe; this row picks it). One pass covers every
+    nprobe value via the probe-rank identity (an exact hit is retrieved
+    at nprobe=p iff its list ranks ≤ p in the query's centroid order —
+    candidates ⊆ corpus under the same cosine + tie-break, so presence
+    implies top-k survival; operators/clustering.tune_nprobe is the
+    general-codebook operator, equivalence-tested against literally
+    re-running IVF per nprobe). Cost: |queries|·k hit rows joined to
+    the assignment — never nlist IVF runs."""
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings")
+    scores = _quadrant_scores_expr()
+    nlist = len(_SEM_SIGNS)
+    exact = knn_cosine(spark, sf_dir).select("qid", "vec_id")
+    total = float(exact.count())  # |queries| × k — mirrors COUNT(*) FROM ex
+    assigned = emb.select(
+        "vec_id", F.expr(f"array_min({scores}).c").alias("ivf_list")
+    )
+    pq = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.posexplode(
+                F.expr(f"transform(array_sort({scores}), s -> s.c)")
+            ).alias("pos", "ivf_list"),
+        )
+        .select(
+            "qid",
+            (F.col("pos") + 1).cast("int").alias("probe_rank"),
+            "ivf_list",
+        )
+    )
+    hits = exact.join(assigned, "vec_id").join(
+        F.broadcast(pq), ["qid", "ivf_list"]
+    )
+    spine = spark.range(1, nlist + 1).select(
+        F.col("id").cast("int").alias("nprobe")
+    )
+    curve = (
+        spine.join(
+            hits.select("probe_rank"),
+            F.col("probe_rank") <= F.col("nprobe"),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(F.count("probe_rank").cast("long").alias("hits"))
+        .select(
+            "nprobe",
+            "hits",
+            F.round(F.col("hits") / F.lit(total), 8).alias("recall"),
+        )
+    )
+    w = Window.partitionBy()
+    first_pass = F.min(
+        F.when(F.col("recall") >= F.lit(float(_NPROBE_TARGET)), F.col("nprobe"))
+    ).over(w)
+    return curve.select(
+        "nprobe",
+        "hits",
+        "recall",
+        F.coalesce(F.col("nprobe") == first_pass, F.lit(False)).alias("tuned"),
+    )
+
+
 _LSH_CHECKED_ORACLE = """
     WITH b AS (
       SELECT vec_id, embedding,

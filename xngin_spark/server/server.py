@@ -25,6 +25,7 @@ from __future__ import annotations
 import datetime as _dt
 import decimal
 import os
+import re
 import socket
 import struct
 import threading
@@ -190,6 +191,11 @@ class MySQLServer:
     def _command_loop(self, conn: socket.socket) -> None:
         stmts: dict[int, dict] = {}  # prepared statements, per-connection
         next_stmt = [1]
+        # per-connection engine session state — the reference builds its
+        # plan pipeline per query from session sysvars (session.rs);
+        # here `SET xngin_reorder=1` routes this connection's texts
+        # through the DPhyp product path (Engine.sql(reorder=True))
+        session = {"reorder": False}
         while not self._closed.is_set():
             seq, payload = P.read_packet(conn)
             if not payload:
@@ -200,15 +206,19 @@ class MySQLServer:
             if cmd == P.COM_PING:
                 P.write_packet(conn, seq + 1, P.build_ok())
             elif cmd == P.COM_INIT_DB:
-                self._run_query(conn, seq, f"USE {body.decode(errors='replace')}")
+                self._run_query(
+                    conn, seq, f"USE {body.decode(errors='replace')}", session
+                )
             elif cmd == P.COM_QUERY:
-                self._run_query(conn, seq, body.decode(errors="replace"))
+                self._run_query(
+                    conn, seq, body.decode(errors="replace"), session
+                )
             elif cmd == P.COM_FIELD_LIST:
                 self._field_list(conn, seq, body)
             elif cmd == P.COM_STMT_PREPARE:
                 self._stmt_prepare(conn, seq, body, stmts, next_stmt)
             elif cmd == P.COM_STMT_EXECUTE:
-                self._stmt_execute(conn, seq, body, stmts)
+                self._stmt_execute(conn, seq, body, stmts, session)
             elif cmd == P.COM_STMT_CLOSE:
                 # no response by spec
                 if len(body) >= 4:
@@ -293,7 +303,12 @@ class MySQLServer:
         return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
     def _stmt_execute(
-        self, conn: socket.socket, seq: int, body: bytes, stmts: dict[int, dict]
+        self,
+        conn: socket.socket,
+        seq: int,
+        body: bytes,
+        stmts: dict[int, dict],
+        session: dict | None = None,
     ) -> None:
         """COM_STMT_EXECUTE (0x17): bind the decoded parameters as SQL
         literals into the prepared text and run it through the same
@@ -331,7 +346,9 @@ class MySQLServer:
             P.write_packet(conn, seq + 1, P.build_ok())
             return
         try:
-            df = self.engine.sql(rewritten)
+            df = self.engine.sql(
+                rewritten, reorder=bool(session and session.get("reorder"))
+            )
             if df is None or not getattr(df, "columns", None):
                 P.write_packet(conn, seq + 1, P.build_ok())
                 return
@@ -377,9 +394,29 @@ class MySQLServer:
             )
         P.write_packet(conn, seq, P.build_eof())
 
-    def _run_query(self, conn: socket.socket, seq: int, sql: str) -> None:
+    #: SET [SESSION] xngin_reorder = 0|1|ON|OFF|TRUE|FALSE (also the
+    #: @@xngin_reorder / @@session.xngin_reorder spellings) — the
+    #: engine sysvar switching this connection onto the DPhyp route
+    _SET_REORDER = re.compile(
+        r"(?i)^\s*SET\s+(?:SESSION\s+|@@(?:session\.)?)?xngin_reorder\s*=\s*"
+        r"(0|1|ON|OFF|TRUE|FALSE)\s*;?\s*$"
+    )
+    _READ_REORDER = re.compile(r"(?i)@@(?:session\.)?xngin_reorder\b")
+
+    def _run_query(
+        self, conn: socket.socket, seq: int, sql: str, session: dict | None = None
+    ) -> None:
         from xngin_spark.server import compat
 
+        session = session if session is not None else {"reorder": False}
+        m = self._SET_REORDER.match(sql)
+        if m:
+            session["reorder"] = m.group(1).upper() in ("1", "ON", "TRUE")
+            P.write_packet(conn, seq + 1, P.build_ok())
+            return
+        sql = self._READ_REORDER.sub(
+            str(int(bool(session.get("reorder")))), sql
+        )
         try:
             current = self.engine.spark.catalog.currentDatabase()
         except Exception:
@@ -389,7 +426,9 @@ class MySQLServer:
             P.write_packet(conn, seq + 1, P.build_ok())
             return
         try:
-            df = self.engine.sql(rewritten)
+            df = self.engine.sql(
+                rewritten, reorder=bool(session.get("reorder"))
+            )
             if df is None or not getattr(df, "columns", None):
                 P.write_packet(conn, seq + 1, P.build_ok())
                 return

@@ -194,3 +194,60 @@ def optimize_table(
         "files_written": n_out,
         "zordered": 1,
     }
+
+
+def auto_compact(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 32,
+    target_bytes: int = 128 << 20,
+) -> dict[str, int]:
+    """Threshold-gated compaction for MAINTAINED datasets — the
+    small-file-debt bound for the incremental index family. Every
+    scrub-then-append update cycle appends delta-sized files; N cycles
+    grow the file count until per-file open/footer/task overhead
+    dominates probe cost. This wires ``compact_small_files`` into the
+    maintenance path itself: a no-op (pure driver-side listing) while
+    the dataset is healthy, one bin-pack of the small files once a
+    directory crosses ``max_files``.
+
+    Handles both layouts the indexes use: a flat parquet dir (BM25
+    postings/doclen/termstats, MinHash signatures/bands) compacts at
+    the root; a one-level hive-partitioned dir (IVF's ivf_list=K)
+    compacts each PARTITION directory that crosses the threshold —
+    probes read single partitions, so the bound that matters is
+    files-per-partition. Returns aggregate compaction counters.
+
+    Crash note: compaction runs strictly AFTER the owning update's
+    commit point and rewrites only sub-threshold files via the CoW
+    swap; a process crash mid-swap can duplicate small-file rows until
+    the next compaction pass (the _swap_in window every CoW DML op in
+    this repo shares) — maintenance crash-safety of the update itself
+    is unaffected because replays skip committed batches without
+    re-entering compaction.
+    """
+    import os
+
+    root = path.removeprefix("file://").removeprefix("file:")
+    if not os.path.isdir(root):
+        return {"files_before": 0, "files_compacted": 0, "files_written": 0}
+    part_dirs = [
+        os.path.join(root, d)
+        for d in os.listdir(root)
+        if "=" in d and os.path.isdir(os.path.join(root, d))
+    ]
+    targets = part_dirs or [root]
+    agg = {"files_before": 0, "files_compacted": 0, "files_written": 0}
+    for t in targets:
+        n = sum(
+            1
+            for f in os.listdir(t)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        agg["files_before"] += n
+        if n <= max_files:
+            continue
+        stats = compact_small_files(spark, t, target_bytes=target_bytes)
+        agg["files_compacted"] += stats["files_compacted"]
+        agg["files_written"] += stats["files_written"]
+    return agg
