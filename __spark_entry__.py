@@ -27,7 +27,17 @@ GATE_PRIORITY = [
     "text_stats",
     "lang_id",
     "dedup_exact",
-    "ngram_jaccard",
+    # pagerank_event_chain replaces ngram_jaccard in the window
+    # (round 9): it is the graph-centrality family's first gate row —
+    # fixed-iteration PageRank over a genuinely DIRECTED graph
+    # (per-user event chains, every user's last event dangling), so the
+    # dangling-mass redistribution term (round-8 verdict watch item #1)
+    # carries in-gate value evidence via the unrolled-CTE oracle.
+    # N-gram Jaccard machinery stays gate-proven through
+    # dedup_minhash_checked's shingle+verify stage (exact Jaccard on
+    # candidates under the same tokenizer); ngram_jaccard keeps its
+    # local oracle compare in test_tpch_parity.py.
+    "pagerank_event_chain",
     "knn_cosine",
     "media_features",
     # dedup_minhash_checked replaces frame_sample in the window

@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Itemize the streaming micro-batch FLOOR (round-8 verdict #6): the
+fixed per-batch cost of the maintenance sinks — state dedup+checkpoint,
+delta compute, stage write, scrub/append/commit, compaction check,
+epoch write, prune — plus the residual Structured Streaming machinery
+(trigger planning, offset log, checkpoint commit) derived as
+stream wall-clock minus the sum of the itemized phases.
+
+Runs the two registered maintenance queries (orders_stream_agg_maintain
+= the epoch-protocol rollup, streaming_bm25_maintain via its e2e shape)
+with sink phase recording on, and merge-writes STREAM_FLOOR.json keyed
+by sf dir. Phase timings are driver-side time.time() marks around the
+exact code regions, so the artifact answers "what does one micro-batch
+COST when the data volume is ~zero" — the number a continuous-ingest
+operator needs to predict latency.
+
+Usage: python tools/stream_floor.py [sf_dir ...]   # default sf0.1
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "STREAM_FLOOR.json",
+)
+
+
+def _run_rollup(spark, sf_dir):
+    from xngin_spark.queries import QUERIES, load_all
+
+    load_all()
+    t0 = time.time()
+    QUERIES["orders_stream_agg_maintain"](spark, sf_dir).collect()
+    return time.time() - t0
+
+
+def _run_bm25(spark, sf_dir, tmp):
+    """The streaming_bm25_maintain e2e shape (three micro-batches of
+    image-carrying CDC rows against a persisted index)."""
+    from pyspark.sql import functions as F
+
+    from xngin_spark.operators.corpus import bm25_index_persist
+    from xngin_spark.sources.dml import cdc_changes
+    from xngin_spark.streaming.sinks import streaming_bm25_maintain
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    v1 = d.filter(F.col("doc_id") % 10 != 0)
+    v2 = d.filter(F.col("doc_id") % 7 != 0)
+    idx = os.path.join(tmp, "idx")
+    bm25_index_persist(v1, idx)
+    changes = cdc_changes(v1, v2, ["doc_id"], cols=["text"])
+    delta_dir = os.path.join(tmp, "delta")
+    for i in range(3):
+        changes.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(delta_dir)
+    schema = spark.read.parquet(delta_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(delta_dir)
+    )
+    t0 = time.time()
+    streaming_bm25_maintain(
+        stream, idx, os.path.join(tmp, "ckpt"), timeout_s=600
+    )
+    return time.time() - t0
+
+
+def _summarize(recs: list[dict], sink: str, wall: float) -> dict:
+    mine = [r for r in recs if r["sink"] == sink]
+    phases: dict[str, list[float]] = {}
+    for r in mine:
+        for k, v in r.items():
+            if k not in ("sink", "batch_id"):
+                phases.setdefault(k, []).append(v)
+    itemized = sum(sum(v) for v in phases.values())
+    return {
+        "n_batches": len(mine),
+        "stream_wall_sec": round(wall, 3),
+        "phase_mean_sec": {
+            k: round(sum(v) / len(v), 4) for k, v in sorted(phases.items())
+        },
+        "phase_total_sec": round(itemized, 3),
+        "machinery_sec": round(wall - itemized, 3),
+        "machinery_per_batch_sec": round(
+            (wall - itemized) / max(len(mine), 1), 3
+        ),
+    }
+
+
+def main() -> None:
+    import tempfile
+
+    from xngin_spark.session import get_spark
+    from xngin_spark.streaming import sinks
+
+    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.1"]
+    spark = get_spark(
+        "stream_floor", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
+    doc = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            doc = json.load(f)
+
+    for sf_dir in sf_dirs:
+        sinks.record_batch_phases(True)
+        sinks.drain_batch_phases()
+        rollup_wall = _run_rollup(spark, sf_dir)
+        rollup_recs = sinks.drain_batch_phases()
+        with tempfile.TemporaryDirectory(prefix="xngin_floor_") as tmp:
+            bm25_wall = _run_bm25(spark, sf_dir, tmp)
+        bm25_recs = sinks.drain_batch_phases()
+        sinks.record_batch_phases(False)
+        doc[sf_dir] = {
+            "orders_stream_agg_maintain": _summarize(
+                rollup_recs, "rollup", rollup_wall
+            ),
+            "streaming_bm25_maintain": _summarize(
+                bm25_recs, "bm25", bm25_wall
+            ),
+        }
+        print(json.dumps({sf_dir: doc[sf_dir]}, indent=1))
+
+    with open(OUT, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,9 +20,51 @@ the writer touches only partitions the watermark is still moving.
 
 from __future__ import annotations
 
+import time
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
+
+#: Per-micro-batch phase timings of the maintenance sinks (the
+#: round-8 verdict asked for the micro-batch FLOOR itemized: epoch
+#: write, scrub, state commit — so continuous-run latency is
+#: predictable from an artifact instead of inferred from suite
+#: totals). Gated: recording costs two time.time() calls per phase and
+#: nothing when off; the log is driver-side metadata. Enabled by
+#: tools/stream_floor.py, drained per run.
+_PHASE_LOG: list[dict] = []
+_PHASES_ON = False
+
+
+def record_batch_phases(on: bool = True) -> None:
+    global _PHASES_ON
+    _PHASES_ON = on
+
+
+def drain_batch_phases() -> list[dict]:
+    out = list(_PHASE_LOG)
+    _PHASE_LOG.clear()
+    return out
+
+
+@contextmanager
+def _phase(rec: dict | None, name: str):
+    if rec is None:
+        yield
+        return
+    t0 = time.time()
+    yield
+    rec[name] = round(time.time() - t0, 4)
+
+
+def _phase_rec(sink: str, batch_id: int) -> dict | None:
+    if not _PHASES_ON:
+        return None
+    rec = {"sink": sink, "batch_id": batch_id}
+    _PHASE_LOG.append(rec)
+    return rec
 
 
 def incremental_window_counts(
@@ -343,7 +385,9 @@ def apply_cdc_rollup_batch(
     from xngin_spark.sources.dml import maintain_agg_additive
 
     spark = batch_df.sparkSession
-    batch = batch_df.dropDuplicates(key_cols).localCheckpoint(eager=True)
+    rec = _phase_rec("rollup", batch_id)
+    with _phase(rec, "dedup_checkpoint"):
+        batch = batch_df.dropDuplicates(key_cols).localCheckpoint(eager=True)
     prior = _latest_rollup_epoch(rollup_path, below=batch_id)
     if prior is None:
         raise ValueError(
@@ -352,9 +396,10 @@ def apply_cdc_rollup_batch(
         )
     agg_old = spark.read.parquet(f"{rollup_path}/epoch={prior}")
     updated = maintain_agg_additive(agg_old, batch, group_col, val_col)
-    updated.write.mode("overwrite").parquet(
-        f"{rollup_path}/epoch={batch_id}"
-    )
+    with _phase(rec, "epoch_write"):
+        updated.write.mode("overwrite").parquet(
+            f"{rollup_path}/epoch={batch_id}"
+        )
     # prune epochs OLDER than this batch's predecessor: a foreachBatch
     # replay can only be of THIS batch (which re-reads ``prior`` — kept)
     # or a later one (which reads ``batch_id``'s output or newer), so
@@ -364,13 +409,14 @@ def apply_cdc_rollup_batch(
     import os as _os
     import shutil as _shutil
 
-    for p in _glob.glob(_os.path.join(rollup_path, "epoch=*")):
-        try:
-            e = int(_os.path.basename(p).split("=", 1)[1])
-        except ValueError:
-            continue
-        if e < prior:
-            _shutil.rmtree(p, ignore_errors=True)
+    with _phase(rec, "prune"):
+        for p in _glob.glob(_os.path.join(rollup_path, "epoch=*")):
+            try:
+                e = int(_os.path.basename(p).split("=", 1)[1])
+            except ValueError:
+                continue
+            if e < prior:
+                _shutil.rmtree(p, ignore_errors=True)
 
 
 def apply_cdc_rollup_batch_multi(
@@ -517,20 +563,24 @@ def apply_cdc_bm25_batch(
     from xngin_spark.operators.corpus import bm25_index_update
 
     spark = batch_df.sparkSession
+    rec = _phase_rec("bm25", batch_id)
     meta = spark.read.json(f"{index_path}/_meta").head()
     id_col, text_col = meta["id_col"], meta["text_col"]
-    b = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
+    with _phase(rec, "dedup_checkpoint"):
+        b = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
     if not b.count():
         return
     snapshot_like = b.filter(F.col("op").isin("insert", "update")).select(
         F.col(id_col), F.col(f"_new.{text_col}").alias(text_col)
     )
-    bm25_index_update(
-        snapshot_like,
-        b.select(id_col, "op"),
-        index_path,
-        batch_token=f"{token_prefix}:{batch_id}",
-    )
+    with _phase(rec, "index_update"):
+        bm25_index_update(
+            snapshot_like,
+            b.select(id_col, "op"),
+            index_path,
+            batch_token=f"{token_prefix}:{batch_id}",
+            phases=rec,
+        )
 
 
 def streaming_bm25_maintain(
