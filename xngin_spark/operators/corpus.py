@@ -453,7 +453,15 @@ def _write_bm25_meta(
 
 def _read_json_head(spark, path: str):
     """One-row JSON dataset → Row, or None when the path is missing or
-    unreadable (a crash mid-write leaves no committed files)."""
+    unreadable (a crash mid-write leaves no committed files). The
+    local-path existence pre-check keeps the EXPECTED missing case (no
+    pending _txn/intent — every fresh index's first update) from
+    logging a loud FileNotFoundException through the JVM."""
+    import os
+
+    local = path.removeprefix("file://").removeprefix("file:")
+    if "://" not in local and not os.path.exists(local):
+        return None
     try:
         rows = spark.read.json(path).take(1)
     except Exception:

@@ -573,14 +573,16 @@ def apply_cdc_bm25_batch(
     snapshot_like = b.filter(F.col("op").isin("insert", "update")).select(
         F.col(id_col), F.col(f"_new.{text_col}").alias(text_col)
     )
-    with _phase(rec, "index_update"):
-        bm25_index_update(
-            snapshot_like,
-            b.select(id_col, "op"),
-            index_path,
-            batch_token=f"{token_prefix}:{batch_id}",
-            phases=rec,
-        )
+    # bm25_index_update itemizes its own sub-phases into rec
+    # (delta_compute / stage_write / scrub_append_commit / compact) —
+    # no parent wrapper, so the phase sum never double-counts
+    bm25_index_update(
+        snapshot_like,
+        b.select(id_col, "op"),
+        index_path,
+        batch_token=f"{token_prefix}:{batch_id}",
+        phases=rec,
+    )
 
 
 def streaming_bm25_maintain(
