@@ -524,3 +524,45 @@ def test_bench_sf1_covers_full_corpus():
         f"{len(missing)} queries missing from BENCH_SF1.json: "
         f"{missing[:10]} — run tools/bench_sf1.py"
     )
+
+
+# --- verdict #2: the sf10 probe's finding ----------------------------------
+
+
+def test_winnow_cap_collapse_warns_not_silent(spark):
+    """The sf1→sf10 scaling probe found winnow recall silently
+    collapsing to zero when every fingerprint's document frequency
+    exceeds the absolute boilerplate cap (self-union corpora). The cap
+    must warn loudly — zero candidates must never read as 'no
+    duplicates'."""
+    import warnings
+
+    from xngin_spark.operators.dedup import (
+        release_persisted,
+        winnow_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{base} variant {i % 3}") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = winnow_candidate_pairs(d, max_fp_docs=4, min_shared=1)
+        n = out.count()
+    release_persisted()
+    assert n == 0
+    assert any("max_fp_docs" in str(w.message) for w in caught), (
+        "cap collapse did not warn"
+    )
+
+    # a healthy corpus does NOT warn
+    healthy = spark.createDataFrame(
+        [(i, f"totally unique document number {i} " * 3 + base[: i % 7])
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        winnow_candidate_pairs(healthy, min_shared=1).count()
+    release_persisted()
+    assert not any("max_fp_docs" in str(w.message) for w in caught)

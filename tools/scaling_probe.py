@@ -133,7 +133,8 @@ def main(small_dir: str, big_dir: str, ratio: float, only: set[str]) -> None:
             flush=True,
         )
 
-    write_results("BENCH_SCALING.json", rows, ratio, small_dir, big_dir)
+    out = os.environ.get("XNGIN_SCALING_OUT", "BENCH_SCALING.json")
+    write_results(out, rows, ratio, small_dir, big_dir)
     for q, r in sorted(rows.items(), key=lambda kv: -kv[1]["alpha"]):
         flag = "  <-- SUPER-LINEAR" if r["alpha"] > 1.05 and r["t_big"] > 1 else ""
         print(
