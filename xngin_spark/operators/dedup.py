@@ -634,12 +634,13 @@ def winnow_candidate_pairs(
     the sf10 self-union shape), EVERY fingerprint's document frequency
     eventually exceeds an absolute cap and the candidate set silently
     empties — measured at sf10: 0 of 77k fingerprints under the default
-    cap, winnow recall zero while sf1 found 53k pairs. The cap fraction
-    is therefore checked (one small aggregate over the already-persisted
-    fp table) and a loud warning names the knob when ≥99% of
-    fingerprints are dropped; raising would be wrong (tiny corpora of
-    near-identical docs legitimately cap out — exact dedup owns those),
-    but zero candidates must never look like "no duplicates".
+    cap, winnow recall zero while sf1 found 53k pairs. The surviving
+    fingerprint set is therefore persisted (the self-join read it TWICE
+    before, so the materialization is free-to-negative) and checked for
+    emptiness — a loud warning names the knob on total collapse.
+    Raising would be wrong (tiny corpora of near-identical docs
+    legitimately cap out — exact dedup owns those), but zero candidates
+    must never look like "no duplicates".
     """
     # the char-level rolling-hash projection feeds the cap count AND
     # both self-join sides — persist so the text is hashed exactly once
@@ -651,24 +652,25 @@ def winnow_candidate_pairs(
             StorageLevel.MEMORY_AND_DISK
         )
     )
-    fp_df = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
-    tot, kept_n = fp_df.agg(
-        F.count(F.lit(1)),
-        F.sum((F.col("__df") <= max_fp_docs).cast("long")),
-    ).first()
-    if tot and (kept_n or 0) <= tot * 0.01:
+    keep = track_persisted(
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= max_fp_docs)
+        .select("fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if keep.isEmpty():
         import warnings
 
         warnings.warn(
-            f"winnow_candidate_pairs: max_fp_docs={max_fp_docs} drops "
-            f"{tot - (kept_n or 0)}/{tot} fingerprints — candidate recall "
-            "is (near) zero. The corpus's duplication density exceeds the "
-            "absolute boilerplate cap; raise max_fp_docs (cost grows as "
-            "cap²/2 pairs per fingerprint) or pre-collapse exact/near "
+            f"winnow_candidate_pairs: max_fp_docs={max_fp_docs} dropped "
+            "EVERY fingerprint — candidate recall is zero, not 'no "
+            "duplicates found'. The corpus's duplication density exceeds "
+            "the absolute boilerplate cap; raise max_fp_docs (cost grows "
+            "as cap²/2 pairs per fingerprint) or pre-collapse exact/near "
             "copies before the winnow pass.",
             stacklevel=2,
         )
-    keep = fp_df.filter(F.col("__df") <= max_fp_docs).select("fp")
     kept = fps.join(keep, "fp")
     a = kept.select(F.col("id").alias("doc_a"), "fp")
     b = kept.select(F.col("id").alias("doc_b"), "fp")
