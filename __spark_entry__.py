@@ -107,18 +107,21 @@ GATE_PRIORITY = [
     "cube_agg",
     "window_frames",
     # Round-8 swaps: dphyp_sql_q5 / incremental_distinct_maintain
-    # replace single_join_q / agg_distinct in the window.
-    # dphyp_sql_q5 is the SQL-entry join-reorder product path's first
-    # value-checked row (the reference runs reorder inside every plan
-    # pipeline, join/reorder/mod.rs:24-33 — round-7 verdict task 2);
-    # Attach/single-join machinery stays gate-proven via
-    # q11/q15/q17/q22 and single_join_q keeps its local oracle.
+    # replaced single_join_q / agg_distinct in the window; round 9
+    # upgrades the reorder row to dphyp_sql_auto — the adversarial
+    # fact-first q5 text through the DEFAULT product path
+    # (Engine.sql's cost-gated auto mode: measured-NDV C_out gate,
+    # baseline = the text's own optimized plan). The row is STRICT
+    # (raises if the gate declines) and value-checked against the
+    # same text in DuckDB, so the gate's rescue half carries in-gate
+    # evidence; dphyp_sql_q5 (always-mode route, same oracle) keeps
+    # its local compare in test_tpch_parity.py.
     # incremental_distinct_maintain is the CDC-maintenance family's
     # first gate row AND carries COUNT(DISTINCT) value evidence in its
     # own oracle; plain distinct aggregation stays gate-proven via
     # q16's COUNT(DISTINCT), and agg_distinct (sum-distinct evidence)
     # keeps its local oracle compare in test_tpch_parity.py.
-    "dphyp_sql_q5",
+    "dphyp_sql_auto",
     "incremental_distinct_maintain",
 ]
 

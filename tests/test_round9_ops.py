@@ -566,3 +566,138 @@ def test_winnow_cap_collapse_warns_not_silent(spark):
         winnow_candidate_pairs(healthy, min_shared=1).count()
     release_persisted()
     assert not any("max_fp_docs" in str(w.message) for w in caught)
+
+
+# --- cost-gated auto reorder (the default-on posture) ----------------------
+
+
+def test_auto_gate_fires_on_adversarial_text(spark, sf_dir):
+    """The fact-first q5 text estimates 1100×+ worse than the DPhyp
+    optimum under measured NDVs, so the auto gate rewrites it — and
+    the rewrite is result-equal to the plain run."""
+    from xngin_spark.plans.sqlreorder import dphyp_rewrite
+    from xngin_spark.queries.micro import DPHYP_WIN_SQL
+
+    _register_tpch_views(spark, sf_dir)
+    text, traces = dphyp_rewrite(spark, DPHYP_WIN_SQL, mode="auto")
+    assert traces, "auto gate declined the adversarial text"
+    assert text != DPHYP_WIN_SQL
+    assert _rows(spark.sql(text)) == _rows(spark.sql(DPHYP_WIN_SQL))
+
+
+def test_auto_gate_declines_every_stock_tpch_text(spark, sf_dir):
+    """Well-written texts keep their plans under the default: no stock
+    TPC-H text exceeds the 10× gate (measured max 4.5× at sf0.01), so
+    auto mode returns every one verbatim. This is the plan-stability
+    half of the default-on contract — the adversarial test above is
+    the rescue half."""
+    from xngin_spark.plans.sqlreorder import dphyp_rewrite
+    from xngin_spark.queries import ORACLE, load_all
+
+    load_all()
+    _register_tpch_views(spark, sf_dir)
+    checked = 0
+    for qn in [f"q{i}" for i in range(1, 23)]:
+        sql = ORACLE[qn]
+        try:
+            spark.sql(sql).schema
+        except Exception:
+            continue  # oracle text is DuckDB-only for this query
+        text, traces = dphyp_rewrite(spark, sql, mode="auto")
+        assert text == sql and traces == [], f"{qn} rewrote under auto"
+        checked += 1
+    assert checked >= 15, f"only {checked} TPC-H texts were checkable"
+
+
+def test_auto_gate_cost_log_discriminates(spark, sf_dir):
+    """Gate telemetry under the DEFAULT constants: the adversarial
+    region both clears the 10× ratio by an order of magnitude
+    (measured ≥100× at every SF) and saves real rows, so it fires;
+    stock q5 never fires — at small SFs its full-region ratio can
+    drift past 10 (estimates are noisy on thousand-row inputs) but
+    the absolute-benefit floor holds it back, and at sf0.01+ the
+    ratio itself stays ≤4.5."""
+    import xngin_spark.plans.sqlreorder as sq
+    from xngin_spark.queries import ORACLE, load_all
+    from xngin_spark.queries.micro import DPHYP_WIN_SQL
+
+    load_all()
+    _register_tpch_views(spark, sf_dir)
+
+    def gate_log(sql):
+        df = spark.sql(sql)
+        r = sq._DPhypRenderer(
+            jvm=spark._jvm,
+            spark=spark,
+            mode="auto",
+            optimized=df._jdf.queryExecution().optimizedPlan(),
+        )
+        try:
+            r.select(df._jdf.queryExecution().analyzed())
+        except Exception:
+            pass  # a fired rewrite may leave the render incomplete
+        return r.gate_log
+
+    adv = gate_log(DPHYP_WIN_SQL)
+    assert adv and adv[0][2], "adversarial region did not fire"
+    assert adv[0][0] / max(adv[0][1], 1e-9) >= 100.0
+    stock = gate_log(ORACLE["q5"])
+    assert stock and not any(fired for _, _, fired in stock)
+
+
+def test_engine_sql_default_is_auto(spark, sf_dir):
+    """Engine.sql with no reorder argument runs the cost-gated route:
+    the adversarial text lands on the same physical plan as the
+    always-rewrite route (and NOT the plain text's plan); a stock text
+    keeps the plain plan bit-for-bit."""
+    from xngin_spark.engine import Engine
+    from xngin_spark.plans.reorder import plan_fingerprint
+    from xngin_spark.plans.sqlreorder import dphyp_sql
+    from xngin_spark.queries import ORACLE, load_all
+    from xngin_spark.queries.micro import DPHYP_WIN_SQL
+
+    load_all()
+    _register_tpch_views(spark, sf_dir)
+    eng = Engine(spark=spark)
+
+    adv_default = plan_fingerprint(eng.sql(DPHYP_WIN_SQL))
+    adv_always = plan_fingerprint(dphyp_sql(spark, DPHYP_WIN_SQL))
+    adv_plain = plan_fingerprint(spark.sql(DPHYP_WIN_SQL))
+    assert adv_default == adv_always != adv_plain
+
+    stock_default = plan_fingerprint(eng.sql(ORACLE["q5"]))
+    stock_plain = plan_fingerprint(spark.sql(ORACLE["q5"]))
+    assert stock_default == stock_plain
+
+
+def test_engine_sql_commands_execute_once_under_auto(spark, tmp_path):
+    """Non-query statements bypass the rewriter entirely: routing an
+    INSERT through the analyze-then-re-run path would execute it
+    TWICE (spark.sql runs commands eagerly). The guard is the
+    is_query_text short-circuit, not the fallback."""
+    from xngin_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    name = "reorder_cmd_once"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(f"CREATE TABLE {name} (a INT) USING parquet")
+    try:
+        eng.sql(f"INSERT INTO {name} VALUES (1)")
+        assert spark.table(name).count() == 1, "INSERT ran != once"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_is_query_text_classifier():
+    from xngin_spark.plans.sqlreorder import is_query_text
+
+    assert is_query_text("SELECT 1")
+    assert is_query_text("  \n with t as (select 1) select * from t")
+    assert is_query_text("-- lead comment\nSELECT 1")
+    assert is_query_text("/* block */ VALUES (1)")
+    assert is_query_text("(SELECT 1) UNION ALL (SELECT 2)")
+    assert is_query_text("TABLE nation")
+    assert not is_query_text("INSERT INTO t VALUES (1)")
+    assert not is_query_text("CREATE TABLE t (a INT)")
+    assert not is_query_text("SET x = 1")
+    assert not is_query_text("DROP TABLE t")

@@ -359,21 +359,20 @@ def test_e2e_concurrent_clients(served_engine):
 
 
 def test_e2e_xngin_reorder_sysvar(served_engine, monkeypatch):
-    """SET xngin_reorder=1 routes this connection's COM_QUERY texts
-    through the DPhyp product path (Engine.sql(reorder=True)) — the
-    session-sysvar surface the reference ships its reorder behind
-    (session.rs builds the plan pipeline per query). Observed by
-    spying the dphyp_sql entry in-process (the server runs in a
-    thread), result-checked against the plain run, and isolated per
-    connection."""
+    """xngin_reorder selects this connection's DPhyp route — 0 off,
+    1 always, 2/AUTO cost-gated (the DEFAULT, matching the
+    reference's reorder-in-every-pipeline posture, session.rs).
+    Observed by spying the dphyp_sql entry in-process (the server
+    runs in a thread), result-checked against the plain run, and
+    isolated per connection."""
     from xngin_spark.plans import sqlreorder
 
-    calls: list[str] = []
+    calls: list[tuple[str, str]] = []
     real = sqlreorder.dphyp_sql
 
-    def spy(spark, sql):
-        calls.append(sql)
-        return real(spark, sql)
+    def spy(spark, sql, mode="always"):
+        calls.append((sql, mode))
+        return real(spark, sql, mode=mode)
 
     monkeypatch.setattr(sqlreorder, "dphyp_sql", spy)
 
@@ -384,27 +383,40 @@ def test_e2e_xngin_reorder_sysvar(served_engine, monkeypatch):
         " GROUP BY n_name ORDER BY n_name"
     )
     with _connect(served_engine) as conn:
+        # fresh connection: the default is auto (2)
+        _, rows = conn.query("SELECT @@xngin_reorder AS r")
+        assert rows == [["2"]]
+        _, auto_rows = conn.query(sql)
+        assert calls and calls[-1] == (sql, "auto")
+
+        conn.query("SET xngin_reorder = 0")
         _, rows = conn.query("SELECT @@xngin_reorder AS r")
         assert rows == [["0"]]
+        n = len(calls)
         _, plain = conn.query(sql)
-        assert not calls
+        assert len(calls) == n  # off -> plain spark.sql
+        assert auto_rows == plain and len(plain) > 0
 
         conn.query("SET xngin_reorder = 1")
         _, rows = conn.query("SELECT @@xngin_reorder AS r")
         assert rows == [["1"]]
         _, reordered = conn.query(sql)
-        assert len(calls) >= 1 and sql in calls[-1]
-        assert reordered == plain and len(plain) > 0
+        assert calls[-1] == (sql, "always")
+        assert reordered == plain
 
         conn.query("SET SESSION xngin_reorder = OFF")
         n = len(calls)
         conn.query(sql)
         assert len(calls) == n
 
-    # a fresh connection starts with the sysvar off
+        conn.query("SET xngin_reorder = AUTO")
+        _, rows = conn.query("SELECT @@xngin_reorder AS r")
+        assert rows == [["2"]]
+
+    # a fresh connection starts back at the auto default, isolated
+    # from the first connection's OFF
     with _connect(served_engine) as conn2:
         _, rows = conn2.query("SELECT @@xngin_reorder AS r")
-        assert rows == [["0"]]
-        n = len(calls)
+        assert rows == [["2"]]
         conn2.query(sql)
-        assert len(calls) == n
+        assert calls[-1] == (sql, "auto")

@@ -32,7 +32,10 @@ class Engine:
             self.catalog.register_dir(data_dir)
 
     def sql(
-        self, query: str, dialect: str = "ansi", reorder: bool = False
+        self,
+        query: str,
+        dialect: str = "ansi",
+        reorder: bool | str = "auto",
     ) -> DataFrame:
         """Run SQL in the reference's dialect surface (MySQL-isms shimmed).
 
@@ -41,17 +44,31 @@ class Engine:
         ``ansi`` (default, "ident" quoting), ``mysql`` ("string"
         literals), or ``spark`` for untouched Spark SQL.
 
-        ``reorder=True`` routes the text through the DPhyp join
-        reorderer (plans/sqlreorder.dphyp_sql — the reference runs its
-        reorder inside every plan pipeline, join/reorder/mod.rs:24-33;
-        here it is opt-in because Catalyst CBO/AQE already serve the
-        default path well). Result-identical by construction; falls
-        back to the plain text on any unsupported shape."""
+        ``reorder`` routes the text through the DPhyp join reorderer
+        (plans/sqlreorder.dphyp_sql — the reference runs its reorder
+        inside every plan pipeline, join/reorder/mod.rs:24-33):
+
+        - ``"auto"`` (DEFAULT — the reference's posture): rewrite only
+          when the cost gate finds the text's own order ≥10× the DPhyp
+          optimum under measured join-key NDVs. Well-written texts keep
+          their plans bit-for-bit (every stock TPC-H text gates ≤4.5×,
+          the adversarial fact-first q5 gates at 1100×+), so default-on
+          costs plan stability nothing while rescuing genuinely
+          mis-ordered texts (18×+ measured, DPHYP_WIN.json).
+        - ``True``: rewrite every reorderable region unconditionally.
+        - ``False``: plain ``spark.sql`` after dialect shimming.
+
+        Result-identical by construction in every mode; falls back to
+        the plain text on any unsupported shape, and non-query
+        statements (INSERT/DDL/...) bypass the rewriter entirely — they
+        execute eagerly at analysis, so the bypass is what guarantees
+        single execution."""
         text = rewrite_sql(query, dialect)
         if reorder:
             from xngin_spark.plans.sqlreorder import dphyp_sql
 
-            return dphyp_sql(self.spark, text)
+            mode = "auto" if reorder == "auto" else "always"
+            return dphyp_sql(self.spark, text, mode=mode)
         return self.spark.sql(text)
 
     def table(self, name: str) -> DataFrame:

@@ -56,6 +56,8 @@ from xngin_spark.plans.reorder import (
     Edge,
     catalyst_rows,
     dphyp_order,
+    measure_edge_ndv,
+    tree_cost,
 )
 
 
@@ -63,6 +65,23 @@ from xngin_spark.plans.reorder import (
 #: probe is pure driver-side analysis, but it still reads parquet
 #: footers — a suite re-running the same rewrite shouldn't repeat it
 _STATS_CACHE: dict[tuple[int, str], float] = {}
+
+#: join-key NDV cache per session — measure_edge_ndv keys entries by
+#: (leaf plan fingerprint, column), so each (filtered leaf, key) pair
+#: pays its HLL aggregate once per session. This is the ANALYZE
+#: discipline executed lazily: at 100 TB you'd persist these stats;
+#: here they amortize over every later query touching the same leaf
+_NDV_CACHE: dict[int, dict[tuple[str, str], float]] = {}
+
+#: analyzed leaf-probe DataFrames keyed by (session id, probe SQL) —
+#: measure_edge_ndv fingerprints each vertex's plan, which needs an
+#: analyzed DataFrame; re-analyzing the same probe text every query
+#: re-reads parquet footers (~100ms/leaf measured), so the DataFrame
+#: itself is memoized alongside the stats. LRU-bounded: each entry
+#: pins a JVM analyzed plan (the reflect-registry leak class), so a
+#: long-lived server session must not grow it with query diversity
+_VERTEX_CACHE: dict[tuple[int, str], DataFrame] = {}
+_VERTEX_CACHE_MAX = 512
 
 
 def _conjuncts(expr) -> list:
@@ -100,13 +119,45 @@ class _DPhypRenderer(_Renderer):
     """Reflection renderer whose inner-join regions (≥3 leaves) come
     out in DPhyp order. Everything else is the base renderer."""
 
-    def __init__(self, jvm, spark: SparkSession) -> None:
+    def __init__(
+        self,
+        jvm,
+        spark: SparkSession,
+        mode: str = "always",
+        margin: float = 10.0,
+        min_benefit: float = 20_000.0,
+        optimized=None,
+    ) -> None:
         super().__init__(jvm)
         self._spark = spark
+        #: "always" rewrites every reorderable region; "auto" rewrites
+        #: only when the baseline order's estimated C_out exceeds
+        #: ``margin`` × the DPhyp optimum AND the absolute saving
+        #: exceeds ``min_benefit`` intermediate rows — the cost gate
+        #: that makes default-on safe. The ratio finds genuinely
+        #: mis-ordered texts (stock TPC-H gates ≤4.5× at sf0.01+, the
+        #: adversarial q5 at 200-1100×); the absolute floor keeps
+        #: tiny-input queries (where estimate ratios are noisy and the
+        #: saving is thousands of rows, not billions) on their original
+        #: plans — plan churn has a fixed cost, the benefit scales with
+        #: rows saved, and at 100 TB any real mis-order clears 20k rows
+        #: by six orders of magnitude
+        self._mode = mode
+        self._margin = float(margin)
+        self._min_benefit = float(min_benefit)
+        #: the ORIGINAL query's optimized logical plan — the baseline
+        #: the gate costs, because it is what Spark actually executes
+        #: (ReorderJoin already repairs condition-less comma-join
+        #: nestings; costing the raw syntactic tree would overstate the
+        #: baseline and over-trigger rewrites)
+        self._optimized = optimized
         #: one entry per rewritten region: the leaf-name merge order
         #: [(left_names, right_names), ...] — tests assert the emitted
         #: SQL (and therefore the executed plan) follows it
         self.traces: list[list[tuple[frozenset, frozenset]]] = []
+        #: one (baseline_cost, dphyp_cost, fired) per gate decision in
+        #: auto mode — telemetry for tests and calibration
+        self.gate_log: list[tuple[float, float, bool]] = []
         # stack of WHERE-conjunct lists from enclosing Filters — the
         # comma-join syntax keeps its join predicates there
         self._pending: list[list] = []
@@ -155,6 +206,79 @@ class _DPhypRenderer(_Renderer):
         if frag is not None:
             return frag, False
         return super()._join_fragment(node, may_hoist, extra_on)
+
+    # ---- the auto-mode cost gate ----------------------------------------
+
+    def _baseline_merge_seq(
+        self, node, amap: dict[int, int], vname: list
+    ) -> list[tuple[frozenset, frozenset]]:
+        """Merge sequence of the order Spark would otherwise execute
+        for this region, in vname terms. Preferred source is the
+        ORIGINAL query's optimized plan (post-ReorderJoin — what plain
+        ``spark.sql`` actually runs); when the optimized plan has no
+        join region over exactly these leaves (boundary collapsed or
+        rewritten away), fall back to the analyzed region's own
+        syntactic nesting, which can only overstate the baseline cost
+        (the gate then errs toward rewriting — still result-identical,
+        only plan churn)."""
+        seq = self._region_merge_seq(self._optimized, amap, vname)
+        if seq is not None:
+            return seq
+        seq = self._region_merge_seq(node, amap, vname)
+        return seq if seq is not None else []
+
+    def _region_merge_seq(
+        self, root, amap: dict[int, int], vname: list
+    ) -> list[tuple[frozenset, frozenset]] | None:
+        """Search ``root`` for an inner/cross-join region covering
+        exactly the leaf set named by ``vname`` (leaves matched by any
+        surviving output exprId — stable analyzed→optimized) and
+        return its merge pairs; None when no such region exists."""
+        if root is None:
+            return None
+        target = frozenset(vname)
+
+        def leaf_names(n) -> frozenset | None:
+            ids = set()
+            for a in _seq(n.output()):
+                i = amap.get(a.exprId().id())
+                if i is not None:
+                    ids.add(i)
+            if len(ids) != 1:
+                return None  # spans several region leaves or none
+            return frozenset([vname[next(iter(ids))]])
+
+        def flatten(n, pairs) -> frozenset | None:
+            if _name(n) == "Join" and n.joinType().sql().upper() in (
+                "INNER",
+                "CROSS",
+            ):
+                ch = n.children()
+                l = flatten(ch.apply(0), pairs)
+                r = flatten(ch.apply(1), pairs)
+                if l is None or r is None or l & r:
+                    return None
+                pairs.append((l, r))
+                return l | r
+            return leaf_names(n)
+
+        # walk top-down; the first join whose flattened leaf set is
+        # exactly the target is the region
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            if _name(n) == "Join" and n.joinType().sql().upper() in (
+                "INNER",
+                "CROSS",
+            ):
+                pairs: list = []
+                got = flatten(n, pairs)
+                if got == target:
+                    return pairs
+            ch = n.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+        return None
 
     # ---- the region rewrite ---------------------------------------------
 
@@ -244,6 +368,7 @@ class _DPhypRenderer(_Renderer):
         # only — the stats probe is never executed)
         frag: dict[frozenset, str] = {}
         rows: dict[str, float] = {}
+        probes: dict[str, str] = {}
         for i, lf in enumerate(leaves):
             sql, pruned = self._from_item(lf, may_hoist=False)
             if pruned:
@@ -253,6 +378,7 @@ class _DPhypRenderer(_Renderer):
             flt = leaf_filters.get(i)
             if flt:
                 probe += " WHERE " + " AND ".join(f"({c})" for c in flt)
+            probes[vname[i]] = probe
             key = (id(self._spark), probe)
             got = _STATS_CACHE.get(key)
             if got is None:
@@ -265,7 +391,54 @@ class _DPhypRenderer(_Renderer):
                 _STATS_CACHE[key] = got
             rows[vname[i]] = got
 
-        trace = dphyp_order(rows, edges)
+        # measured join-key NDVs (one cached HLL aggregate per filtered
+        # leaf — the lazy-ANALYZE discipline). Without them the
+        # System-R fallback treats a fact table's FK domain as its row
+        # count, which both mis-ranks orders (the q5 graph plans 9×
+        # slower, reorder.measure_edge_ndv docstring) and collapses the
+        # auto gate's discrimination: the adversarial fact-first q5
+        # estimates only 1.3× worse than optimal under the fallback,
+        # but 50×+ under measured NDVs — the signal the gate needs.
+        ndv = None
+        try:
+            sid = id(self._spark)
+            vertices = {}
+            for v, p in probes.items():
+                key = (sid, p)
+                df = _VERTEX_CACHE.pop(key, None)
+                if df is None:
+                    df = self._spark.sql(p)
+                while len(_VERTEX_CACHE) >= _VERTEX_CACHE_MAX:
+                    _VERTEX_CACHE.pop(next(iter(_VERTEX_CACHE)))
+                _VERTEX_CACHE[key] = df  # re-insert = most recent
+                vertices[v] = df
+            ndv = measure_edge_ndv(
+                vertices,
+                edges,
+                cache=_NDV_CACHE.setdefault(sid, {}),
+            )
+            for v in probes:
+                got = ndv.get((v, "__rows__"))
+                if got:  # exact counts ride along free — prefer them
+                    rows[v] = got
+        except Exception:
+            ndv = None  # estimator degrades to the base-rows guess
+
+        trace = dphyp_order(rows, edges, ndv)
+
+        if self._mode == "auto":
+            base_seq = self._baseline_merge_seq(node, amap, vname)
+            syn_cost = tree_cost(rows, edges, base_seq, ndv)
+            dp_cost = tree_cost(
+                rows, edges, [(L, R) for L, R, _ in trace], ndv
+            )
+            fired = (
+                syn_cost > self._margin * dp_cost
+                and syn_cost - dp_cost > self._min_benefit
+            )
+            self.gate_log.append((syn_cost, dp_cost, fired))
+            if not fired:
+                return None  # baseline order is fine — keep the text
 
         remaining = set(range(len(edges)))
         parts: list[str] = []
@@ -298,19 +471,67 @@ class _DPhypRenderer(_Renderer):
         return top
 
 
-def dphyp_rewrite(spark: SparkSession, sql: str) -> tuple[str, list]:
+import re as _re
+
+#: leading comments/whitespace, then the first keyword — only genuine
+#: queries enter the rewriter. Commands (INSERT/CREATE/SET/...) execute
+#: EAGERLY at ``spark.sql`` creation, so routing one through the
+#: rewriter's analysis pass and then re-running the returned text would
+#: double-execute it. The guard is a short-circuit, not a fallback.
+_QUERY_HEAD = _re.compile(
+    r"^(?:\s|--[^\n]*\n|/\*.*?\*/)*(SELECT|WITH|VALUES|TABLE|\()",
+    _re.IGNORECASE | _re.DOTALL,
+)
+
+
+def is_query_text(sql: str) -> bool:
+    """True when ``sql`` is a read-only query (SELECT/WITH/VALUES/
+    TABLE/parenthesized), i.e. safe to analyze-then-re-run."""
+    return _QUERY_HEAD.match(sql) is not None
+
+
+def dphyp_rewrite(
+    spark: SparkSession,
+    sql: str,
+    mode: str = "always",
+    margin: float = 10.0,
+    min_benefit: float = 20_000.0,
+) -> tuple[str, list]:
     """Rewrite ``sql`` with DPhyp-ordered join regions. Returns
     ``(text, traces)`` — ``traces`` is one merge-order list per
     rewritten region, empty when the query had no reorderable region
     or any shape fell outside the renderer's surface (the returned
     text is then the ORIGINAL, verbatim: the fallback is always the
-    untouched query, never a partial rewrite)."""
+    untouched query, never a partial rewrite).
+
+    ``mode="auto"`` adds the cost gate: a region is rewritten only
+    when the baseline order (the ORIGINAL text's optimized plan —
+    what plain ``spark.sql`` executes) costs more than ``margin`` ×
+    the DPhyp optimum under the shared C_out estimator AND the saving
+    exceeds ``min_benefit`` intermediate rows. Well-written texts keep
+    their plans; only genuinely mis-ordered ones change — the property
+    that makes this safe as the default."""
     import re
 
     from pyspark.errors import AnalysisException
 
+    if not is_query_text(sql):
+        return sql, []
     df = spark.sql(sql)
-    r = _DPhypRenderer(jvm=spark._jvm, spark=spark)
+    optimized = None
+    if mode == "auto":
+        try:
+            optimized = df._jdf.queryExecution().optimizedPlan()
+        except Exception:
+            optimized = None
+    r = _DPhypRenderer(
+        jvm=spark._jvm,
+        spark=spark,
+        mode=mode,
+        margin=margin,
+        min_benefit=min_benefit,
+        optimized=optimized,
+    )
     try:
         text = r.select(df._jdf.queryExecution().analyzed())
     except Exception:  # Unreflectable or any renderer gap → fall back
@@ -325,11 +546,14 @@ def dphyp_rewrite(spark: SparkSession, sql: str) -> tuple[str, list]:
     return text, r.traces
 
 
-def dphyp_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """``spark.sql`` with the DPhyp join order pinned — the opt-in
-    product entry (reorder/mod.rs:24-33 analog). Result-identical to
+def dphyp_sql(
+    spark: SparkSession, sql: str, mode: str = "always"
+) -> DataFrame:
+    """``spark.sql`` with the DPhyp join order pinned — the product
+    entry (reorder/mod.rs:24-33 analog). Result-identical to
     ``spark.sql(sql)`` by construction (inner joins commute; only the
     FROM nesting changes); falls back to the original text whenever
-    the shape is unsupported."""
-    text, _ = dphyp_rewrite(spark, sql)
+    the shape is unsupported. ``mode="auto"`` applies the cost gate
+    (see :func:`dphyp_rewrite`) — the default-on posture."""
+    text, _ = dphyp_rewrite(spark, sql, mode=mode)
     return spark.sql(text)

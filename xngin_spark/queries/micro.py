@@ -1267,6 +1267,38 @@ def dphyp_sql_win(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(text)
 
 
+@register("dphyp_sql_auto", DPHYP_WIN_SQL)
+def dphyp_sql_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The adversarial text through the DEFAULT product path —
+    ``Engine.sql`` with no reorder argument, i.e. ``reorder="auto"``:
+    the cost gate (measured-NDV C_out, baseline = the text's own
+    optimized plan) must FIRE on this text (estimated 1100×+ worse
+    than optimal; margin is 10×) while every stock TPC-H text gates
+    ≤4.5× and keeps its plan. STRICT: raises if the gate declines —
+    the default-on posture is only safe while this discrimination
+    holds, so the row fails loudly the moment it stops."""
+    from xngin_spark.plans.sqlreorder import dphyp_rewrite
+    from xngin_spark.queries.tpch import T
+
+    for t in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+    ):
+        T(spark, sf_dir, t).createOrReplaceTempView(t)
+    text, traces = dphyp_rewrite(spark, DPHYP_WIN_SQL, mode="auto")
+    if not traces:
+        raise RuntimeError(
+            "auto-mode cost gate declined the adversarial q5 text — "
+            "default-on reorder is no longer rescuing mis-ordered SQL"
+        )
+    return spark.sql(text)
+
+
 def _copy_tpch_oracles() -> None:
     # the dphyp_sql_q* rows run the ORACLE TEXT itself through the
     # rewriter, so their oracle IS the original query's — copied here

@@ -192,10 +192,11 @@ class MySQLServer:
         stmts: dict[int, dict] = {}  # prepared statements, per-connection
         next_stmt = [1]
         # per-connection engine session state — the reference builds its
-        # plan pipeline per query from session sysvars (session.rs);
-        # here `SET xngin_reorder=1` routes this connection's texts
-        # through the DPhyp product path (Engine.sql(reorder=True))
-        session = {"reorder": False}
+        # plan pipeline per query from session sysvars (session.rs).
+        # xngin_reorder: 0 = off, 1 = always, 2 = auto (cost-gated
+        # DPhyp — the DEFAULT, matching the reference's
+        # reorder-in-every-pipeline posture with the no-harm gate)
+        session = {"reorder": 2}
         while not self._closed.is_set():
             seq, payload = P.read_packet(conn)
             if not payload:
@@ -347,7 +348,8 @@ class MySQLServer:
             return
         try:
             df = self.engine.sql(
-                rewritten, reorder=bool(session and session.get("reorder"))
+                rewritten,
+                reorder=self._reorder_arg(session.get("reorder") if session else 2),
             )
             if df is None or not getattr(df, "columns", None):
                 P.write_packet(conn, seq + 1, P.build_ok())
@@ -394,13 +396,20 @@ class MySQLServer:
             )
         P.write_packet(conn, seq, P.build_eof())
 
-    #: SET [SESSION] xngin_reorder = 0|1|ON|OFF|TRUE|FALSE (also the
-    #: @@xngin_reorder / @@session.xngin_reorder spellings) — the
-    #: engine sysvar switching this connection onto the DPhyp route
+    #: SET [SESSION] xngin_reorder = 0|1|2|ON|OFF|TRUE|FALSE|AUTO (also
+    #: the @@xngin_reorder / @@session.xngin_reorder spellings) — the
+    #: engine sysvar selecting this connection's DPhyp route:
+    #: 0/OFF/FALSE = plain, 1/ON/TRUE = always-rewrite, 2/AUTO =
+    #: cost-gated (the default)
     _SET_REORDER = re.compile(
         r"(?i)^\s*SET\s+(?:SESSION\s+|@@(?:session\.)?)?xngin_reorder\s*=\s*"
-        r"(0|1|ON|OFF|TRUE|FALSE)\s*;?\s*$"
+        r"(0|1|2|ON|OFF|TRUE|FALSE|AUTO)\s*;?\s*$"
     )
+
+    @staticmethod
+    def _reorder_arg(v) -> "bool | str":
+        """Map the sysvar's stored int to Engine.sql's reorder arg."""
+        return {0: False, 1: True, 2: "auto"}.get(int(v or 0), False)
     _READ_REORDER = re.compile(r"(?i)@@(?:session\.)?xngin_reorder\b")
 
     def _run_query(
@@ -408,14 +417,18 @@ class MySQLServer:
     ) -> None:
         from xngin_spark.server import compat
 
-        session = session if session is not None else {"reorder": False}
+        session = session if session is not None else {"reorder": 2}
         m = self._SET_REORDER.match(sql)
         if m:
-            session["reorder"] = m.group(1).upper() in ("1", "ON", "TRUE")
+            session["reorder"] = {
+                "0": 0, "OFF": 0, "FALSE": 0,
+                "1": 1, "ON": 1, "TRUE": 1,
+                "2": 2, "AUTO": 2,
+            }[m.group(1).upper()]
             P.write_packet(conn, seq + 1, P.build_ok())
             return
         sql = self._READ_REORDER.sub(
-            str(int(bool(session.get("reorder")))), sql
+            str(int(session.get("reorder") or 0)), sql
         )
         try:
             current = self.engine.spark.catalog.currentDatabase()
@@ -427,7 +440,7 @@ class MySQLServer:
             return
         try:
             df = self.engine.sql(
-                rewritten, reorder=bool(session.get("reorder"))
+                rewritten, reorder=self._reorder_arg(session.get("reorder"))
             )
             if df is None or not getattr(df, "columns", None):
                 P.write_packet(conn, seq + 1, P.build_ok())
