@@ -740,6 +740,51 @@ def bm25_index_probe(
     return _bm25_rank(cand, n_docs, avgdl, k1, b, k, id_col)
 
 
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional phrase matching over the corpus — the POSITIONAL
+    complement of the bag-of-words retrieval family (bm25_topk ranks
+    by term frequency; this finds documents where the terms are
+    ADJACENT, the "exact phrase" operator every search engine ships
+    next to its ranked query).
+
+    Returns (id_col, n_hits): one row per document containing the
+    phrase, with its occurrence count.
+
+    Plan shape at corpus scale: ONE tokenize pass emits positional
+    postings for the phrase's words only — the ``isin`` filter sits
+    under the explode's projection, so non-phrase tokens never leave
+    the scan stage. Word i's postings are keyed by ``pos - i`` (its
+    implied phrase-start anchor), which turns adjacency matching into
+    PURE EQUI-JOINS on (doc, anchor): every join co-partitions on the
+    same key pair, so the whole chain is one shuffle per word with no
+    theta-join fallback, and AQE broadcasts rare-word sides. Phrase
+    cost follows the phrase words' posting lists, never the corpus —
+    the same candidate-bounded discipline as bm25_index_probe.
+    """
+    if len(phrase) < 2:
+        raise ValueError("phrase_search needs at least 2 words")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), TOKEN_SEP)).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok").isin(list(phrase)))
+    cur = None
+    for i, w in enumerate(phrase):
+        branch = toks.filter(F.col("tok") == w).select(
+            F.col(id_col), (F.col("pos") - F.lit(i)).alias("anchor")
+        )
+        cur = branch if cur is None else cur.join(branch, [id_col, "anchor"])
+    return cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+
+
 def rrf_fuse(
     ranked: list[DataFrame],
     id_col: str = "doc_id",

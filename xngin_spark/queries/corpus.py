@@ -298,6 +298,35 @@ def bm25_index_probe_q(spark, sf_dir):
     return C.bm25_index_probe(spark, path, qt, k=5)
 
 
+@register(
+    "phrase_search",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(0, len(l))) AS pos
+             FROM t),
+    w0 AS (SELECT doc_id, pos AS anchor FROM toks WHERE tok = 'table'),
+    w1 AS (SELECT doc_id, pos - 1 AS anchor FROM toks WHERE tok = 'scan'),
+    w2 AS (SELECT doc_id, pos - 2 AS anchor FROM toks WHERE tok = 'merge')
+    SELECT w0.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM w0
+    JOIN w1 ON w0.doc_id = w1.doc_id AND w0.anchor = w1.anchor
+    JOIN w2 ON w0.doc_id = w2.doc_id AND w0.anchor = w2.anchor
+    GROUP BY w0.doc_id
+    """,
+)
+def phrase_search_q(spark, sf_dir):
+    """Exact-phrase search ("table scan merge") via positional
+    postings — word i keyed by its implied phrase-start anchor
+    (pos − i) so adjacency matching is pure equi-joins on
+    (doc, anchor); the DuckDB oracle carries the identical anchor
+    formulation over a parallel-unnest positional tokenize, so every
+    per-document occurrence count is value-checked
+    (operators/corpus.phrase_search)."""
+    return C.phrase_search(
+        T(spark, sf_dir, "documents"), ["table", "scan", "merge"]
+    )
+
+
 _HYBRID_RRF_ORACLE = f"""
     WITH q(qid, term) AS (
       VALUES {", ".join(f"(CAST({i} AS BIGINT), '{t}')" for i, t in _BM25_QUERIES)}

@@ -1043,3 +1043,81 @@ def events_concurrent_sessions(spark, sf_dir):
             F.coalesce("n_concurrent", F.lit(0)).cast("long").alias("n_concurrent"),
         )
     )
+
+
+@register(
+    "events_pattern_match",
+    """
+    WITH r AS (
+      SELECT user_id, substr(event_type, 1, 1) AS c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, string_agg(c, '' ORDER BY rn) AS seq
+      FROM r WHERE rn <= 512 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'vc*p')) >= 1
+    """,
+)
+def events_pattern_match(spark, sf_dir):
+    """Sequence-pattern matching over per-user event chains — the
+    MATCH_RECOGNIZE / complex-event-processing shape (Trino/Flink
+    ship it as a SQL clause; the reference has no streaming/sequence
+    surface at all): count non-overlapping occurrences of
+    view → click* → purchase in each user's chronological event-type
+    sequence.
+
+    Each user's history collapses to a STRING of one-char event codes
+    (ordered by (ts, event_id) — a total order, so the sequence is
+    deterministic), and the pattern is a regex evaluated JVM-side —
+    sequence matching becomes one groupBy(user) plus a codegen'd
+    string function, no per-event self-joins and no Python. The
+    sequence is capped at the first 512 events per user (the CEP
+    state-bound discipline: unbounded per-key state is how streaming
+    pattern matchers die at 100 TB; both engines apply the identical
+    row_number cap, so the cap itself is value-checked). Ordered
+    collapse uses the listagg_ordered recipe — collect_list is
+    arrival-ordered, so sort (rn, code) structs before joining.
+
+    Non-overlapping leftmost regex semantics agree between Java regex
+    (Spark) and RE2 (DuckDB) for this pattern family; 'vc*p' has a
+    unique match set either way.
+    """
+    from pyspark.sql import Window
+
+    e = events_df(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        e.select(
+            "user_id",
+            F.substring("event_type", 1, 1).alias("c"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 512)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "c"))),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("seq")
+        )
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            F.regexp_count("seq", F.lit("vc*p")).cast("long").alias(
+                "n_matches"
+            ),
+        )
+        .filter(F.col("n_matches") >= 1)
+    )
