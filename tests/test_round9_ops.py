@@ -701,3 +701,122 @@ def test_is_query_text_classifier():
     assert not is_query_text("CREATE TABLE t (a INT)")
     assert not is_query_text("SET x = 1")
     assert not is_query_text("DROP TABLE t")
+
+
+# --- sequence pattern matching (batch + streaming CEP twin) ---------------
+
+
+def test_dfa_step_equals_regex_findall():
+    """The streaming matcher's DFA must agree with the batch twin's
+    regex on EVERY sequence: property-check non-overlapping 'vc*p'
+    counts against re.findall over random code strings (the alphabet
+    is the event-type initials) plus the adversarial shapes
+    (restarting v's, c-runs with no p, back-to-back matches)."""
+    import random
+    import re
+
+    from xngin_spark.streaming.stateful import dfa_step
+
+    def dfa_count(seq: str) -> int:
+        s, n = 0, 0
+        for ch in seq:
+            s, hit = dfa_step(s, ch)
+            n += hit
+        return n
+
+    pat = re.compile("vc*p")
+    for seq in ["", "vp", "vcp", "vccp", "vvp", "vcvp", "vpcp",
+                "vcpvcp", "pcv", "vccc", "vcvcp", "vpvp", "sevcp"]:
+        assert dfa_count(seq) == len(pat.findall(seq)), seq
+    rng = random.Random(42)
+    for _ in range(300):
+        seq = "".join(rng.choice("vcpse") for _ in range(rng.randint(0, 40)))
+        assert dfa_count(seq) == len(pat.findall(seq)), seq
+
+
+def test_stream_pattern_bridges_batches(spark, sf_dir):
+    """Paced one file per micro-batch, a pattern SPANNING the batch
+    boundary (v in batch N, p in batch N+1) must still count — the
+    3-integer DFA state is the cross-batch bridge. Result must equal
+    the batch twin exactly over the same files."""
+    import os
+    import time
+
+    from xngin_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_pattern_match,
+    )
+
+    import pandas as pd
+
+    out = "/tmp/xngin_pattern_stream_src"
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
+    os.makedirs(out)
+    # two files: user 1's match spans the boundary (v | c p), user 2's
+    # sits inside file 1, user 3 never completes
+    base = pd.Timestamp("2024-01-01")
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(4)],
+            "user_id": [1, 2, 2, 3],
+            "event_type": ["view", "view", "purchase", "view"],
+            "value": [0.0] * 4,
+            "props": ["{}"] * 4,
+        }
+    )
+    f2 = pd.DataFrame(
+        {
+            "event_id": [5, 6, 7],
+            "ts": [base + pd.Timedelta(seconds=10 + i) for i in range(3)],
+            "user_id": [1, 1, 3],
+            "event_type": ["click", "purchase", "click"],
+            "value": [0.0] * 3,
+            "props": ["{}"] * 3,
+        }
+    )
+    spark.createDataFrame(f1).coalesce(1).write.mode("overwrite").parquet(
+        out + "/f1"
+    )
+    spark.createDataFrame(f2).coalesce(1).write.mode("overwrite").parquet(
+        out + "/f2"
+    )
+    # flatten into one dir with ordered mtimes (FileStreamSource lists
+    # by (mtime, path))
+    import glob
+    import shutil
+
+    t0 = time.time() - 600
+    for i, sub in enumerate(("f1", "f2")):
+        [p] = glob.glob(f"{out}/{sub}/part-*.parquet")
+        dst = f"{out}/data-{i}.parquet"
+        shutil.move(p, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        shutil.rmtree(f"{out}/{sub}")
+
+    sdf = stream_pattern_match(
+        events_stream(spark, out, max_files_per_trigger=1)
+    )
+    rows = run_available_now(
+        sdf, "t_pattern_bridge", output_mode="update", shuffle_partitions=4
+    )
+    import pyspark.sql.functions as F
+
+    final = {
+        r.user_id: (r.seq_len, r.n_matches)
+        for r in rows.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("seq_len"),
+            F.max("n_matches").alias("n_matches"),
+        )
+        .collect()
+    }
+    # user 1: view | click purchase -> 1 match spanning the boundary;
+    # user 2: view purchase inside file 1 -> 1; user 3: view click -> 0
+    assert final[1] == (3, 1), final
+    assert final[2] == (2, 1), final
+    assert final[3] == (2, 0), final

@@ -1121,3 +1121,57 @@ def events_pattern_match(spark, sf_dir):
         )
         .filter(F.col("n_matches") >= 1)
     )
+
+
+@register(
+    "events_stream_pattern",
+    """
+    WITH r AS (
+      SELECT user_id, substr(event_type, 1, 1) AS c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, string_agg(c, '' ORDER BY rn) AS seq
+      FROM r WHERE rn <= 512 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'vc*p')) >= 1
+    """,
+)
+def events_stream_pattern(spark, sf_dir):
+    """STREAMING complex-event-processing twin of events_pattern_match,
+    against the IDENTICAL batch-regex oracle: the v→c*→p pattern runs
+    as an explicit DFA whose per-user state is 3 integers carried
+    across micro-batches (streaming/stateful.stream_pattern_match —
+    Flink CEP's pattern→automaton design), so the matcher's state is
+    O(users), never O(events), and the 512-event cap is the same bound
+    the batch twin applies via row_number. Counters are monotone per
+    user, so the final answer is max() over the update-mode sink."""
+    import os
+
+    from xngin_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_pattern_match,
+    )
+
+    sdf = stream_pattern_match(
+        events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    name = "stream_pattern_sink"
+    rows = run_available_now(
+        sdf, name, output_mode="update", shuffle_partitions=8
+    )
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("seq_len"),
+            F.max("n_matches").cast("long").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= 1)
+    )

@@ -34,7 +34,11 @@ from xngin_spark.streaming.windows import (
     stream_sliding,
     stream_tumbling,
 )
-from xngin_spark.streaming.stateful import running_totals, stream_transitions
+from xngin_spark.streaming.stateful import (
+    running_totals,
+    stream_pattern_match,
+    stream_transitions,
+)
 
 __all__ = [
     "documents_stream",
@@ -46,6 +50,7 @@ __all__ = [
     "stream_sliding",
     "stream_session",
     "running_totals",
+    "stream_pattern_match",
     "stream_transitions",
     "stream_dedup",
     "stream_stream_join",

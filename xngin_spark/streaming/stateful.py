@@ -126,3 +126,94 @@ def stream_transitions(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- per-user sequence pattern matching (streaming CEP) --------------------
+
+PATTERN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+    ]
+)
+
+#: (dfa_state, events_consumed, matches) — the WHOLE per-user footprint.
+#: This is the CEP scaling argument: the batch twin holds each user's
+#: full code string before the regex runs, the streaming matcher holds
+#: a 3-integer automaton state regardless of history length.
+_DFA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("s", T.IntegerType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_matches", T.LongType()),
+    ]
+)
+
+#: events consumed per user before the matcher stops — the identical
+#: state-bound the batch twin (queries/windows.events_pattern_match)
+#: applies via row_number, so stream == batch is exact by construction
+PATTERN_EVENT_CAP = 512
+
+
+def dfa_step(s: int, c: str) -> tuple[int, int]:
+    """One transition of the v c* p matcher; returns (state, emitted).
+    States: 0 = no pending start, 1 = seen v, 2 = seen v c+. A 'v' in
+    states 1/2 RESTARTS the candidate (the leftmost scan's re-anchor),
+    matching Java/RE2 non-overlapping regex semantics exactly
+    (property-tested against re.findall in tests)."""
+    if c == "v":
+        return 1, 0
+    if s in (1, 2):
+        if c == "p":
+            return 0, 1
+        if c == "c":
+            return 2, 0
+    return 0, 0
+
+
+def _update_pattern(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The streaming half of events_pattern_match: the regex is
+    compiled to an explicit DFA whose CURRENT STATE is the only thing
+    carried across micro-batches — Flink-CEP's design (pattern → NFA,
+    per-key automaton state), which is what makes sequence matching
+    bounded-state at 100 TB: no per-user history is ever stored, only
+    (state, counters). Rows sort by (ts, event_id) inside the batch —
+    the batch twin's exact tie-break; cross-batch event-time order is
+    the file-source arrival order, as for every stateful operator
+    here."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    s, n_events, n_matches = state.get if state.exists else (0, 0, 0)
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    for c in pdf["event_type"].str[0].tolist():
+        if n_events >= PATTERN_EVENT_CAP:
+            break
+        n_events += 1
+        s, hit = dfa_step(s, c)
+        n_matches += hit
+    state.update((s, n_events, n_matches))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n_events],
+            "n_matches": [n_matches],
+        }
+    )
+
+
+def stream_pattern_match(sdf: DataFrame) -> DataFrame:
+    """Per-user v→c*→p match counts, refreshed each micro-batch
+    (update mode). Counters are monotone per user, so the stream's
+    final answer is max() per user over the sink — the consumer's
+    last-row extraction."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _update_pattern,
+        outputStructType=PATTERN_SCHEMA,
+        stateStructType=_DFA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
