@@ -820,3 +820,20 @@ def test_stream_pattern_bridges_batches(spark, sf_dir):
     assert final[1] == (3, 1), final
     assert final[2] == (2, 1), final
     assert final[3] == (2, 0), final
+
+
+def test_parity_sf10_artifact_all_green():
+    """PARITY_SF10.json (tools/parity_probe.py at the synthesized sf10)
+    must record every swept query green — a committed FAIL row means a
+    cross-engine determinism break at the 10,000× span and must block
+    the round, and the subset must keep covering every
+    value-determinism family (floor never shrinks)."""
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).parent.parent / "PARITY_SF10.json"
+    doc = json.loads(p.read_text())
+    qs = doc["queries"]
+    bad = sorted(k for k, v in qs.items() if not v.get("ok"))
+    assert not bad, f"sf10 parity failures committed: {bad}"
+    assert len(qs) >= 30, f"sf10 parity subset shrank to {len(qs)}"

@@ -38,9 +38,14 @@ OUT = os.path.join(REPO, "PARITY_SF10.json")
 DEFAULT_NAMES = [
     # decimal-sum TPC-H (big joins, revenue-scale sums)
     "q1", "q5", "q9", "q18", "q21",
-    # dedup family: md5 minhash/simhash, span logic, winnowing grid
+    # dedup family: md5 minhash/simhash, span logic, window counting.
+    # dedup_winnow is deliberately NOT here: at the self-union sf10 the
+    # boilerplate cap drops every fingerprint (the round-9 warn guard),
+    # so both engines produce the empty set — a ~30 min DuckDB grind to
+    # compare empty with empty; the winnow grid's cross-engine
+    # determinism is pinned at sf1 by the pytest sweep instead.
     "dedup_exact", "dedup_minhash_checked", "dedup_simhash_checked",
-    "dedup_span_extract", "dedup_winnow",
+    "dedup_span_extract", "passage_dedup",
     # ANN / embedding: floor-grid int64 cosine + PQ, JL projection
     "knn_cosine", "knn_l2_pq_checked", "embedding_jl_project",
     "ann_recall_eval", "retrieval_ranking_eval",
