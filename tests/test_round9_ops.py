@@ -837,3 +837,135 @@ def test_parity_sf10_artifact_all_green():
     bad = sorted(k for k, v in qs.items() if not v.get("ok"))
     assert not bad, f"sf10 parity failures committed: {bad}"
     assert len(qs) >= 30, f"sf10 parity subset shrank to {len(qs)}"
+
+
+# --- triangle counting: degree-ordered orientation, planted graph -----------
+
+
+def test_triangle_count_planted(spark):
+    from xngin_spark.operators.corpus import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + bridge 4-5 + path 5-6-7 (none)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7)],
+        "lo long, hi long",
+    )
+    got = {
+        r["doc_id"]: (r["n_triangles"], r["degree"], r["clustering"])
+        for r in triangle_count(edges).collect()
+    }
+    assert got == {
+        1: (3, 3, 1.0),
+        2: (3, 3, 1.0),
+        3: (3, 3, 1.0),
+        4: (3, 4, 0.5),
+        5: (0, 2, 0.0),
+        6: (0, 2, 0.0),
+        7: (0, 1, 0.0),
+    }
+
+
+def test_triangle_count_no_double_counting_on_degree_ties(spark):
+    from xngin_spark.operators.corpus import triangle_count
+
+    # single triangle, all degrees equal — tie-breaks must still
+    # generate the triangle exactly once
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "lo long, hi long")
+    rows = triangle_count(edges).collect()
+    assert {r["n_triangles"] for r in rows} == {1}
+    assert {r["clustering"] for r in rows} == {1.0}
+
+
+# --- prefix-filtered exact set-similarity join ------------------------------
+
+
+def _setsim_docs(spark):
+    # 3 near-dup pairs (high overlap) + 20 docs sharing ONE common token
+    # ("x") but nothing else — the brute-force token join pairs all of
+    # those, the rarest-first prefix filter pairs none of them
+    rows = []
+    for i in range(3):
+        base = [f"w{i}_{j}" for j in range(9)]
+        rows.append((10 * i, " ".join(base + ["x"])))
+        rows.append((10 * i + 1, " ".join(base + ["y"])))
+    for k in range(20):
+        rows.append((100 + k, " ".join([f"u{k}_{j}" for j in range(9)] + ["x"])))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_setsim_prefix_join_matches_brute_force(spark):
+    from xngin_spark.operators.dedup import setsim_prefix_join
+
+    d = _setsim_docs(spark)
+    got = sorted(
+        (r["id_a"], r["id_b"], r["inter"], round(r["jaccard"], 6))
+        for r in setsim_prefix_join(d, threshold=0.7).collect()
+    )
+    # each planted pair: |A∩B| = 9 shared of 10+10 → J = 9/11 ≈ 0.818
+    assert got == [
+        (0, 1, 9, round(9 / 11, 6)),
+        (10, 11, 9, round(9 / 11, 6)),
+        (20, 21, 9, round(9 / 11, 6)),
+    ]
+
+
+def test_setsim_prefix_filter_prunes_common_token_pairs(spark):
+    from xngin_spark.operators.dedup import setsim_prefix_join
+
+    d = _setsim_docs(spark)
+    cands = setsim_prefix_join(d, threshold=0.7, candidates_only=True).count()
+    # brute force pairs every pair sharing >=1 token: C(23,2) for the
+    # "x"-sharers alone (3 planted lows + 20 noise docs) = 253 pairs;
+    # the prefix filter admits only the 3 true pairs — the common token
+    # sorts LAST (df=23) and never enters a 4-token prefix
+    assert cands == 3
+
+
+# --- last-touch attribution --------------------------------------------------
+
+
+def test_attribution_last_touch_and_organic(spark):
+    from xngin_spark.queries.windows import events_attribution  # noqa: F401
+    from pyspark.sql import Window
+
+    rows = [
+        # user 1: view -> click -> purchase  => click (last touch wins)
+        (1, 1, "2024-01-01 10:00:00", "view", 0.0),
+        (2, 1, "2024-01-01 10:05:00", "click", 0.0),
+        (3, 1, "2024-01-01 10:10:00", "purchase", 25.0),
+        # user 2: purchase with no prior touch => organic
+        (4, 2, "2024-01-01 11:00:00", "purchase", 10.0),
+        # user 2: then a view, then another purchase => view
+        (5, 2, "2024-01-01 11:05:00", "view", 0.0),
+        (6, 2, "2024-01-01 11:10:00", "purchase", 5.0),
+        # user 3: error events between touch and purchase don't reset
+        (7, 3, "2024-01-01 12:00:00", "click", 0.0),
+        (8, 3, "2024-01-01 12:05:00", "error", 0.0),
+        (9, 3, "2024-01-01 12:10:00", "purchase", 7.5),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type").isin("click", "view"), F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    got = {
+        r["touch_type"]: (r["n"], r["v"])
+        for r in (
+            e.withColumn("touch", touch)
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("touch", F.lit("organic")).alias("touch_type"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+            .collect()
+        )
+    }
+    assert got == {"click": (2, 32.5), "organic": (1, 10.0), "view": (1, 5.0)}

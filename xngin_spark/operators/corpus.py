@@ -1512,3 +1512,100 @@ def connected_components_star(
             F.coalesce("comp", F.col("nid")).alias("component"),
         )
     )
+
+
+def triangle_count(
+    edges: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-node triangle counting + local clustering coefficient over an
+    undirected edge table ``(lo, hi)`` with ``lo < hi`` (one row per
+    edge, no duplicates) — the graph-density member of the corpus
+    family. On the near-dup similarity graph a node's clustering
+    coefficient separates CLIQUE-shaped boilerplate neighborhoods (the
+    same template stamped over every page — triangles everywhere,
+    coefficient ~1) from STAR-shaped ones (one hub quoted by many
+    otherwise-unrelated docs — no triangles, coefficient ~0), which is
+    exactly the call a dedup reviewer makes before deciding whether to
+    keep one representative (clique) or keep the spokes (star).
+
+    Scale shape — degree-ordered orientation (the standard bound of
+    join fan-out by graph arboricity): every edge is directed from its
+    lower-(degree, id) endpoint to the higher one, so a vertex's
+    oriented out-neighborhood is at most O(sqrt(|E|)) even for a
+    skew-degree hub (a 10^6-degree hub in a crawl graph contributes
+    wedges only through its LOW-degree neighbors, never 10^12 hub
+    wedges). Wedges are one self-join of the oriented list on the
+    source vertex; closure is one join against the oriented list
+    itself (orientation order is total, so each triangle matches
+    exactly once — no /3 correction, no double counting). Three
+    shuffles total (degree groupBy, wedge self-join, closure join),
+    all on compact long keys.
+    """
+    e = edges.select(F.col("lo").cast("long"), F.col("hi").cast("long"))
+    deg = (
+        e.select(F.col("lo").alias("nid"))
+        .unionByName(e.select(F.col("hi").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    # orient: src = endpoint with smaller (degree, id); total order so
+    # each triangle {u<v<w in orientation order} yields oriented edges
+    # u->v, u->w, v->w and is generated exactly once from the wedge at u
+    dl = deg.select(F.col("nid").alias("lo"), F.col("degree").alias("dlo"))
+    dh = deg.select(F.col("nid").alias("hi"), F.col("degree").alias("dhi"))
+    lo_first = (F.col("dlo") < F.col("dhi")) | (
+        (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        e.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+            F.when(lo_first, F.col("dhi")).otherwise(F.col("dlo")).alias("ddst"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
+    w2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
+    wedges = w1.join(w2, "src").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closer = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tris = wedges.join(closer, ["v", "w"]).select(
+        F.col("src").alias("a"), F.col("v").alias("b"), F.col("w").alias("c")
+    )
+    per_node = (
+        tris.select(F.col("a").alias("nid"))
+        .unionByName(tris.select(F.col("b").alias("nid")))
+        .unionByName(tris.select(F.col("c").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "nid", "left")
+        .select(
+            F.col("nid").alias(id_col),
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            "degree",
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_triangles", F.lit(0)).cast("double")
+                    / (
+                        F.col("degree").cast("double")
+                        * (F.col("degree").cast("double") - 1.0)
+                    ),
+                    8,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

@@ -3234,3 +3234,195 @@ def dedup_recall_eval(spark, sf_dir):
         )
         .orderBy("j_band")
     )
+
+
+def _triangle_oracle() -> str:
+    pairs = _winnow_oracle(t=8, extra_where="AND doc_id < 1000")
+    return f"""
+    WITH pairs AS ({pairs}),
+    e AS (SELECT doc_a AS lo, doc_b AS hi FROM pairs),
+    tri AS (
+      SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      FROM e e1
+      JOIN e e2 ON e2.lo = e1.hi
+      JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+    ),
+    pn AS (
+      SELECT a AS nid FROM tri
+      UNION ALL SELECT b AS nid FROM tri
+      UNION ALL SELECT c AS nid FROM tri
+    ),
+    tc AS (SELECT nid, CAST(COUNT(*) AS BIGINT) AS n FROM pn GROUP BY nid),
+    deg AS (
+      SELECT nid, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT lo AS nid FROM e UNION ALL SELECT hi AS nid FROM e)
+      GROUP BY nid
+    )
+    SELECT d.nid AS doc_id,
+           CAST(COALESCE(t.n, 0) AS BIGINT) AS n_triangles,
+           d.degree,
+           CASE WHEN d.degree >= 2
+                THEN ROUND(2.0 * CAST(COALESCE(t.n, 0) AS DOUBLE)
+                           / (CAST(d.degree AS DOUBLE)
+                              * (CAST(d.degree AS DOUBLE) - 1.0)), 8)
+                ELSE 0.0 END AS clustering
+    FROM deg d LEFT JOIN tc t ON t.nid = d.nid
+    """
+
+
+@register("triangle_dedup_graph", _triangle_oracle())
+def triangle_dedup_graph(spark, sf_dir):
+    """Per-node triangle count + local clustering coefficient over the
+    winnowing near-dup graph — the graph-DENSITY companion to
+    pagerank_dedup_graph's centrality: coefficient ~1 marks
+    CLIQUE-shaped boilerplate (one template stamped everywhere — keep
+    one representative), ~0 marks STAR-shaped overlap (a hub quoted by
+    unrelated docs — keep the spokes). Spark side is the
+    degree-ordered-orientation algorithm (wedge fan-out bounded by
+    arboricity, each triangle generated exactly once — see
+    operators/corpus.triangle_count); the DuckDB oracle brute-forces
+    the 3-way edge join on lo<hi canonical edges — both count the
+    identical triangle set, integers end-to-end, the coefficient a
+    round8 ratio of exact ints. Input-bounded like every pairwise
+    verifier (doc_id < 1000); at scale the orientation is the whole
+    point — a 10^6-degree hub contributes wedges only through its
+    low-degree neighbors."""
+    from xngin_spark.operators.corpus import triangle_count
+    from xngin_spark.operators.dedup import (
+        release_persisted,
+        winnow_candidate_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = winnow_candidate_pairs(d, min_shared=8)
+    out = triangle_count(
+        pairs.select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
+    )
+    release_persisted()
+    return out
+
+
+@register(
+    "setsim_join_exact",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id AS id,
+             unnest(list_distinct(string_split(text, ' '))) AS tok
+      FROM documents WHERE doc_id < 1000
+    ),
+    sizes AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS sz FROM toks GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           CAST(inter AS DOUBLE)
+           / CAST(sa.sz + sb.sz - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(inter AS DOUBLE)
+          / CAST(sa.sz + sb.sz - inter AS DOUBLE) >= 0.9
+    """,
+)
+def setsim_join_exact(spark, sf_dir):
+    """Exact token-set Jaccard join at t=0.9 via prefix filtering
+    (AllPairs/PPJoin family) — the EXACT member of the similarity-join
+    family, between minhash_lsh (probabilistic recall) and the
+    brute-force verifier (full-token explode): rarest-first prefixes
+    generate a lossless candidate superset, array_intersect verifies.
+    The oracle is the brute-force all-pairs join — equality IS the
+    losslessness proof, run on every gate. Input-bounded like the
+    other pairwise verifiers; the prefix filter is the scale path
+    (operators/dedup.setsim_prefix_join)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    return D.setsim_prefix_join(d, threshold=0.9)
+
+
+@register(
+    "cooccurrence_lift",
+    """
+    WITH docs AS (
+      SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS ts
+      FROM documents WHERE doc_id < 1000
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM docs),
+    ex AS (SELECT DISTINCT id, unnest(ts) AS tok FROM docs),
+    cf AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM ex GROUP BY tok
+      HAVING COUNT(*) >= 25
+    ),
+    exv AS (SELECT ex.id, ex.tok, cf.c FROM ex JOIN cf ON cf.tok = ex.tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b,
+             CAST(COUNT(*) AS BIGINT) AS c_ab,
+             MIN(a.c) AS c_a, MIN(b.c) AS c_b
+      FROM exv a JOIN exv b ON a.id = b.id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    )
+    SELECT tok_a, tok_b, c_ab, c_a, c_b,
+           ROUND(CAST(c_ab AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                 / (CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)), 8) AS lift
+    FROM pairs, n
+    ORDER BY lift DESC, tok_a, tok_b
+    LIMIT 100
+    """,
+)
+def cooccurrence_lift(spark, sf_dir):
+    """Term co-occurrence LIFT (collocation mining): for every pair of
+    moderately-frequent tokens, observed co-document count over the
+    independence expectation — lift = P(a,b)/(P(a)P(b)) =
+    c_ab*N/(c_a*c_b) — the PMI-monotone statistic computed WITHOUT a
+    transcendental (ln differs across libm builds; the ratio of exact
+    small integers is deterministic IEEE in both engines). Top-100
+    under the total order (lift desc, tok_a, tok_b). Scale shape: the
+    per-doc pair explode is bounded by the vocabulary filter (df>=25
+    — frequent-enough tokens only), the heavy groupBy shuffles on the
+    compact (tok_a, tok_b) pair, and every count is an integer."""
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    from xngin_spark.operators.textstats import tokens as _toks
+
+    docs = d.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(_toks(F.col("text"))).alias("ts"),
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    ex = docs.select("id", F.explode("ts").alias("tok"))
+    cf = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") >= 25)
+    )
+    exv = ex.join(cf, "tok")
+    a = exv.select("id", F.col("tok").alias("tok_a"), F.col("c").alias("ca"))
+    b = exv.select("id", F.col("tok").alias("tok_b"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c_ab"),
+            F.min("ca").alias("c_a"),
+            F.min("cb").alias("c_b"),
+        )
+        .filter(F.col("c_ab") >= 10)
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .select(
+            "tok_a",
+            "tok_b",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(
+                F.col("c_ab").cast("double")
+                * F.col("n_docs").cast("double")
+                / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+                8,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "tok_a", "tok_b")
+        .limit(100)
+    )

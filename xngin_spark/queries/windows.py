@@ -1175,3 +1175,59 @@ def events_stream_pattern(spark, sf_dir):
         )
         .filter(F.col("n_matches") >= 1)
     )
+
+
+@register(
+    "events_attribution",
+    """
+    WITH seq AS (
+      SELECT event_type, value,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch
+      FROM events
+    )
+    SELECT COALESCE(touch, 'organic') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+             AS attributed_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_attribution(spark, sf_dir):
+    """LAST-TOUCH revenue attribution — the marketing-analytics
+    standard: each purchase is credited to the most recent PRECEDING
+    click or view by the same user (strictly before — a purchase row
+    can't attribute to itself even if re-typed), purchases with no
+    prior touch land in the 'organic' bucket. One window over the
+    per-user ordered stream (last non-null touch carried forward,
+    shuffle on the 8-byte user id — the same partitioning every other
+    sessionization query uses), then a 5-row aggregate; revenue is
+    decimal-summed (the dsum discipline) so both engines hash-match
+    bit-for-bit. Ties in ts break on event_id, total order."""
+    from pyspark.sql import Window
+
+    e = events_df(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        e.withColumn("touch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("touch", F.lit("organic")).alias("touch_type"))
+        .agg(
+            count_star().alias("n_conversions"),
+            dsum(F.col("value"), "attributed_value"),
+        )
+    )
