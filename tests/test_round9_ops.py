@@ -969,3 +969,75 @@ def test_attribution_last_touch_and_organic(spark):
         )
     }
     assert got == {"click": (2, 32.5), "organic": (1, 10.0), "view": (1, 5.0)}
+
+
+def test_stream_attribution_bridges_batches(spark):
+    """Paced one file per micro-batch, a purchase whose last touch sits
+    in the PREVIOUS batch must still credit that touch — the one-string
+    state is the cross-batch bridge; organic and within-batch paths
+    ride along."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from xngin_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_attribution,
+    )
+
+    out = "/tmp/xngin_attr_stream_src"
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    base = pd.Timestamp("2024-01-01")
+    # f1: user 1 clicks; user 2 purchases untouched; user 3 views
+    f1 = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [base + pd.Timedelta(seconds=i) for i in range(3)],
+            "user_id": [1, 2, 3],
+            "event_type": ["click", "purchase", "view"],
+            "value": [0.0, 10.0, 0.0],
+            "props": ["{}"] * 3,
+        }
+    )
+    # f2: user 1's purchase bridges to the batch-1 click; user 3 clicks
+    # then purchases inside batch 2 (click supersedes the older view)
+    f2 = pd.DataFrame(
+        {
+            "event_id": [4, 5, 6],
+            "ts": [base + pd.Timedelta(seconds=10 + i) for i in range(3)],
+            "user_id": [1, 3, 3],
+            "event_type": ["purchase", "click", "purchase"],
+            "value": [25.0, 0.0, 7.5],
+            "props": ["{}"] * 3,
+        }
+    )
+    for i, pdf in enumerate((f1, f2)):
+        spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/f{i}"
+        )
+    t0 = time.time() - 600
+    for i in range(2):
+        [p] = glob.glob(f"{out}/f{i}/part-*.parquet")
+        dst = f"{out}/data-{i}.parquet"
+        shutil.move(p, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+        shutil.rmtree(f"{out}/f{i}")
+
+    sdf = stream_attribution(events_stream(spark, out, max_files_per_trigger=1))
+    rows = run_available_now(
+        sdf, "t_attr_bridge", output_mode="append", shuffle_partitions=4
+    )
+    got = {
+        r["touch_type"]: (r["n"], r["v"])
+        for r in rows.groupBy("touch_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+        .collect()
+    }
+    assert got == {"click": (2, 32.5), "organic": (1, 10.0)}, got

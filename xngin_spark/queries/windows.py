@@ -1177,9 +1177,7 @@ def events_stream_pattern(spark, sf_dir):
     )
 
 
-@register(
-    "events_attribution",
-    """
+_ATTRIBUTION_ORACLE = """
     WITH seq AS (
       SELECT event_type, value,
              LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
@@ -1195,8 +1193,10 @@ def events_stream_pattern(spark, sf_dir):
              AS attributed_value
     FROM seq WHERE event_type = 'purchase'
     GROUP BY 1
-    """,
-)
+    """
+
+
+@register("events_attribution", _ATTRIBUTION_ORACLE)
 def events_attribution(spark, sf_dir):
     """LAST-TOUCH revenue attribution — the marketing-analytics
     standard: each purchase is credited to the most recent PRECEDING
@@ -1230,4 +1230,37 @@ def events_attribution(spark, sf_dir):
             count_star().alias("n_conversions"),
             dsum(F.col("value"), "attributed_value"),
         )
+    )
+
+
+@register("events_stream_attribution", _ATTRIBUTION_ORACLE)
+def events_stream_attribution(spark, sf_dir):
+    """STREAMING twin of events_attribution against the IDENTICAL
+    batch-window oracle: last-touch state (one string per user) bridges
+    micro-batches via applyInPandasWithState, each purchase row emitted
+    exactly once in append mode with its UNTOUCHED input double, and
+    the sink aggregate applies the same dsum discipline — so the
+    incremental answer hash-matches the batch report bit-for-bit. The
+    scaling contrast with the batch twin is the point: the batch window
+    sorts every user's full history per run; the stream carries O(users)
+    state and touches each event once, which is the shape a 100 TB
+    continuous attribution pipeline actually runs."""
+    import os
+
+    from xngin_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_attribution,
+    )
+
+    sdf = stream_attribution(
+        events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    name = "stream_attribution_sink"
+    rows = run_available_now(
+        sdf, name, output_mode="append", shuffle_partitions=8
+    )
+    return rows.groupBy("touch_type").agg(
+        count_star().alias("n_conversions"),
+        dsum(F.col("value"), "attributed_value"),
     )

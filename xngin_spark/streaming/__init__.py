@@ -35,6 +35,7 @@ from xngin_spark.streaming.windows import (
     stream_tumbling,
 )
 from xngin_spark.streaming.stateful import (
+    stream_attribution,
     running_totals,
     stream_pattern_match,
     stream_transitions,
@@ -50,6 +51,7 @@ __all__ = [
     "stream_sliding",
     "stream_session",
     "running_totals",
+    "stream_attribution",
     "stream_pattern_match",
     "stream_transitions",
     "stream_dedup",

@@ -217,3 +217,70 @@ def stream_pattern_match(sdf: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming last-touch attribution ---------------------------------------
+
+ATTRIBUTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+#: the user's current last-touch event type ("" = no touch seen yet) —
+#: the WHOLE per-user footprint, one short string regardless of how
+#: many events the user has produced
+_LAST_TOUCH_SCHEMA = T.StructType([T.StructField("t", T.StringType())])
+
+
+def _update_attribution(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming half of events_attribution: each purchase row is
+    emitted ONCE (append mode) credited to the user's most recent
+    preceding click/view — the carry-forward the batch twin computes
+    with a strictly-before window frame. State is one string per user
+    (the last touch type), so attribution at 100 TB holds O(users)
+    state, never a per-user history. Rows sort by (ts, event_id)
+    inside the batch — the batch twin's exact tie-break; cross-batch
+    event-time order is the file-source arrival order, as for every
+    stateful operator here. The emitted value is the UNTOUCHED input
+    double (no pandas arithmetic), so the consumer's decimal-sum
+    aggregate hash-matches the batch oracle bit-for-bit."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    touch = state.get[0] if state.exists else ""
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out_touch: list[str] = []
+    out_val: list[float] = []
+    for et, val in zip(pdf["event_type"].tolist(), pdf["value"].tolist()):
+        if et == "purchase":
+            out_touch.append(touch if touch else "organic")
+            out_val.append(val)
+        elif et in ("click", "view"):
+            touch = et
+    state.update((touch,))
+    if out_touch:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_touch),
+                "touch_type": out_touch,
+                "value": out_val,
+            }
+        )
+
+
+def stream_attribution(sdf: DataFrame) -> DataFrame:
+    """(user_id, touch_type, value) — one append-mode row per purchase,
+    credited to the carried last touch. Aggregate the sink with the
+    dsum discipline to reproduce the batch attribution report."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _update_attribution,
+        outputStructType=ATTRIBUTION_SCHEMA,
+        stateStructType=_LAST_TOUCH_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
