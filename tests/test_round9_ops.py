@@ -1041,3 +1041,50 @@ def test_stream_attribution_bridges_batches(spark):
         .collect()
     }
     assert got == {"click": (2, 32.5), "organic": (1, 10.0)}, got
+
+
+# --- k-core peeling ----------------------------------------------------------
+
+
+def test_kcore_planted_clique_survives_path_peels(spark):
+    from xngin_spark.operators.corpus import kcore_peel
+
+    # K4 is its own 3-core; the bridge and path peel away (cascading:
+    # node 7 falls in round 1, node 6 then in round 2, etc.)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6), (6, 7)],
+        "lo long, hi long",
+    )
+    got = {
+        r["doc_id"]: r["core_degree"] for r in kcore_peel(edges, k=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=2: the chain cascades to nothing, K4 keeps the bridge out too
+    got2 = {
+        r["doc_id"]: r["core_degree"] for r in kcore_peel(edges, k=2).collect()
+    }
+    assert got2 == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_fixpoint_within_budget(spark, sf_dir):
+    """The fixed 16-round budget must REACH the peeling fixpoint on the
+    registered input — otherwise the committed answer is a truncated
+    peel, not the k-core. rounds=16 vs rounds=17 must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from xngin_spark.operators.corpus import kcore_peel
+    from xngin_spark.operators.dedup import (
+        release_persisted,
+        winnow_candidate_pairs,
+    )
+
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 1000)
+    )
+    pairs = winnow_candidate_pairs(d, min_shared=5).localCheckpoint(eager=True)
+    e = pairs.select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi"))
+    a = _rows(kcore_peel(e, k=3, rounds=16))
+    b = _rows(kcore_peel(e, k=3, rounds=17))
+    release_persisted()
+    assert a == b and a, "peel did not converge within the 16-round budget"

@@ -1609,3 +1609,55 @@ def triangle_count(
             .alias("clustering"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """K-CORE of an undirected ``(lo, hi)`` edge table (lo < hi, one row
+    per edge) by FIXED-BUDGET peeling: ``rounds`` iterations of "drop
+    every node with degree < k, keep only edges between survivors".
+    The k-core is the dense backbone the other graph operators rank —
+    on the near-dup graph it isolates the mutually-overlapping
+    template families (every member shares passages with >= k other
+    members) from incidental pairwise matches, which is the set a
+    curation pass reviews FIRST.
+
+    A fixed round budget (not convergence detection) keeps the
+    computation a finite join/agg composition — the pagerank_fixed
+    discipline — so an unrolled-CTE oracle reproduces it exactly;
+    peeling is monotone (survivor sets only shrink), so once two
+    consecutive rounds agree the remaining rounds are no-ops and the
+    fixed-budget answer IS the true k-core (the parity test asserts
+    the fixpoint was reached inside the budget). Scale shape: each
+    round is one groupBy(degree) + two semi-joins on 8-byte ids —
+    linear in surviving |E|, which only shrinks; localCheckpoint per
+    round keeps lineage O(1).
+    """
+    e = edges.select(
+        F.col("lo").cast("long"), F.col("hi").cast("long")
+    ).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("lo").alias("nid"))
+            .unionByName(e.select(F.col("hi").alias("nid")))
+            .groupBy("nid")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        keep = deg.filter(F.col("degree") >= k).select("nid")
+        e = (
+            e.join(keep.select(F.col("nid").alias("lo")), "lo", "left_semi")
+            .join(keep.select(F.col("nid").alias("hi")), "hi", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("lo").alias("nid"))
+        .unionByName(e.select(F.col("hi").alias("nid")))
+        .groupBy("nid")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+        .select(F.col("nid").alias(id_col), "core_degree")
+    )

@@ -3426,3 +3426,62 @@ def cooccurrence_lift(spark, sf_dir):
         .orderBy(F.desc("lift"), "tok_a", "tok_b")
         .limit(100)
     )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 16) -> str:
+    pairs = _winnow_oracle(t=5, extra_where="AND doc_id < 1000")
+    # every per-round CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    # and e{n} referencing e{n-1} five times (degree union ×2, join ×1,
+    # keep ×2) would otherwise expand 5^rounds scans of the base table
+    step = """
+    d{n} AS MATERIALIZED (
+      SELECT nid, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM (SELECT lo AS nid FROM e{p} UNION ALL SELECT hi AS nid FROM e{p})
+      GROUP BY nid
+    ),
+    k{n} AS MATERIALIZED (SELECT nid FROM d{n} WHERE deg >= {k}),
+    e{n} AS MATERIALIZED (
+      SELECT e.lo, e.hi FROM e{p} e
+      JOIN k{n} a ON a.nid = e.lo
+      JOIN k{n} b ON b.nid = e.hi
+    )"""
+    steps = ",".join(
+        step.format(n=i + 1, p=i, k=k) for i in range(rounds)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED ({pairs}),
+    e0 AS MATERIALIZED (SELECT doc_a AS lo, doc_b AS hi FROM pairs),
+    {steps}
+    SELECT nid AS doc_id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM (SELECT lo AS nid FROM e{rounds}
+          UNION ALL SELECT hi AS nid FROM e{rounds})
+    GROUP BY nid HAVING COUNT(*) >= {k}
+    """
+
+
+@register("kcore_dedup_graph", _kcore_oracle())
+def kcore_dedup_graph(spark, sf_dir):
+    """3-core of the winnow near-dup graph by fixed-budget peeling (16
+    rounds, the pagerank_fixed discipline: a finite join/agg
+    composition an unrolled-CTE oracle reproduces exactly; peeling is
+    monotone so a reached fixpoint makes the fixed-budget answer the
+    TRUE k-core — test_kcore_fixpoint_within_budget asserts that at
+    every tested scale). The 3-core isolates mutually-overlapping
+    template families — every survivor shares passages with >= 3
+    other survivors — from incidental pairwise matches: the review
+    queue's first page. Operator: operators/corpus.kcore_peel."""
+    from xngin_spark.operators.corpus import kcore_peel
+    from xngin_spark.operators.dedup import (
+        release_persisted,
+        winnow_candidate_pairs,
+    )
+
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    pairs = winnow_candidate_pairs(d, min_shared=5)
+    out = kcore_peel(
+        pairs.select(F.col("doc_a").alias("lo"), F.col("doc_b").alias("hi")),
+        k=3,
+        rounds=16,
+    )
+    release_persisted()
+    return out
