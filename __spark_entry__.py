@@ -93,7 +93,16 @@ GATE_PRIORITY = [
     "events_json_props",
     "events_stream_tumbling",
     "events_asof_join",
-    "events_range_join",
+    # setsim_join_exact replaces events_range_join in the window
+    # (round 9): it is the EXACT similarity-join family's first
+    # value-checked row — rarest-first prefix filtering + the AllPairs
+    # length filter are lossless candidate reductions, and the oracle
+    # is the brute-force all-pairs join, so the gate row re-proves
+    # losslessness on every run. events_range_join was the temporal
+    # family's second row alongside events_asof_join's in-gate
+    # evidence — the displaced query keeps its local oracle compare in
+    # test_tpch_parity.py.
+    "setsim_join_exact",
     # micros that are the sole gate evidence for a SURVEY §2 row.
     # Displaced to the tail (still oracle-compared by local pytest):
     # topk_fused (TakeOrderedAndProject also proven by q2/q3/q10 +
