@@ -1088,3 +1088,113 @@ def test_kcore_fixpoint_within_budget(spark, sf_dir):
     b = _rows(kcore_peel(e, k=3, rounds=17))
     release_persisted()
     assert a == b and a, "peel did not converge within the 16-round budget"
+
+
+# --- randomized brute-force cross-checks for the session-2 operators --------
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_triangle_count_matches_bruteforce_random(spark, seed):
+    import itertools
+    import random
+
+    from xngin_spark.operators.corpus import triangle_count
+
+    rng = random.Random(seed)
+    n = 12
+    edges = sorted(
+        {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.35
+        }
+    )
+    adj = {v: set() for v in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = {v: 0 for v in range(n)}
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    expected = {
+        v: (tri[v], len(adj[v])) for v in range(n) if adj[v]
+    }
+    e = spark.createDataFrame(edges, "lo long, hi long")
+    got = {
+        r["doc_id"]: (r["n_triangles"], r["degree"])
+        for r in triangle_count(e).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_kcore_matches_reference_peel_random(spark, seed):
+    import random
+
+    from xngin_spark.operators.corpus import kcore_peel
+
+    rng = random.Random(seed)
+    n, k = 14, 3
+    edges = sorted(
+        {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.3
+        }
+    )
+    # reference peel to fixpoint
+    es = set(edges)
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in es if a in keep and b in keep}
+        if nxt == es:
+            break
+        es = nxt
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    expected = {v: d for v, d in deg.items() if d >= k}
+    e = spark.createDataFrame(edges, "lo long, hi long")
+    got = {
+        r["doc_id"]: r["core_degree"]
+        for r in kcore_peel(e, k=k, rounds=16).collect()
+    }
+    assert got == expected
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_setsim_matches_bruteforce_random(spark, seed):
+    import itertools
+    import random
+
+    from xngin_spark.operators.dedup import setsim_prefix_join
+
+    rng = random.Random(seed)
+    vocab = [f"t{i}" for i in range(24)]
+    docs = []
+    for i in range(30):
+        sz = rng.randint(1, 12)
+        docs.append((i, " ".join(rng.sample(vocab, sz))))
+    t = 0.6
+    sets = {i: set(text.split(" ")) for i, text in docs}
+    expected = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter and inter / len(sets[a] | sets[b]) >= t:
+            expected.add((a, b, inter))
+    d = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"], r["inter"])
+        for r in setsim_prefix_join(d, threshold=t).collect()
+    }
+    assert got == expected
