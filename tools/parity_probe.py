@@ -31,7 +31,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-OUT = os.path.join(REPO, "PARITY_SF10.json")
+OUT = os.environ.get("XNGIN_PARITY_OUT", os.path.join(REPO, "PARITY_SF10.json"))
 
 #: one row per value-determinism family; heavy tails deliberately in
 #: (the point is the scales where they hurt)
