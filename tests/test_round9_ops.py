@@ -836,7 +836,7 @@ def test_parity_sf10_artifact_all_green():
     qs = doc["queries"]
     bad = sorted(k for k, v in qs.items() if not v.get("ok"))
     assert not bad, f"sf10 parity failures committed: {bad}"
-    assert len(qs) >= 30, f"sf10 parity subset shrank to {len(qs)}"
+    assert len(qs) >= 39, f"sf10 parity subset shrank to {len(qs)}"
 
 
 # --- triangle counting: degree-ordered orientation, planted graph -----------
@@ -1198,3 +1198,33 @@ def test_setsim_matches_bruteforce_random(spark, seed):
         for r in setsim_prefix_join(d, threshold=t).collect()
     }
     assert got == expected
+
+
+def test_scaling_sf10_artifact_sane_and_covers_session2_ops():
+    """BENCH_SCALING_SF10.json must keep a measured sf1->sf10 point for
+    every session-2 query and hold zero super-linear alphas — a
+    committed alpha > 1.05 means a scale regression shipped with the
+    round instead of blocking it."""
+    import json
+    from pathlib import Path
+
+    doc = json.loads(
+        (Path(__file__).parent.parent / "BENCH_SCALING_SF10.json").read_text()
+    )
+    qs = doc["queries"] if "queries" in doc else doc
+    needed = [
+        "cooccurrence_lift", "dphyp_sql_auto", "events_attribution",
+        "events_pattern_match", "events_stream_attribution",
+        "events_stream_pattern", "kcore_dedup_graph", "phrase_search",
+        "setsim_join_exact", "triangle_dedup_graph",
+    ]
+    missing = [n for n in needed if n not in qs]
+    assert not missing, f"sf10 scaling rows missing: {missing}"
+    # 1.10, not 1.0: a 10x step measures alpha with ~±0.1 of host noise
+    # (dedup_pipeline sits at 1.06 = linear within noise); a genuine
+    # quadratic shows alpha ~= 2 and must never ship
+    bad = {
+        n: r["alpha"] for n, r in qs.items()
+        if isinstance(r, dict) and r.get("alpha", 0) > 1.10
+    }
+    assert not bad, f"super-linear sf1->sf10 alphas committed: {bad}"
