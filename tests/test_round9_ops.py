@@ -1228,3 +1228,21 @@ def test_scaling_sf10_artifact_sane_and_covers_session2_ops():
         if isinstance(r, dict) and r.get("alpha", 0) > 1.10
     }
     assert not bad, f"super-linear sf1->sf10 alphas committed: {bad}"
+
+
+def test_parity_sf100_artifact_all_green():
+    """PARITY_SF100.json extends the cross-engine value-hash span to
+    sf100 (100,000x over sf0.001): every committed row must be green
+    and the subset must keep its 10-query floor (TPC-H decimal sums at
+    600M lineitem rows, 100M-event window attribution, full-corpus
+    text stats at 5M docs, and the bounded graph family)."""
+    import json
+    from pathlib import Path
+
+    doc = json.loads(
+        (Path(__file__).parent.parent / "PARITY_SF100.json").read_text()
+    )
+    qs = doc["queries"]
+    bad = sorted(k for k, v in qs.items() if not v.get("ok"))
+    assert not bad, f"sf100 parity failures committed: {bad}"
+    assert len(qs) >= 10, f"sf100 parity subset shrank to {len(qs)}"
