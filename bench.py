@@ -95,11 +95,19 @@ def main() -> None:
     pass_canaries: list[float] = [canary]
 
     def run_one(name: str, record_rows: bool) -> None:
+        # Timing materializes through the noop sink, NOT .count():
+        # count() lets Catalyst prune every column a map-only query
+        # computes (text_stats at sf100 "ran" in 0.2s as a parquet
+        # metadata read while the real scoring pass costs seconds —
+        # found by the round-9 sf100 decade probe). The noop write
+        # executes the full plan and discards rows, so map-only and
+        # shuffle queries are measured on equal terms. Row-count checks
+        # run once, untimed, after the measured write.
         fn = Q.QUERIES[name]
         t = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            n = df.count()
+            df.write.mode("overwrite").format("noop").save()
         except Exception as e:  # a failing query must not kill the bench
             print(f"# {name} FAILED: {e}", file=sys.stderr)
             samples.setdefault(name, []).append(-1.0)
@@ -111,6 +119,7 @@ def main() -> None:
         release_persisted()
         if not record_rows:
             return
+        n = df.count()
         if n == 0:
             # a 0-row result at bench scale makes the oracle comparison
             # vacuous — surface it loudly instead of reporting a green time

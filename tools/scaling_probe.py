@@ -95,8 +95,16 @@ def main(small_dir: str, big_dir: str, ratio: float, only: set[str]) -> None:
         return round(time.perf_counter() - t0, 3)
 
     def timed(name: str, sf_dir: str) -> float:
+        # noop-sink materialization, not .count(): count() lets the
+        # optimizer prune a map-only query's entire projection down to
+        # a parquet metadata read (text_stats at sf100 "measured" 0.3s
+        # while the real pass costs seconds), fabricating alpha ~ 0 for
+        # every projection-shaped query. The noop write runs the full
+        # plan and discards rows. Same fix as bench.py run_one.
         t0 = time.perf_counter()
-        Q.QUERIES[name](spark, sf_dir).count()
+        Q.QUERIES[name](spark, sf_dir).write.mode("overwrite").format(
+            "noop"
+        ).save()
         dt = time.perf_counter() - t0
         release_persisted()
         return round(dt, 3)
