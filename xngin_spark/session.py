@@ -46,6 +46,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE starts every shuffle at 256 partitions and coalesces the
+        # small ones away, so tiny queries stay cheap while a 600M-row
+        # shuffle gets sort/hash buffers that fit memory. Measured at
+        # the synthesized sf100: q5's lineitem shuffle spilled and ran
+        # 169s at 32 fixed partitions, 57s with headroom + hash join
+        # (SCALE.md round-9 session-2).
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+        # Hash-first joins: when one side is provably the smaller, build
+        # a hash table per partition instead of sorting BOTH sides —
+        # sorting 600M rows was the whole q5 sf100 cliff. Spark's SHJ
+        # spills since 3.2, so the sort fallback's only remaining edge
+        # (graceful degradation) no longer requires paying the sort on
+        # every large join.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # --- scan-side pruning (zone-map / codec analog) ---
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
