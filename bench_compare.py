@@ -86,6 +86,17 @@ def main() -> int:
         f"# canary old={c_old:.3f}s new={c_new:.3f}s "
         f"(host speed ratio {c_new / c_old:.2f}x)"
     )
+    mo, mn = old.get("measurement"), new.get("measurement")
+    if mo != mn:
+        # e.g. round 9's count()->noop materialization fix: map-only
+        # queries read higher in the new artifact because they are
+        # MEASURED for the first time, not because they regressed
+        print(
+            f"# MEASUREMENT CHANGE: old={mo or 'count()'} "
+            f"new={mn or 'count()'} — cross-measurement ratios for "
+            "map-only (shuffle-free) queries are not comparable; "
+            "see SCALE.md"
+        )
     flagged: list[tuple[str, float, float, float]] = []
     noisy: list[tuple[str, float, float]] = []
     improved: list[tuple[str, float]] = []
