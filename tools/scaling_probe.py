@@ -109,11 +109,20 @@ def main(small_dir: str, big_dir: str, ratio: float, only: set[str]) -> None:
         release_persisted()
         return round(dt, 3)
 
-    # warm both datasets' footers/page cache so neither SF pays cold-read
+    # warm both datasets' DATA PAGES so neither SF pays cold-read:
+    # count() only touches footers (parquet aggregate pushdown), which
+    # left the big leg reading tens of GB cold while the small leg sat
+    # in page cache — q6 (a perfectly linear scan+agg) measured
+    # alpha=1.54 from the asymmetry alone. A full-column noop read
+    # pulls every page through the OS cache (the host holds both SFs
+    # comfortably); at a true 100 TB neither side is cacheable and the
+    # ratio is honest again by symmetry.
     for d in (small_dir, big_dir):
         for t in ("lineitem", "orders", "documents", "embeddings", "events"):
             try:
-                spark.read.parquet(f"{d}/{t}.parquet").count()
+                spark.read.parquet(f"{d}/{t}.parquet").write.mode(
+                    "overwrite"
+                ).format("noop").save()
             except Exception:
                 pass
 
