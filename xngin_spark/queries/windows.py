@@ -1264,3 +1264,78 @@ def events_stream_attribution(spark, sf_dir):
         count_star().alias("n_conversions"),
         dsum(F.col("value"), "attributed_value"),
     )
+
+
+@register(
+    "events_attribution_ushaped",
+    """
+    WITH seq AS (
+      SELECT event_type, value,
+             FIRST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                              THEN event_type END IGNORE NULLS)
+               OVER w AS ft,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS lt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (SELECT * FROM seq WHERE event_type = 'purchase'),
+    credits AS (
+      SELECT COALESCE(ft, 'organic') AS touch_type,
+             CASE WHEN ft IS NULL THEN value ELSE value * 0.5 END AS credit
+      FROM p
+      UNION ALL
+      SELECT lt, value * 0.5 FROM p WHERE lt IS NOT NULL
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(credit AS DECIMAL(25,6))) AS DOUBLE)
+             AS attributed_value
+    FROM credits GROUP BY 1
+    """,
+)
+def events_attribution_ushaped(spark, sf_dir):
+    """U-SHAPED (position-based) attribution — the second standard
+    model beside last-touch: each purchase splits its value 50/50
+    between the FIRST and the LAST preceding touch (a single touch
+    earns both halves; no touch lands in 'organic' whole). Two window
+    carries over the same user-id partitioning as the last-touch row,
+    a two-branch union of half-credits, then the dsum discipline —
+    value*0.5 is identical IEEE in both engines, the decimal sum is
+    order-independent, so the report hash-matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    e = events_df(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    p = (
+        e.withColumn("ft", F.first(touch, ignorenulls=True).over(w))
+        .withColumn("lt", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+    )
+    first_half = p.select(
+        F.coalesce("ft", F.lit("organic")).alias("touch_type"),
+        F.when(F.col("ft").isNull(), F.col("value"))
+        .otherwise(F.col("value") * 0.5)
+        .alias("credit"),
+    )
+    last_half = p.filter(F.col("lt").isNotNull()).select(
+        F.col("lt").alias("touch_type"),
+        (F.col("value") * 0.5).alias("credit"),
+    )
+    return (
+        first_half.unionByName(last_half)
+        .groupBy("touch_type")
+        .agg(
+            count_star().alias("n_credits"),
+            dsum(F.col("credit"), "attributed_value"),
+        )
+    )
