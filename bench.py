@@ -88,7 +88,10 @@ def main() -> None:
     # not 2x the suite.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     REPEAT_FLOOR = 0.2
-    from xngin_spark.operators.dedup import release_persisted
+    from xngin_spark.operators.dedup import (
+        release_checkpoints,
+        release_persisted,
+    )
 
     samples: dict[str, list[float]] = {}
     empty: list[str] = []
@@ -101,13 +104,24 @@ def main() -> None:
         # metadata read while the real scoring pass costs seconds —
         # found by the round-9 sf100 decade probe). The noop write
         # executes the full plan and discards rows, so map-only and
-        # shuffle queries are measured on equal terms. Row-count checks
-        # run once, untimed, after the measured write.
+        # shuffle queries are measured on equal terms. The row-count
+        # check rides the SAME measured run as an observed metric
+        # (CollectMetrics on top of the plan) — a separate post-hoc
+        # count() re-executed every pass-1 query with operator caches
+        # already released (r9 ADVICE: ~2x pass-1 wall time).
         fn = Q.QUERIES[name]
         t = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            if record_rows:
+                from pyspark.sql import Observation
+                from pyspark.sql import functions as F
+
+                obs = Observation(f"bench_rows_{name}")
+                sink = df.observe(obs, F.count(F.lit(1)).alias("n"))
+            else:
+                sink = df
+            sink.write.mode("overwrite").format("noop").save()
         except Exception as e:  # a failing query must not kill the bench
             print(f"# {name} FAILED: {e}", file=sys.stderr)
             samples.setdefault(name, []).append(-1.0)
@@ -115,11 +129,15 @@ def main() -> None:
         dt = round(time.perf_counter() - t, 3)
         samples.setdefault(name, []).append(dt)
         # free any operator-internal caches (e.g. minhash signatures)
-        # so 162 queries in one session don't accumulate storage memory
+        # and returned-plan checkpoints (graph operators) so 200+
+        # queries in one session don't accumulate storage memory; the
+        # result is fully materialized (noop sink + observed count), so
+        # releasing the checkpoints here is safe
         release_persisted()
+        release_checkpoints()
         if not record_rows:
             return
-        n = df.count()
+        n = obs.get["n"]
         if n == 0:
             # a 0-row result at bench scale makes the oracle comparison
             # vacuous — surface it loudly instead of reporting a green time

@@ -28,3 +28,19 @@ def oracle_con():
     con = duckdb_connect(SF_SMALL)
     yield con
     con.close()
+
+
+@pytest.fixture(autouse=True)
+def _drain_operator_caches():
+    """Free operator-internal persists and returned-plan checkpoints
+    after every test: a full suite runs 1000+ queries through one JVM,
+    and graph-operator checkpoints (track_checkpoint) have no GC owner
+    until released. Safe here — no plan outlives its test."""
+    yield
+    from xngin_spark.operators.dedup import (
+        release_checkpoints,
+        release_persisted,
+    )
+
+    release_persisted()
+    release_checkpoints()

@@ -121,9 +121,9 @@ class _Boom(RuntimeError):
     pass
 
 
-# (n-th scrub_rows call, crash before/after it) — covers every gap in
-# the apply sequence: termstats scrub/append, postings scrub/append,
-# doclen scrub/append. "meta" crashes before the _meta commit write.
+# (n-th scrub_append_rows call, crash before/after it) — covers every
+# gap in the apply sequence: the termstats, postings and doclen fused
+# scrub+append swaps. "meta" crashes before the _meta commit write.
 _CRASH_POINTS = [
     (1, "before"),
     (1, "after"),
@@ -160,7 +160,7 @@ def test_bm25_update_replay_converges_after_midbatch_crash(
     bm25_index_persist(v1, idx)
     diff = table_diff(v1, v2, keys=["doc_id"]).localCheckpoint(eager=True)
 
-    real_scrub = dml.scrub_rows
+    real_scrub = dml.scrub_append_rows
     calls = {"n": 0}
 
     def crashing_scrub(*args, **kwargs):
@@ -172,7 +172,7 @@ def test_bm25_update_replay_converges_after_midbatch_crash(
             raise _Boom(f"crash after scrub #{point}")
         return out
 
-    monkeypatch.setattr(dml, "scrub_rows", crashing_scrub)
+    monkeypatch.setattr(dml, "scrub_append_rows", crashing_scrub)
     if point == "meta":
         real_meta = corpus._write_bm25_meta
 
@@ -188,7 +188,7 @@ def test_bm25_update_replay_converges_after_midbatch_crash(
 
     # replay (what foreachBatch does after the crash) with the real
     # primitives restored
-    monkeypatch.setattr(dml, "scrub_rows", real_scrub)
+    monkeypatch.setattr(dml, "scrub_append_rows", real_scrub)
     if point == "meta":
         monkeypatch.setattr(corpus, "_write_bm25_meta", real_meta)
     bm25_index_update(v2, diff, idx, batch_token="s:1")

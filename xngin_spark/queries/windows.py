@@ -1244,7 +1244,14 @@ def events_stream_attribution(spark, sf_dir):
     scaling contrast with the batch twin is the point: the batch window
     sorts every user's full history per run; the stream carries O(users)
     state and touches each event once, which is the shape a 100 TB
-    continuous attribution pipeline actually runs."""
+    continuous attribution pipeline actually runs.
+
+    ORDERING PRECONDITION: micro-batch arrival order must follow event
+    time (here trivially true — the parquet feed arrives as one
+    availableNow batch; the multi-batch tests slice their feed by ts).
+    The operator CHECKS it: each batch's min ts is asserted against
+    the per-user high-watermark carried in state, so a violating
+    source raises instead of silently mis-attributing (r9 ADVICE)."""
     import os
 
     from xngin_spark.streaming import (
@@ -1337,5 +1344,242 @@ def events_attribution_ushaped(spark, sf_dir):
         .agg(
             count_star().alias("n_credits"),
             dsum(F.col("credit"), "attributed_value"),
+        )
+    )
+
+
+def _credit_musum():
+    """Deterministic credit sum for the ratio-credit models: each
+    credit is truncated to integer MICRO-UNITS (floor(x*1e6) — floor is
+    exact on doubles, the multiply is one IEEE op), summed as BIGINT,
+    and divided back once. Ratio credits are non-exact doubles, so the
+    dsum DECIMAL(25,6) cast would hit engine-specific rounding modes
+    (Spark HALF_UP vs DuckDB HALF_EVEN — observed 1e-6 drift at
+    sf0.01); integer truncation has no rounding mode."""
+    return (
+        F.sum(F.floor(F.col("credit") * 1000000.0).cast("long"))
+        .cast("double") / 1000000.0
+    ).alias("attributed_value")
+
+
+@register(
+    "events_attribution_linear",
+    """
+    WITH seq AS (
+      SELECT event_type, value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER w AS nc,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER w AS nv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+      SELECT COALESCE(nc, 0) AS nc, COALESCE(nv, 0) AS nv, value
+      FROM seq WHERE event_type = 'purchase'
+    ),
+    credits AS (
+      SELECT 'click' AS touch_type,
+             value * (CAST(nc AS DOUBLE) / CAST(nc + nv AS DOUBLE)) AS credit
+      FROM p WHERE nc > 0
+      UNION ALL
+      SELECT 'view',
+             value * (CAST(nv AS DOUBLE) / CAST(nc + nv AS DOUBLE))
+      FROM p WHERE nv > 0
+      UNION ALL
+      SELECT 'organic', value FROM p WHERE nc + nv = 0
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(floor(credit * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS attributed_value
+    FROM credits GROUP BY 1
+    """,
+)
+def events_attribution_linear(spark, sf_dir):
+    """LINEAR attribution — the third standard model: each purchase
+    splits its value EQUALLY across every preceding touch by the same
+    user (none -> 'organic' whole). Because there are exactly two touch
+    channels, the per-touch explode collapses to two RUNNING COUNTS
+    (clicks / views strictly before, same per-user window as
+    last-touch), so the 100 TB shape is still one shuffle on user_id +
+    a two-branch union — never a touches x purchases self-join. IEEE
+    determinism: credit = value * (count_double / total_double),
+    operand doubles exact (integer counts), one rounding per op in a
+    fixed tree — both engines produce identical bits, then the dsum
+    discipline seals the aggregate."""
+    from pyspark.sql import Window
+
+    e = events_df(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    p = (
+        e.withColumn(
+            "nc",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "click", 1).otherwise(0)
+                ).over(w),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "nv",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "view", 1).otherwise(0)
+                ).over(w),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    tot = (F.col("nc") + F.col("nv")).cast("double")
+    click = p.filter(F.col("nc") > 0).select(
+        F.lit("click").alias("touch_type"),
+        (F.col("value") * (F.col("nc").cast("double") / tot)).alias("credit"),
+    )
+    view = p.filter(F.col("nv") > 0).select(
+        F.lit("view").alias("touch_type"),
+        (F.col("value") * (F.col("nv").cast("double") / tot)).alias("credit"),
+    )
+    organic = p.filter(F.col("nc") + F.col("nv") == 0).select(
+        F.lit("organic").alias("touch_type"),
+        F.col("value").alias("credit"),
+    )
+    return (
+        click.unionByName(view)
+        .unionByName(organic)
+        .groupBy("touch_type")
+        .agg(
+            count_star().alias("n_credits"),
+            _credit_musum(),
+        )
+    )
+
+
+#: time-decay model constants: credit halves every HALF_LIFE, touches
+#: older than LOOKBACK earn nothing. Dyadic by construction — see
+#: events_attribution_timedecay.
+_TD_HALF_US = 7 * 86400 * 10**6
+_TD_BUCKETS = 4  # lookback = 4 half-lives = 28 days
+
+
+def _td_oracle() -> str:
+    frames = "\n".join(
+        f"             SUM(CASE WHEN event_type IN ('click','view') AND"
+        f" event_type = '{t}' THEN 1 ELSE 0 END) OVER ("
+        f"PARTITION BY user_id ORDER BY em RANGE BETWEEN"
+        f" {k * _TD_HALF_US - 1} PRECEDING AND 1 PRECEDING) AS {t[0]}{k},"
+        for t in ("click", "view")
+        for k in range(1, _TD_BUCKETS + 1)
+    ).rstrip(",")
+    return f"""
+    WITH e AS (
+      SELECT event_type, value, user_id,
+             epoch_us(ts) AS em, ts, event_id
+      FROM events
+    ),
+    seq AS (
+      SELECT event_type, value,
+{frames}
+      FROM e
+    ),
+    p AS (
+      SELECT value,
+             4 * COALESCE(c1, 0) + 2 * COALESCE(c2, 0)
+               + COALESCE(c3, 0) + COALESCE(c4, 0) AS wc,
+             4 * COALESCE(v1, 0) + 2 * COALESCE(v2, 0)
+               + COALESCE(v3, 0) + COALESCE(v4, 0) AS wv
+      FROM seq WHERE event_type = 'purchase'
+    ),
+    credits AS (
+      SELECT 'click' AS touch_type,
+             value * (CAST(wc AS DOUBLE) / CAST(wc + wv AS DOUBLE)) AS credit
+      FROM p WHERE wc > 0
+      UNION ALL
+      SELECT 'view',
+             value * (CAST(wv AS DOUBLE) / CAST(wc + wv AS DOUBLE))
+      FROM p WHERE wv > 0
+      UNION ALL
+      SELECT 'organic', value FROM p WHERE wc + wv = 0
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(floor(credit * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS attributed_value
+    FROM credits GROUP BY 1
+    """
+
+
+@register("events_attribution_timedecay", _td_oracle())
+def events_attribution_timedecay(spark, sf_dir):
+    """TIME-DECAY attribution — the fourth standard model: a touch's
+    share of a purchase halves per 7-day half-life and zeroes past the
+    28-day lookback (the industry-standard windowed exponential-decay
+    model, stepped at half-life boundaries). The step form is chosen
+    for BIT-EXACT cross-engine parity: a touch in half-life bucket k
+    (k = 0..3) weighs 2^-k, so the per-type weight is the integer
+    4*n7 + 2*n14 + n21 + n28 in eighths (nK = touches within the last
+    K days) — NO transcendental pow/exp anywhere (the
+    cooccurrence_lift discipline: libm drift can't leak into hashes).
+    Each nK is one RANGE-frame running count over epoch-micros
+    (strictly-before via the 1-microsecond upper bound), so the whole
+    model is one shuffle on user_id + eight frame counts sharing one
+    sort — at 100 TB it scales exactly like last-touch, never a
+    touches x purchases join. credit = value * (w_double/tot_double)
+    on exact integer-valued doubles, one rounding per op."""
+    from pyspark.sql import Window
+
+    from xngin_spark.operators.temporal import _epoch_micros
+
+    e = events_df(spark, sf_dir)
+    e = e.withColumn("em", _epoch_micros(dict(e.dtypes)["ts"], "ts"))
+    cols = {}
+    for t in ("click", "view"):
+        for k in range(1, _TD_BUCKETS + 1):
+            w = (
+                Window.partitionBy("user_id")
+                .orderBy("em")
+                .rangeBetween(-(k * _TD_HALF_US - 1), -1)
+            )
+            cols[f"{t[0]}{k}"] = F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                ).over(w),
+                F.lit(0),
+            )
+    p = e.withColumns(cols).filter(F.col("event_type") == "purchase")
+    wc = (
+        4 * F.col("c1") + 2 * F.col("c2") + F.col("c3") + F.col("c4")
+    ).alias("wc")
+    wv = (
+        4 * F.col("v1") + 2 * F.col("v2") + F.col("v3") + F.col("v4")
+    ).alias("wv")
+    p = p.select("value", wc, wv)
+    tot = (F.col("wc") + F.col("wv")).cast("double")
+    click = p.filter(F.col("wc") > 0).select(
+        F.lit("click").alias("touch_type"),
+        (F.col("value") * (F.col("wc").cast("double") / tot)).alias("credit"),
+    )
+    view = p.filter(F.col("wv") > 0).select(
+        F.lit("view").alias("touch_type"),
+        (F.col("value") * (F.col("wv").cast("double") / tot)).alias("credit"),
+    )
+    organic = p.filter(F.col("wc") + F.col("wv") == 0).select(
+        F.lit("organic").alias("touch_type"),
+        F.col("value").alias("credit"),
+    )
+    return (
+        click.unionByName(view)
+        .unionByName(organic)
+        .groupBy("touch_type")
+        .agg(
+            count_star().alias("n_credits"),
+            _credit_musum(),
         )
     )

@@ -29,13 +29,34 @@ def get_spark(
     app_name: str = "xngin_spark",
     cpus: str | int | None = None,
     extra_conf: dict[str, str] | None = None,
+    profile: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
     In tests and the bench we run ``local[N]``; the same conf is valid on a
     cluster master — nothing here assumes single-node.
+
+    ``profile`` (or env ``XNGIN_SPARK_PROFILE``) picks the shuffle
+    posture:
+
+    - ``"throughput"`` (default): AQE initialPartitionNum=256 — every
+      shuffle starts wide and coalesces down, which is what keeps a
+      600M-row sf100 join out of spill (the q5 cliff fix) and is the
+      right default for the 100 TB target.
+    - ``"latency"``: initialPartitionNum = 4x cores — sub-second micro
+      queries stop paying the 0.1-0.3s tax of planning/coalescing 256
+      partitions per shuffle (the r9 verdict's "small-row cost"); heavy
+      joins still get AQE skew-splitting, just from a narrower start.
+      Pick this for interactive/serving sessions at modest SF where
+      sf100-class headroom is not wanted.
     """
     cpus = str(cpus or _DEFAULT_CPUS)
+    profile = profile or os.environ.get("XNGIN_SPARK_PROFILE", "throughput")
+    if profile not in ("throughput", "latency"):
+        raise ValueError(
+            f"unknown profile {profile!r}: expected 'throughput' or 'latency'"
+        )
+    initial_parts = "256" if profile == "throughput" else str(4 * int(cpus))
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -52,7 +73,10 @@ def get_spark(
         # the synthesized sf100: q5's lineitem shuffle spilled and ran
         # 169s at 32 fixed partitions, 57s with headroom + hash join
         # (SCALE.md round-9 session-2).
-        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            initial_parts,
+        )
         # Hash-first joins: when one side is provably the smaller, build
         # a hash table per partition instead of sorting BOTH sides —
         # sorting 600M rows was the whole q5 sf100 cliff. Spark's SHJ
@@ -89,5 +113,12 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # initialPartitionNum is a runtime SQL conf: re-apply after
+    # getOrCreate so the profile takes effect even when an existing
+    # session is reused (builder confs are ignored on reuse)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initial_parts,
+    )
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -429,6 +429,59 @@ def scrub_rows(
     spark.catalog.refreshByPath(path)
 
 
+def scrub_append_rows(
+    spark: SparkSession,
+    path: str,
+    gone: DataFrame,
+    id_col: str,
+    add: DataFrame,
+) -> None:
+    """Scrub ``gone``'s ids AND land ``add``'s replacement rows in ONE
+    copy-on-write swap: the rewrite job that drops the scrubbed rows
+    from the affected files carries the fresh rows in the same write,
+    so a table update costs one find-files job + one write instead of
+    scrub_rows + a separate append (the two-job shape that made the
+    BM25 streaming sink's per-batch transaction floor ~17s — round-9
+    verdict #1). Unpartitioned datasets only (the BM25 index tables
+    are); hive-partitioned indexes keep the two-phase scrub + append.
+
+    Idempotence is UNCONDITIONAL: the scrub key set is ``gone``'s ids
+    UNION ``add``'s ids (both delta-sized), so a replayed apply always
+    erases its own previous append before re-adding — ``add`` rows are
+    ABSOLUTE (full replacement rows for their ids) by contract.
+    A missing/not-yet-created dataset appends ``add`` fresh (seeding);
+    a delta that touches no stored file is a pure append."""
+    try:
+        stored = spark.read.parquet(path)
+    except AnalysisException:
+        if add.head(1):
+            add.write.mode("append").parquet(path)
+        return
+    gone = gone.select(id_col).unionByName(add.select(id_col)).distinct()
+    scan = stored.select(
+        F.col(id_col), F.col("_metadata.file_path").alias("f")
+    )
+    files = [
+        _local(r.f)
+        for r in scan.join(F.broadcast(gone), id_col, "left_semi")
+        .select("f")
+        .distinct()
+        .collect()
+    ]
+    if not files:
+        if add.head(1):
+            add.write.mode("append").parquet(path)
+            spark.catalog.refreshByPath(path)
+        return
+    keep = (
+        spark.read.parquet(*files)
+        .join(F.broadcast(gone), id_col, "left_anti")
+        .select(*stored.columns)
+        .unionByName(add.select(*stored.columns))
+    )
+    _swap_in(spark, keep, os.path.dirname(files[0]), files)
+
+
 def table_diff(
     old: DataFrame,
     new: DataFrame,

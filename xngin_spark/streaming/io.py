@@ -206,7 +206,20 @@ def run_available_now(
     import tempfile
 
     if timeout_s is None:
-        timeout_s = int(os.environ.get("XNGIN_STREAM_TIMEOUT_S", "120"))
+        raw = os.environ.get("XNGIN_STREAM_TIMEOUT_S", "120")
+        try:
+            timeout_s = int(raw)
+        except ValueError:
+            # a typo'd knob must read as a config warning, not as a
+            # ValueError deep inside every streaming query (ADVICE r9)
+            import warnings
+
+            warnings.warn(
+                f"XNGIN_STREAM_TIMEOUT_S={raw!r} is not an integer; "
+                "falling back to 120s",
+                stacklevel=2,
+            )
+            timeout_s = 120
     ckpt = tempfile.mkdtemp(prefix=f"xngin-ckpt-{name}-")
     try:
         q = to_memory_sink(sdf, name, output_mode, checkpoint_location=ckpt)

@@ -568,7 +568,7 @@ def apply_cdc_bm25_batch(
     id_col, text_col = meta["id_col"], meta["text_col"]
     with _phase(rec, "dedup_checkpoint"):
         b = batch_df.dropDuplicates([id_col]).localCheckpoint(eager=True)
-    if not b.count():
+    if not b.head(1):
         return
     snapshot_like = b.filter(F.col("op").isin("insert", "update")).select(
         F.col(id_col), F.col(f"_new.{text_col}").alias(text_col)

@@ -229,10 +229,19 @@ ATTRIBUTION_SCHEMA = T.StructType(
     ]
 )
 
-#: the user's current last-touch event type ("" = no touch seen yet) —
-#: the WHOLE per-user footprint, one short string regardless of how
-#: many events the user has produced
-_LAST_TOUCH_SCHEMA = T.StructType([T.StructField("t", T.StringType())])
+#: the user's current last-touch event type ("" = no touch seen yet)
+#: plus the event-time HIGH WATERMARK (ns since epoch) of everything
+#: consumed so far — the WHOLE per-user footprint, one short string +
+#: one long regardless of how many events the user has produced. The
+#: watermark makes the ordering precondition (see _update_attribution)
+#: CHECKED instead of assumed: out-of-order arrival raises instead of
+#: silently mis-attributing purchases (r9 ADVICE).
+_LAST_TOUCH_SCHEMA = T.StructType(
+    [
+        T.StructField("t", T.StringType()),
+        T.StructField("hw", T.LongType()),
+    ]
+)
 
 
 def _update_attribution(
@@ -241,19 +250,38 @@ def _update_attribution(
     """Streaming half of events_attribution: each purchase row is
     emitted ONCE (append mode) credited to the user's most recent
     preceding click/view — the carry-forward the batch twin computes
-    with a strictly-before window frame. State is one string per user
-    (the last touch type), so attribution at 100 TB holds O(users)
-    state, never a per-user history. Rows sort by (ts, event_id)
-    inside the batch — the batch twin's exact tie-break; cross-batch
-    event-time order is the file-source arrival order, as for every
-    stateful operator here. The emitted value is the UNTOUCHED input
-    double (no pandas arithmetic), so the consumer's decimal-sum
-    aggregate hash-matches the batch oracle bit-for-bit."""
+    with a strictly-before window frame. State is one string + one
+    long per user (the last touch type and the event-time high
+    watermark), so attribution at 100 TB holds O(users) state, never a
+    per-user history. Rows sort by (ts, event_id) inside the batch —
+    the batch twin's exact tie-break.
+
+    ORDERING PRECONDITION (checked, not assumed): event-time order
+    ACROSS micro-batches must follow source arrival order — for the
+    file source, files must arrive (mtime order) consistent with the
+    event times they carry, as the registered query's synthetic feed
+    guarantees by slicing on ts. A source violating it (e.g. a
+    backfill file landing late) would attribute purchases against a
+    stale carry — so each batch's min ts is asserted >= the per-user
+    high-watermark in state and violation RAISES, naming the
+    precondition, instead of silently mis-crediting. The emitted value
+    is the UNTOUCHED input double (no pandas arithmetic), so the
+    consumer's decimal-sum aggregate hash-matches the batch oracle
+    bit-for-bit."""
     if state.hasTimedOut:
         state.remove()
         return
-    touch = state.get[0] if state.exists else ""
+    touch, hw = state.get if state.exists else ("", None)
     pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch_min = int(pdf["ts"].iloc[0].value)
+    if hw is not None and batch_min < hw:
+        raise ValueError(
+            "stream_attribution ordering precondition violated for "
+            f"user {key[0]}: batch min event time {batch_min} precedes "
+            f"the consumed high-watermark {hw} — micro-batch arrival "
+            "order must follow event time (sort/partition the source "
+            "feed by ts)"
+        )
     out_touch: list[str] = []
     out_val: list[float] = []
     for et, val in zip(pdf["event_type"].tolist(), pdf["value"].tolist()):
@@ -262,7 +290,8 @@ def _update_attribution(
             out_val.append(val)
         elif et in ("click", "view"):
             touch = et
-    state.update((touch,))
+    batch_max = int(pdf["ts"].iloc[-1].value)
+    state.update((touch, max(hw, batch_max) if hw is not None else batch_max))
     if out_touch:
         yield pd.DataFrame(
             {
