@@ -223,6 +223,55 @@ def test_kcore_fixpoint_is_silent_and_early_exit_matches_budget(spark):
     )
 
 
+# --- NDV cache freshness: in-place data growth re-measures -------------------
+
+
+def test_ndv_cache_refreshes_after_in_place_append(spark, tmp_path):
+    """The auto-reorder gate caches per-vertex NDVs keyed by plan
+    fingerprint. A CDC/maintenance append to the SAME path inside a
+    long-lived session must move the fingerprint (the canonicalized
+    plan text alone does not change) so the gate re-measures instead
+    of costing joins with stale cardinalities (r9 verdict #4)."""
+    from xngin_spark.operators.util import values_df
+    from xngin_spark.plans.reorder import (
+        Edge,
+        measure_edge_ndv,
+        plan_fingerprint,
+    )
+
+    p = str(tmp_path / "grows")
+    values_df(
+        spark, "k long, v long", [(i % 3, i) for i in range(30)]
+    ).coalesce(1).write.parquet(p)
+    other = values_df(spark, "k long, w long", [(i, i) for i in range(3)])
+
+    cache: dict = {}
+    df1 = spark.read.parquet(p)
+    fp1 = plan_fingerprint(df1)
+    ndv1 = measure_edge_ndv(
+        {"g": df1, "o": other}, [Edge("g", "o", [("k", "k")])], cache
+    )
+    assert ndv1[("g", "__rows__")] == 30.0
+
+    # in-place growth: 300 fresh rows with 97 new distinct keys
+    values_df(
+        spark, "k long, v long", [(100 + i % 97, i) for i in range(300)]
+    ).coalesce(1).write.mode("append").parquet(p)
+    spark.catalog.refreshByPath(p)
+    df2 = spark.read.parquet(p)
+    fp2 = plan_fingerprint(df2)
+    assert fp1 != fp2, "append to the same path must move the fingerprint"
+    ndv2 = measure_edge_ndv(
+        {"g": df2, "o": other}, [Edge("g", "o", [("k", "k")])], cache
+    )
+    assert ndv2[("g", "__rows__")] == 330.0
+    assert ndv2[("g", "k")] > ndv1[("g", "k")] * 5
+
+    # and the ORIGINAL fingerprint's entries are untouched (cache is
+    # versioned, not invalidated wholesale)
+    assert cache[(fp1, "__rows__")] == 30.0
+
+
 # --- hash-first default: two-large-sides join degrades gracefully -----------
 
 
@@ -336,3 +385,166 @@ def test_stream_timeout_env_typo_warns_and_falls_back(
         warnings.simplefilter("always")
         run_available_now(sdf, "t_env_typo", output_mode="complete")
     assert any("XNGIN_STREAM_TIMEOUT_S" in str(w.message) for w in caught)
+
+
+# --- generalized streaming CEP: regex -> DFA, earliest-end semantics --------
+
+
+def _earliest_end_count(pattern: str, s: str) -> int:
+    """Executable specification: count non-overlapping matches taking,
+    at each step, the match with the EARLIEST possible end position
+    (ties collapsed), then skipping past it. re.fullmatch is used only
+    as a membership oracle."""
+    import re
+
+    n, i = 0, 0
+    while i < len(s):
+        found = None
+        for end in range(i + 1, len(s) + 1):
+            if any(
+                re.fullmatch(pattern, s[start:end])
+                for start in range(i, end)
+            ):
+                found = end
+                break
+        if found is None:
+            break
+        n += 1
+        i = found
+    return n
+
+
+def test_cep_compile_matches_spec_on_random_patterns():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xngin_spark.streaming.cep import CompiledPattern
+
+    chars = st.sampled_from("abc")
+    atoms = st.one_of(chars, chars.map(lambda c: f"({c})"))
+    repeated = st.one_of(
+        atoms,
+        atoms.map(lambda a: a + "*"),
+        atoms.map(lambda a: a + "+"),
+        atoms.map(lambda a: a + "?"),
+    )
+    concat = st.lists(repeated, min_size=1, max_size=4).map("".join)
+    pattern = st.lists(concat, min_size=1, max_size=3).map("|".join)
+
+    @settings(max_examples=120, deadline=None)
+    @given(pattern, st.text(alphabet="abc", max_size=24))
+    def check(pat, s):
+        try:
+            compiled = CompiledPattern(pat)
+        except ValueError:
+            return  # empty-matching pattern, rejected by contract
+        assert compiled.count(s) == _earliest_end_count(pat, s), (
+            pat, s,
+        )
+
+    check()
+
+
+def test_cep_terminal_anchored_equals_re_findall():
+    """For patterns whose every match ends on a code that cannot extend
+    the match (the registered vc*p family), earliest-end ==
+    re.findall counting — the bridge to the batch regexp_count
+    oracle."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xngin_spark.streaming.cep import CompiledPattern
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.sampled_from(["vc*p", "vp", "vc+p", "v(c|v)p|vp", "vcp|vp"]),
+        st.text(alphabet="vcp", max_size=30),
+    )
+    def check(pat, s):
+        assert CompiledPattern(pat).count(s) == len(re.findall(pat, s))
+
+    check()
+
+
+def test_cep_compiled_vcp_agrees_with_handbuilt_dfa():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xngin_spark.streaming.cep import CompiledPattern
+    from xngin_spark.streaming.stateful import dfa_step
+
+    compiled = CompiledPattern("vc*p")
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet="vcp", max_size=40))
+    def check(s):
+        cs, hs = compiled.START, 0
+        cn = hn = 0
+        for c in s:
+            cs, hit = compiled.step(cs, c)
+            cn += hit
+            hs, hhit = dfa_step(hs, c)
+            hn += hhit
+        assert cn == hn, s
+
+    check()
+
+
+def test_cep_rejects_empty_matching_patterns():
+    from xngin_spark.streaming.cep import CompiledPattern
+
+    for pat in ("a*", "a?", "a*b*", "(a|b)?", ""):
+        with pytest.raises(ValueError):
+            CompiledPattern(pat)
+
+
+def test_cep_stream_custom_pattern_spans_batches(spark, tmp_path):
+    """A compiled custom pattern ('cv+p') must count across micro-batch
+    boundaries with the same 3-int state contract — the match here
+    STARTS in batch 1 and completes in batch 2."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from xngin_spark.streaming.cep import CompiledPattern
+    from xngin_spark.streaming.stateful import stream_pattern_match
+
+    schema = (
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    b1 = [(1, 1, datetime(2024, 1, 1, 9, 0), "click", 0.0),
+          (1, 2, datetime(2024, 1, 1, 9, 1), "view", 0.0)]
+    b2 = [(1, 3, datetime(2024, 1, 1, 9, 2), "view", 0.0),
+          (1, 4, datetime(2024, 1, 1, 9, 3), "purchase", 1.0),
+          (2, 5, datetime(2024, 1, 1, 9, 4), "purchase", 1.0)]
+    feed = str(tmp_path / "feed")
+    import time as _t
+
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _t.sleep(1.1)
+    sdf = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    out = stream_pattern_match(sdf, pattern="cv+p")
+    q = (
+        out.writeStream.format("memory").queryName("cep_custom")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n_matches"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_matches) AS n_matches FROM cep_custom"
+            " GROUP BY user_id"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 0}
+    assert CompiledPattern("cv+p").count("cvvp") == 1

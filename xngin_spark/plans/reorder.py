@@ -209,10 +209,19 @@ def plan_fingerprint(df: DataFrame) -> str:
     (canonicalized, so expression IDs — which differ every time the
     same query is re-built — don't perturb it). Used to key cached
     per-vertex statistics: two vertices over the same table but with
-    DIFFERENT predicates must not share NDV/rowcount entries."""
+    DIFFERENT predicates must not share NDV/rowcount entries.
+
+    The DATA VERSION is part of the key, not just the plan text: a
+    canonicalized file-scan prints the location, not the file set, so
+    CDC/maintenance appending to the same path in a long-lived session
+    would otherwise gate on stale cardinalities (r9 verdict #4). The
+    scan's input-file list (driver-side, already listed at DataFrame
+    build) is hashed in — Spark part-file names are unique per write,
+    so appends, compactions and overwrites all move the fingerprint."""
     import hashlib
 
     s = df._jdf.queryExecution().optimizedPlan().canonicalized().toString()
+    s += "\x00".join(sorted(df.inputFiles()))
     return hashlib.md5(s.encode()).hexdigest()[:16]
 
 

@@ -205,13 +205,51 @@ def _update_pattern(
     )
 
 
-def stream_pattern_match(sdf: DataFrame) -> DataFrame:
-    """Per-user v→c*→p match counts, refreshed each micro-batch
-    (update mode). Counters are monotone per user, so the stream's
-    final answer is max() per user over the sink — the consumer's
-    last-row extraction."""
+def stream_pattern_match(sdf: DataFrame, pattern: str | None = None) -> DataFrame:
+    """Per-user sequence-pattern match counts, refreshed each
+    micro-batch (update mode). Counters are monotone per user, so the
+    stream's final answer is max() per user over the sink — the
+    consumer's last-row extraction.
+
+    ``pattern=None`` runs the registered v→c*→p matcher (dfa_step,
+    hash-matched against the regexp_count batch oracle). Any other
+    pattern over the single-char event-code alphabet is COMPILED to a
+    DFA driver-side (streaming/cep.py — regex → Thompson NFA → subset
+    construction) and counted with earliest-end non-overlapping
+    semantics; the per-user state stays the same 3 integers
+    regardless of pattern complexity."""
+    if pattern is None:
+        update = _update_pattern
+    else:
+        from xngin_spark.streaming.cep import CompiledPattern
+
+        compiled = CompiledPattern(pattern)
+
+        def update(key, pdfs, state):  # noqa: ANN001 — pandas-UDF shape
+            if state.hasTimedOut:
+                state.remove()
+                return
+            s, n_events, n_matches = (
+                state.get if state.exists else (compiled.START, 0, 0)
+            )
+            pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+            for c in pdf["event_type"].str[0].tolist():
+                if n_events >= PATTERN_EVENT_CAP:
+                    break
+                n_events += 1
+                s, hit = compiled.step(s, c)
+                n_matches += hit
+            state.update((s, n_events, n_matches))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "n_matches": [n_matches],
+                }
+            )
+
     return sdf.groupBy("user_id").applyInPandasWithState(
-        _update_pattern,
+        update,
         outputStructType=PATTERN_SCHEMA,
         stateStructType=_DFA_STATE_SCHEMA,
         outputMode="update",
