@@ -61,6 +61,10 @@ DEFAULT_NAMES = [
     # events: windows, temporal joins, sequence patterns, centrality
     "events_tumbling", "events_asof_join", "events_pattern_match",
     "pagerank_event_chain", "pagerank_dedup_graph",
+    # attribution: the standard four-model set (last-touch is implied
+    # by events_stream_attribution; micro-unit truncated ratio credits)
+    "events_attribution_ushaped", "events_attribution_linear",
+    "events_attribution_timedecay",
 ]
 
 
