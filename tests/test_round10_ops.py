@@ -459,7 +459,9 @@ def test_cep_terminal_anchored_equals_re_findall():
 
     @settings(max_examples=150, deadline=None)
     @given(
-        st.sampled_from(["vc*p", "vp", "vc+p", "v(c|v)p|vp", "vcp|vp"]),
+        st.sampled_from(
+            ["vc*p", "vp", "vc+p", "v(c|v)p|vp", "vcp|vp", "cv*p", "cv+p"]
+        ),
         st.text(alphabet="vcp", max_size=30),
     )
     def check(pat, s):
@@ -548,3 +550,57 @@ def test_cep_stream_custom_pattern_spans_batches(spark, tmp_path):
     }
     assert got == {1: 1, 2: 0}
     assert CompiledPattern("cv+p").count("cvvp") == 1
+
+
+def test_stream_attribution_linear_bridges_batches(spark, tmp_path):
+    """A purchase in batch 2 must split across touches carried from
+    batch 1 — the 3-int state (nc, nv, hw) is the cross-batch bridge.
+    User 1: click+view in batch 1, purchase(9.0) in batch 2 → 4.5 to
+    each channel. User 2: untouched purchase → organic whole."""
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from xngin_spark.streaming.stateful import stream_attribution_linear
+
+    schema = (
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    b1 = [(1, 1, datetime(2024, 1, 1, 9, 0), "click", 0.0),
+          (1, 2, datetime(2024, 1, 1, 9, 1), "view", 0.0),
+          (2, 3, datetime(2024, 1, 1, 9, 2), "purchase", 3.25)]
+    b2 = [(1, 4, datetime(2024, 1, 1, 9, 5), "purchase", 9.0),
+          (1, 5, datetime(2024, 1, 1, 9, 6), "click", 0.0),
+          (1, 6, datetime(2024, 1, 1, 9, 7), "purchase", 3.0)]
+    feed = str(tmp_path / "feed")
+    import time as _t
+
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _t.sleep(1.1)
+    sdf = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    out = stream_attribution_linear(sdf)
+    q = (
+        out.writeStream.format("memory").queryName("attr_linear_bridge")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "SELECT user_id, touch_type, credit FROM attr_linear_bridge"
+        ).collect()
+    )
+    # second purchase of user 1 splits 2 clicks / 1 view
+    assert got == sorted([
+        (1, "click", 4.5), (1, "click", 3.0 * (2 / 3)),
+        (1, "view", 4.5), (1, "view", 3.0 * (1 / 3)),
+        (2, "organic", 3.25),
+    ])

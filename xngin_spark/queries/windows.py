@@ -1583,3 +1583,127 @@ def events_attribution_timedecay(spark, sf_dir):
             _credit_musum(),
         )
     )
+
+
+@register(
+    "events_stream_pattern_custom",
+    """
+    WITH r AS (
+      SELECT user_id, substr(event_type, 1, 1) AS c,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, string_agg(c, '' ORDER BY rn) AS seq
+      FROM r WHERE rn <= 512 GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches
+    FROM s
+    WHERE len(regexp_extract_all(seq, 'cv*p')) >= 1
+    """,
+)
+def events_stream_pattern_custom(spark, sf_dir):
+    """The GENERALIZED CEP compiler as a registered oracle row: the
+    click→view*→purchase funnel ('cv*p' — a DIFFERENT pattern than the
+    hand-built v→c*→p matcher) compiled regex→NFA→DFA by
+    streaming/cep.py and run with the same 3-int per-user state. The
+    oracle is DuckDB's greedy regexp over the per-user code strings —
+    valid because 'cv*p' is terminal-anchored (every match ends on the
+    'p' the repeat class cannot absorb), where earliest-end ≡ leftmost-
+    greedy counting (property-pinned for this family in
+    tests/test_round10_ops.py). Proves arbitrary-pattern compilation is
+    oracle-exact end-to-end, not just property-tested."""
+    import os
+
+    from xngin_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_pattern_match,
+    )
+
+    sdf = stream_pattern_match(
+        events_stream(spark, os.path.join(sf_dir, "events.parquet")),
+        pattern="cv*p",
+    )
+    name = "stream_pattern_custom_sink"
+    rows = run_available_now(
+        sdf, name, output_mode="update", shuffle_partitions=8
+    )
+    return (
+        rows.groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("long").alias("seq_len"),
+            F.max("n_matches").cast("long").alias("n_matches"),
+        )
+        .filter(F.col("n_matches") >= 1)
+    )
+
+
+@register(
+    "events_stream_attribution_linear",
+    """
+    WITH seq AS (
+      SELECT event_type, value,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               OVER w AS nc,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER w AS nv
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (
+      SELECT COALESCE(nc, 0) AS nc, COALESCE(nv, 0) AS nv, value
+      FROM seq WHERE event_type = 'purchase'
+    ),
+    credits AS (
+      SELECT 'click' AS touch_type,
+             value * (CAST(nc AS DOUBLE) / CAST(nc + nv AS DOUBLE)) AS credit
+      FROM p WHERE nc > 0
+      UNION ALL
+      SELECT 'view',
+             value * (CAST(nv AS DOUBLE) / CAST(nc + nv AS DOUBLE))
+      FROM p WHERE nv > 0
+      UNION ALL
+      SELECT 'organic', value FROM p WHERE nc + nv = 0
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(floor(credit * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 AS attributed_value
+    FROM credits GROUP BY 1
+    """,
+)
+def events_stream_attribution_linear(spark, sf_dir):
+    """STREAMING twin of events_attribution_linear against the
+    IDENTICAL batch oracle: per-user state is THREE integers (running
+    click/view counts + the event-time high-watermark that CHECKS the
+    ordering precondition), each purchase's channel credits emitted
+    once in append mode with the same IEEE operation tree as the batch
+    window expression, and the sink aggregate applies the same
+    micro-unit truncation — so the incremental report hash-matches the
+    batch model bit-for-bit. Completes the streaming attribution pair
+    (last-touch + linear); the batch twin re-sorts each user's full
+    history per run, the stream touches each event once."""
+    import os
+
+    from xngin_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_attribution_linear,
+    )
+
+    sdf = stream_attribution_linear(
+        events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    name = "stream_attribution_linear_sink"
+    rows = run_available_now(
+        sdf, name, output_mode="append", shuffle_partitions=8
+    )
+    return rows.groupBy("touch_type").agg(
+        count_star().alias("n_credits"),
+        _credit_musum(),
+    )

@@ -36,6 +36,7 @@ from xngin_spark.streaming.windows import (
 )
 from xngin_spark.streaming.stateful import (
     stream_attribution,
+    stream_attribution_linear,
     running_totals,
     stream_pattern_match,
     stream_transitions,
@@ -52,6 +53,7 @@ __all__ = [
     "stream_session",
     "running_totals",
     "stream_attribution",
+    "stream_attribution_linear",
     "stream_pattern_match",
     "stream_transitions",
     "stream_dedup",

@@ -351,3 +351,95 @@ def stream_attribution(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming linear attribution -------------------------------------------
+
+LINEAR_ATTRIBUTION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("touch_type", T.StringType()),
+        T.StructField("credit", T.DoubleType()),
+    ]
+)
+
+#: (n_clicks, n_views, event-time high watermark in ns) — the whole
+#: per-user footprint of LINEAR attribution: because the channel set is
+#: {click, view}, "equal split across all preceding touches" reduces to
+#: two running counts, so the streaming state is THREE integers however
+#: long the user's history grows (the batch twin re-sorts full history
+#: per run).
+_LINEAR_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("nc", T.LongType()),
+        T.StructField("nv", T.LongType()),
+        T.StructField("hw", T.LongType()),
+    ]
+)
+
+
+def _update_attribution_linear(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming half of events_attribution_linear: each purchase emits
+    its channel credits ONCE (append mode), split by the carried
+    running counts. credit = value * (count / total) in python floats —
+    the identical IEEE operation tree as the batch twin's Spark
+    expression, so the consumer's micro-unit-truncated sum matches the
+    batch report bit-for-bit. Ordering precondition checked against the
+    carried high-watermark exactly as stream_attribution does."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    nc, nv, hw = state.get if state.exists else (0, 0, None)
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch_min = int(pdf["ts"].iloc[0].value)
+    if hw is not None and batch_min < hw:
+        raise ValueError(
+            "stream_attribution_linear ordering precondition violated "
+            f"for user {key[0]}: batch min event time {batch_min} "
+            f"precedes the consumed high-watermark {hw}"
+        )
+    out_touch: list[str] = []
+    out_credit: list[float] = []
+    for et, val in zip(pdf["event_type"].tolist(), pdf["value"].tolist()):
+        if et == "purchase":
+            tot = nc + nv
+            if tot == 0:
+                out_touch.append("organic")
+                out_credit.append(val)
+            else:
+                if nc > 0:
+                    out_touch.append("click")
+                    out_credit.append(val * (nc / tot))
+                if nv > 0:
+                    out_touch.append("view")
+                    out_credit.append(val * (nv / tot))
+        elif et == "click":
+            nc += 1
+        elif et == "view":
+            nv += 1
+    batch_max = int(pdf["ts"].iloc[-1].value)
+    state.update((nc, nv, max(hw, batch_max) if hw is not None else batch_max))
+    if out_touch:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_touch),
+                "touch_type": out_touch,
+                "credit": out_credit,
+            }
+        )
+
+
+def stream_attribution_linear(sdf: DataFrame) -> DataFrame:
+    """(user_id, touch_type, credit) — per-purchase channel credits in
+    append mode. Aggregate the sink with the micro-unit truncation
+    discipline (queries/windows._credit_musum) to reproduce the batch
+    linear-attribution report."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _update_attribution_linear,
+        outputStructType=LINEAR_ATTRIBUTION_SCHEMA,
+        stateStructType=_LINEAR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
