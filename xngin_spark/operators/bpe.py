@@ -124,9 +124,16 @@ def learn(
         l, r, c = top["left_sym"], top["right_sym"], int(top["pair_count"])
         rows.append((rank, l, r, l + r, c))
         symtab = apply_merge(symtab, l, r).localCheckpoint()
-    return spark.createDataFrame(
-        rows, "rank INT, left_sym STRING, right_sym STRING, "
-        "merged STRING, pair_count BIGINT"
+    # values_df, not createDataFrame: downstream bench actions over a
+    # python local relation each pay a ~4s python->JVM stage
+    # (operators/util.values_df); merge lists are small by construction
+    from xngin_spark.operators.util import values_df
+
+    return values_df(
+        spark,
+        "rank INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, pair_count BIGINT",
+        rows,
     )
 
 

@@ -30,6 +30,21 @@ from xngin_spark.catalog import ALL_TABLES
 
 def duckdb_connect(sf_dir: str) -> "duckdb.DuckDBPyConnection":
     con = duckdb.connect()
+    # let heavy oracles SPILL instead of dying: an in-memory DuckDB has
+    # no temp directory, so a 100M-row window/string_agg at the sf100
+    # parity scale aborts with OOM (observed: events_pattern_match's
+    # per-user sequence build) while the same query completes fine
+    # against disk. A bounded memory_limit keeps the oracle from
+    # starving the Spark JVM it shares the host with.
+    try:
+        con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+        con.execute(
+            "SET memory_limit='"
+            + os.environ.get("XNGIN_ORACLE_MEM", "24GB")
+            + "'"
+        )
+    except duckdb.Error:
+        pass  # older duckdb without these pragmas: previous behavior
     for name in ALL_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
@@ -52,13 +67,29 @@ def _norm_cell(v: object) -> str:
     return str(v)
 
 
-def result_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+def _digest_rows(cols: list[str], row_iter) -> tuple[int, str]:
+    """Order-insensitive multiset digest of a row stream: per-row
+    sha256 summed mod 2^256 (the AdHash construction) — equal row
+    MULTISETS (duplicates counted) produce equal digests regardless of
+    order, and the accumulator is O(1) memory, so a 25M-row sf100
+    result streams through instead of materializing a sorted line list
+    (the previous sort-then-hash fingerprint MemoryError'd collecting
+    events_asof_join at sf100). Same per-cell normalization as before;
+    columns still compare by sorted name."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted(
-        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
-    )
-    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
-    return len(rows), h
+    acc = 0
+    n = 0
+    for r in row_iter:
+        line = "\x1f".join(_norm_cell(r[i]) for i in order)
+        acc = (
+            acc + int.from_bytes(hashlib.sha256(line.encode()).digest(), "big")
+        ) % (1 << 256)
+        n += 1
+    return n, format(acc, "064x")[:16]
+
+
+def result_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
+    return _digest_rows(cols, iter(rows))
 
 
 @dataclass
@@ -86,11 +117,16 @@ def compare(
     con: "duckdb.DuckDBPyConnection",
     oracle_sql: str,
 ) -> ParityResult:
-    srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
+    sn, sh = _digest_rows(
+        scols, sdf.toLocalIterator(prefetchPartitions=True)
+    )
     cur = con.execute(oracle_sql)
     ocols = [d[0] for d in cur.description]
-    orows = [tuple(r) for r in cur.fetchall()]
-    sn, sh = result_fingerprint(scols, srows)
-    on, oh = result_fingerprint(ocols, orows)
+
+    def oracle_rows():
+        while batch := cur.fetchmany(65536):
+            yield from batch
+
+    on, oh = _digest_rows(ocols, oracle_rows())
     return ParityResult(name, sn, on, sh, oh, scols, ocols)
