@@ -604,3 +604,93 @@ def test_stream_attribution_linear_bridges_batches(spark, tmp_path):
         (1, "view", 4.5), (1, "view", 3.0 * (1 / 3)),
         (2, "organic", 3.25),
     ])
+
+
+def _run_attr_stream(spark, tmp_path, op, batches, query_name):
+    from pyspark.sql import types as T
+
+    schema = (
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double"
+    )
+    feed = str(tmp_path / "feed")
+    import time as _t
+
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _t.sleep(1.1)
+    sdf = (
+        spark.readStream.schema(T.StructType.fromDDL(schema))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+    )
+    q = (
+        op(sdf).writeStream.format("memory").queryName(query_name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    assert q.awaitTermination(120)
+    return sorted(
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT user_id, touch_type, credit FROM {query_name}"
+        ).collect()
+    )
+
+
+def test_stream_attribution_ushaped_bridges_batches(spark, tmp_path):
+    """First touch in batch 1, last touch + purchase in batch 2: the
+    two-string state must credit 50/50 across the boundary; a single
+    carried touch earns both halves."""
+    from datetime import datetime
+
+    from xngin_spark.streaming.stateful import stream_attribution_ushaped
+
+    b1 = [(1, 1, datetime(2024, 1, 1, 9, 0), "view", 0.0),
+          (2, 2, datetime(2024, 1, 1, 9, 1), "click", 0.0)]
+    b2 = [(1, 3, datetime(2024, 1, 1, 9, 5), "click", 0.0),
+          (1, 4, datetime(2024, 1, 1, 9, 6), "purchase", 8.0),
+          (2, 5, datetime(2024, 1, 1, 9, 7), "purchase", 6.0),
+          (3, 6, datetime(2024, 1, 1, 9, 8), "purchase", 2.5)]
+    got = _run_attr_stream(
+        spark, tmp_path, stream_attribution_ushaped, (b1, b2),
+        "attr_ushaped_bridge",
+    )
+    assert got == sorted([
+        (1, "view", 4.0), (1, "click", 4.0),      # first=batch-1 view
+        (2, "click", 3.0), (2, "click", 3.0),     # single touch, both halves
+        (3, "organic", 2.5),
+    ])
+
+
+def test_stream_attribution_timedecay_bridges_and_prunes(spark, tmp_path):
+    """A touch 10 days old (bucket 1 -> weight 4) and one 2 days old
+    (bucket 0 -> weight 8) split a purchase 4:8 across the batch
+    boundary; a touch 40 days old is PRUNED and the purchase with no
+    in-lookback touch lands organic."""
+    from datetime import datetime
+
+    from xngin_spark.streaming.stateful import stream_attribution_timedecay
+
+    b1 = [
+        # user 1: click 10 days before the purchase, view 2 days before
+        (1, 1, datetime(2024, 1, 5, 12, 0), "click", 0.0),
+        (1, 2, datetime(2024, 1, 13, 12, 0), "view", 0.0),
+        # user 2: a touch 40 days before its purchase — outside lookback
+        (2, 3, datetime(2024, 1, 1, 0, 0), "click", 0.0),
+    ]
+    b2 = [
+        (1, 4, datetime(2024, 1, 15, 12, 0), "purchase", 12.0),
+        (2, 5, datetime(2024, 2, 10, 0, 0), "purchase", 5.0),
+    ]
+    got = _run_attr_stream(
+        spark, tmp_path, stream_attribution_timedecay, (b1, b2),
+        "attr_td_bridge",
+    )
+    # weights: click Δ=10d -> bucket [7d,14d) -> 4; view Δ=2d -> 8
+    assert got == sorted([
+        (1, "click", 12.0 * (4 / 12)),
+        (1, "view", 12.0 * (8 / 12)),
+        (2, "organic", 5.0),
+    ])

@@ -1707,3 +1707,96 @@ def events_stream_attribution_linear(spark, sf_dir):
         count_star().alias("n_credits"),
         _credit_musum(),
     )
+
+
+@register(
+    "events_stream_attribution_ushaped",
+    """
+    WITH seq AS (
+      SELECT event_type, value,
+             FIRST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                              THEN event_type END IGNORE NULLS)
+               OVER w AS ft,
+             LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS lt
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    p AS (SELECT * FROM seq WHERE event_type = 'purchase'),
+    credits AS (
+      SELECT COALESCE(ft, 'organic') AS touch_type,
+             CASE WHEN ft IS NULL THEN value ELSE value * 0.5 END AS credit
+      FROM p
+      UNION ALL
+      SELECT lt, value * 0.5 FROM p WHERE lt IS NOT NULL
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(SUM(CAST(credit AS DECIMAL(25,6))) AS DOUBLE)
+             AS attributed_value
+    FROM credits GROUP BY 1
+    """,
+)
+def events_stream_attribution_ushaped(spark, sf_dir):
+    """STREAMING twin of events_attribution_ushaped against the
+    IDENTICAL batch oracle: the position-based model needs exactly TWO
+    carried touches per user (first + most recent), so the state is two
+    short strings + the checked high-watermark; each purchase's two
+    half-credits (exact IEEE halving) emit once in append mode and the
+    sink reapplies the dsum discipline — hash-matching the batch report
+    bit-for-bit. With this and the linear/time-decay twins, EVERY
+    registered attribution model has a bounded-state streaming twin."""
+    import os
+
+    from xngin_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_attribution_ushaped,
+    )
+
+    sdf = stream_attribution_ushaped(
+        events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    name = "stream_attribution_ushaped_sink"
+    rows = run_available_now(
+        sdf, name, output_mode="append", shuffle_partitions=8
+    )
+    return rows.groupBy("touch_type").agg(
+        count_star().alias("n_credits"),
+        dsum(F.col("credit"), "attributed_value"),
+    )
+
+
+@register("events_stream_attribution_timedecay", _td_oracle())
+def events_stream_attribution_timedecay(spark, sf_dir):
+    """STREAMING twin of events_attribution_timedecay against the
+    IDENTICAL batch oracle: the state carries each user's in-lookback
+    touch timestamps (pruned as the checked high-watermark advances —
+    sound because Δ is monotone under the ordering precondition, so a
+    touch past the 28-day lookback can never earn again), per purchase
+    the scaled channel weights are the SAME integers the batch twin's
+    RANGE-frame counts produce (stepped dyadic halving, no
+    transcendentals), credits follow the same IEEE tree, and the sink
+    applies the same micro-unit truncation. State is O(touches per
+    lookback window) per user — bounded by data rate, never history."""
+    import os
+
+    from xngin_spark.streaming import (
+        events_stream,
+        run_available_now,
+        stream_attribution_timedecay,
+    )
+
+    sdf = stream_attribution_timedecay(
+        events_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    )
+    name = "stream_attribution_timedecay_sink"
+    rows = run_available_now(
+        sdf, name, output_mode="append", shuffle_partitions=8
+    )
+    return rows.groupBy("touch_type").agg(
+        count_star().alias("n_credits"),
+        _credit_musum(),
+    )

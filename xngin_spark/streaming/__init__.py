@@ -37,6 +37,8 @@ from xngin_spark.streaming.windows import (
 from xngin_spark.streaming.stateful import (
     stream_attribution,
     stream_attribution_linear,
+    stream_attribution_timedecay,
+    stream_attribution_ushaped,
     running_totals,
     stream_pattern_match,
     stream_transitions,
@@ -54,6 +56,8 @@ __all__ = [
     "running_totals",
     "stream_attribution",
     "stream_attribution_linear",
+    "stream_attribution_timedecay",
+    "stream_attribution_ushaped",
     "stream_pattern_match",
     "stream_transitions",
     "stream_dedup",

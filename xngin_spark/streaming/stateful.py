@@ -443,3 +443,204 @@ def stream_attribution_linear(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- streaming u-shaped attribution ------------------------------------------
+
+#: (first_touch, last_touch, hw) — u-shaped needs exactly TWO carried
+#: touches per user (the position-based model only ever credits the
+#: first and the most recent), so its streaming state is two short
+#: strings + the checked high-watermark, independent of history length.
+_USHAPED_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ft", T.StringType()),
+        T.StructField("lt", T.StringType()),
+        T.StructField("hw", T.LongType()),
+    ]
+)
+
+
+def _update_attribution_ushaped(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming half of events_attribution_ushaped: each purchase
+    splits 50/50 between the carried FIRST and LAST touch (a single
+    touch earns both halves; no touch lands organic whole).
+    value * 0.5 is exact IEEE halving — identical bits to the batch
+    window expression — so the sink's dsum aggregate hash-matches the
+    batch report. Ordering precondition checked via the carried
+    high-watermark."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    ft, lt, hw = state.get if state.exists else ("", "", None)
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch_min = int(pdf["ts"].iloc[0].value)
+    if hw is not None and batch_min < hw:
+        raise ValueError(
+            "stream_attribution_ushaped ordering precondition violated "
+            f"for user {key[0]}: batch min event time {batch_min} "
+            f"precedes the consumed high-watermark {hw}"
+        )
+    out_touch: list[str] = []
+    out_credit: list[float] = []
+    for et, val in zip(pdf["event_type"].tolist(), pdf["value"].tolist()):
+        if et == "purchase":
+            if not ft:
+                out_touch.append("organic")
+                out_credit.append(val)
+            else:
+                out_touch.append(ft)
+                out_credit.append(val * 0.5)
+                out_touch.append(lt)
+                out_credit.append(val * 0.5)
+        elif et in ("click", "view"):
+            if not ft:
+                ft = et
+            lt = et
+    batch_max = int(pdf["ts"].iloc[-1].value)
+    state.update(
+        (ft, lt, max(hw, batch_max) if hw is not None else batch_max)
+    )
+    if out_touch:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_touch),
+                "touch_type": out_touch,
+                "credit": out_credit,
+            }
+        )
+
+
+def stream_attribution_ushaped(sdf: DataFrame) -> DataFrame:
+    """(user_id, touch_type, credit) — per-purchase half-credits in
+    append mode; aggregate with the dsum discipline to reproduce the
+    batch u-shaped report."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _update_attribution_ushaped,
+        outputStructType=LINEAR_ATTRIBUTION_SCHEMA,
+        stateStructType=_USHAPED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# --- streaming time-decay attribution ----------------------------------------
+
+_TD_HALF_US = 7 * 86400 * 10**6
+_TD_BUCKETS = 4
+
+#: (touches, hw) — time-decay must remember each in-lookback touch's
+#: timestamp (its weight depends on the Δ to EACH later purchase), so
+#: the state is the encoded list of touches still inside the 28-day
+#: lookback, pruned as the watermark advances: the prune is sound
+#: because the ordering precondition makes Δ monotone — a touch older
+#: than the lookback relative to the newest consumed event can never
+#: earn credit again. State is O(touches per user per lookback window),
+#: the same bound Flink's list-state CEP/attribution patterns carry —
+#: bounded by data rate, never by history length.
+_TIMEDECAY_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("touches", T.StringType()),
+        T.StructField("hw", T.LongType()),
+    ]
+)
+
+
+def _td_weight(delta_us: int) -> int:
+    """Scaled (eighths) stepped half-life weight — EXACTLY the batch
+    twin's 4*n7 + 2*n14 + n21 + n28 per-touch contribution: 8 inside
+    the first half-life, halving per half-life, 0 past the lookback.
+    Integer arithmetic only (the no-transcendental discipline)."""
+    if delta_us < 1:
+        return 0  # same-microsecond or later: outside the strict frame
+    # per-bucket membership: a touch is counted in n_k iff delta < k*HALF
+    return sum(
+        (4, 2, 1, 1)[k - 1]
+        for k in range(1, _TD_BUCKETS + 1)
+        if delta_us < k * _TD_HALF_US
+    )
+
+
+def _update_attribution_timedecay(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming half of events_attribution_timedecay: per purchase,
+    the scaled channel weights are integer sums of _td_weight over the
+    carried in-lookback touches — the identical integers the batch
+    twin's RANGE-frame counts produce — then credit = value *
+    (w/tot) in the same IEEE tree. Touches older than the lookback
+    (relative to the high-watermark) are pruned every batch."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    touches_s, hw = state.get if state.exists else ("", None)
+    touches: list[tuple[str, int]] = [
+        (t.split("@")[0], int(t.split("@")[1]))
+        for t in touches_s.split(",")
+        if t
+    ]
+    pdf = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch_min = int(pdf["ts"].iloc[0].value)
+    if hw is not None and batch_min < hw:
+        raise ValueError(
+            "stream_attribution_timedecay ordering precondition violated "
+            f"for user {key[0]}: batch min event time {batch_min} "
+            f"precedes the consumed high-watermark {hw}"
+        )
+    out_touch: list[str] = []
+    out_credit: list[float] = []
+    for et, val, ts in zip(
+        pdf["event_type"].tolist(),
+        pdf["value"].tolist(),
+        pdf["ts"].tolist(),
+    ):
+        ts_us = int(ts.value) // 1000  # pandas ns -> micros (batch twin unit)
+        if et == "purchase":
+            wc = sum(
+                _td_weight(ts_us - t_us) for c, t_us in touches if c == "click"
+            )
+            wv = sum(
+                _td_weight(ts_us - t_us) for c, t_us in touches if c == "view"
+            )
+            tot = wc + wv
+            if tot == 0:
+                out_touch.append("organic")
+                out_credit.append(val)
+            else:
+                if wc > 0:
+                    out_touch.append("click")
+                    out_credit.append(val * (wc / tot))
+                if wv > 0:
+                    out_touch.append("view")
+                    out_credit.append(val * (wv / tot))
+        elif et in ("click", "view"):
+            touches.append((et, ts_us))
+    batch_max = int(pdf["ts"].iloc[-1].value)
+    new_hw = max(hw, batch_max) if hw is not None else batch_max
+    horizon = new_hw // 1000 - _TD_BUCKETS * _TD_HALF_US
+    touches = [(c, t) for c, t in touches if t > horizon]
+    state.update(
+        (",".join(f"{c}@{t}" for c, t in touches), new_hw)
+    )
+    if out_touch:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_touch),
+                "touch_type": out_touch,
+                "credit": out_credit,
+            }
+        )
+
+
+def stream_attribution_timedecay(sdf: DataFrame) -> DataFrame:
+    """(user_id, touch_type, credit) — per-purchase stepped-decay
+    credits in append mode; aggregate with the micro-unit truncation
+    discipline to reproduce the batch time-decay report."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _update_attribution_timedecay,
+        outputStructType=LINEAR_ATTRIBUTION_SCHEMA,
+        stateStructType=_TIMEDECAY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
