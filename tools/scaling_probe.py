@@ -149,6 +149,13 @@ def main(small_dir: str, big_dir: str, ratio: float, only: set[str]) -> None:
             file=sys.stderr,
             flush=True,
         )
+        # merge-write after EVERY pair: a multi-hour probe killed at
+        # row N-1 must keep rows 1..N-1 (write_results merges, so the
+        # repeated write is idempotent and cheap)
+        write_results(
+            os.environ.get("XNGIN_SCALING_OUT", "BENCH_SCALING.json"),
+            rows, ratio, small_dir, big_dir,
+        )
 
     out = os.environ.get("XNGIN_SCALING_OUT", "BENCH_SCALING.json")
     write_results(out, rows, ratio, small_dir, big_dir)
