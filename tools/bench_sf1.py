@@ -54,16 +54,45 @@ def main(extra: list[str]) -> int:
     # 4.4s->1.3s, knn_cosine 3.5s->9.3s between two round-7 runs) —
     # per-query medians + the recorded spread band are what let
     # bench_compare separate a real sf1 regression from one noisy pass
+    subset = bool(names or extra)
+    out = os.environ.get("SPARK_GRAFT_OUT", "BENCH_SF1.json")
+    # a SUBSET run (e.g. benching newly registered queries) must MERGE
+    # into the standing full-corpus artifact, never clobber it — the
+    # scaling_probe.write_results lesson applied to the sf1 point.
+    # bench.py writes whole payloads, so route subsets via a temp file.
+    run_out = "BENCH_SF1_SUBSET.json" if subset and out == "BENCH_SF1.json" else out
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR=SF1_DIR,
         SPARK_GRAFT_REPEATS=os.environ.get("SPARK_GRAFT_REPEATS", "3"),
-        SPARK_GRAFT_OUT=os.environ.get("SPARK_GRAFT_OUT", "BENCH_SF1.json"),
+        SPARK_GRAFT_OUT=run_out,
     )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), *names, *extra],
         env=env, cwd=REPO,
     )
+    if proc.returncode == 0 and run_out != out:
+        import json
+
+        with open(os.path.join(REPO, run_out)) as f:
+            part = json.load(f)
+        full_path = os.path.join(REPO, out)
+        doc = {}
+        if os.path.exists(full_path):
+            with open(full_path) as f:
+                doc = json.load(f)
+        for key in ("queries", "queries_norm", "queries_spread"):
+            doc.setdefault(key, {}).update(part.get(key) or {})
+        doc["value"] = round(
+            sum(v for v in doc["queries"].values() if v >= 0), 3
+        )
+        doc["n_queries"] = len(doc["queries"])
+        with open(full_path, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+        os.remove(os.path.join(REPO, run_out))
+        print(f"# merged {len(part.get('queries') or {})} subset rows "
+              f"into {out}", file=sys.stderr)
     return proc.returncode
 
 

@@ -1309,9 +1309,13 @@ def events_attribution_ushaped(spark, sf_dir):
     between the FIRST and the LAST preceding touch (a single touch
     earns both halves; no touch lands in 'organic' whole). Two window
     carries over the same user-id partitioning as the last-touch row,
-    a two-branch union of half-credits, then the dsum discipline —
-    value*0.5 is identical IEEE in both engines, the decimal sum is
-    order-independent, so the report hash-matches bit-for-bit."""
+    then an ARRAY-EXPLODE of per-purchase half-credits (not a
+    two-branch union: a union re-evaluates the window — and re-shuffles
+    events — once per branch; the explode keeps it ONE window pass,
+    plan-pinned at 4 exchanges vs the union's 5) and the dsum
+    discipline — value*0.5 is identical IEEE in both engines, the
+    decimal sum is order-independent, so the report hash-matches
+    bit-for-bit."""
     from pyspark.sql import Window
 
     e = events_df(spark, sf_dir)
@@ -1328,22 +1332,67 @@ def events_attribution_ushaped(spark, sf_dir):
         .withColumn("lt", F.last(touch, ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
     )
-    first_half = p.select(
-        F.coalesce("ft", F.lit("organic")).alias("touch_type"),
-        F.when(F.col("ft").isNull(), F.col("value"))
-        .otherwise(F.col("value") * 0.5)
-        .alias("credit"),
-    )
-    last_half = p.filter(F.col("lt").isNotNull()).select(
-        F.col("lt").alias("touch_type"),
-        (F.col("value") * 0.5).alias("credit"),
-    )
+    half = (F.col("value") * 0.5).alias("credit")
+    credits = F.when(
+        F.col("ft").isNull(),
+        F.array(F.struct(
+            F.lit("organic").alias("touch_type"),
+            F.col("value").alias("credit"),
+        )),
+    ).otherwise(F.array(
+        F.struct(F.col("ft").alias("touch_type"), half),
+        F.struct(F.col("lt").alias("touch_type"), half),
+    ))
     return (
-        first_half.unionByName(last_half)
+        p.select(F.explode(credits).alias("c"))
+        .select("c.touch_type", "c.credit")
         .groupBy("touch_type")
         .agg(
             count_star().alias("n_credits"),
             dsum(F.col("credit"), "attributed_value"),
+        )
+    )
+
+
+def _ratio_credit_report(p, c_col: str, v_col: str):
+    """Shared tail of the ratio-credit models (linear / time-decay):
+    per purchase, build the ARRAY of channel credits and explode —
+    NOT a three-branch union, which would re-evaluate the window (and
+    re-shuffle events) once per branch; this keeps the whole model at
+    one window pass + one final aggregate. credit = value *
+    (count_double / total_double) — exact integer-valued operand
+    doubles, one rounding per op, the identical tree as the oracle
+    SQL — then the micro-unit truncated sum."""
+    tot_l = F.col(c_col) + F.col(v_col)
+    totd = tot_l.cast("double")
+    empty = F.array().cast(
+        "array<struct<touch_type:string,credit:double>>"
+    )
+
+    def entry(t: str, cnt: str):
+        return F.when(
+            F.col(cnt) > 0,
+            F.array(F.struct(
+                F.lit(t).alias("touch_type"),
+                (F.col("value") * (F.col(cnt).cast("double") / totd))
+                .alias("credit"),
+            )),
+        ).otherwise(empty)
+
+    credits = F.when(
+        tot_l == 0,
+        F.array(F.struct(
+            F.lit("organic").alias("touch_type"),
+            F.col("value").alias("credit"),
+        )),
+    ).otherwise(F.concat(entry("click", c_col), entry("view", v_col)))
+    return (
+        p.select(F.explode(credits).alias("c"))
+        .select("c.touch_type", "c.credit")
+        .groupBy("touch_type")
+        .agg(
+            count_star().alias("n_credits"),
+            _credit_musum(),
         )
     )
 
@@ -1438,28 +1487,7 @@ def events_attribution_linear(spark, sf_dir):
         )
         .filter(F.col("event_type") == "purchase")
     )
-    tot = (F.col("nc") + F.col("nv")).cast("double")
-    click = p.filter(F.col("nc") > 0).select(
-        F.lit("click").alias("touch_type"),
-        (F.col("value") * (F.col("nc").cast("double") / tot)).alias("credit"),
-    )
-    view = p.filter(F.col("nv") > 0).select(
-        F.lit("view").alias("touch_type"),
-        (F.col("value") * (F.col("nv").cast("double") / tot)).alias("credit"),
-    )
-    organic = p.filter(F.col("nc") + F.col("nv") == 0).select(
-        F.lit("organic").alias("touch_type"),
-        F.col("value").alias("credit"),
-    )
-    return (
-        click.unionByName(view)
-        .unionByName(organic)
-        .groupBy("touch_type")
-        .agg(
-            count_star().alias("n_credits"),
-            _credit_musum(),
-        )
-    )
+    return _ratio_credit_report(p, "nc", "nv")
 
 
 #: time-decay model constants: credit halves every HALF_LIFE, touches
@@ -1561,28 +1589,7 @@ def events_attribution_timedecay(spark, sf_dir):
         4 * F.col("v1") + 2 * F.col("v2") + F.col("v3") + F.col("v4")
     ).alias("wv")
     p = p.select("value", wc, wv)
-    tot = (F.col("wc") + F.col("wv")).cast("double")
-    click = p.filter(F.col("wc") > 0).select(
-        F.lit("click").alias("touch_type"),
-        (F.col("value") * (F.col("wc").cast("double") / tot)).alias("credit"),
-    )
-    view = p.filter(F.col("wv") > 0).select(
-        F.lit("view").alias("touch_type"),
-        (F.col("value") * (F.col("wv").cast("double") / tot)).alias("credit"),
-    )
-    organic = p.filter(F.col("wc") + F.col("wv") == 0).select(
-        F.lit("organic").alias("touch_type"),
-        F.col("value").alias("credit"),
-    )
-    return (
-        click.unionByName(view)
-        .unionByName(organic)
-        .groupBy("touch_type")
-        .agg(
-            count_star().alias("n_credits"),
-            _credit_musum(),
-        )
-    )
+    return _ratio_credit_report(p, "wc", "wv")
 
 
 @register(
