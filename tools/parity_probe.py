@@ -104,6 +104,11 @@ def main() -> int:
                 "rows": res.spark_rows,
                 "sec": round(time.time() - t0, 2),
             }
+            if not ok:
+                results[name]["detail"] = (
+                    f"spark {res.spark_rows}/{res.spark_hash} vs "
+                    f"oracle {res.oracle_rows}/{res.oracle_hash}"
+                )
         except Exception as e:  # record, keep sweeping
             ok = False
             results[name] = {
@@ -115,6 +120,13 @@ def main() -> int:
             failed.append(name)
         print(f"{name}: {'OK' if ok else 'FAIL'} "
               f"({results[name]['sec']}s)", flush=True)
+        # merge-write per query: a killed multi-hour probe keeps its
+        # completed rows (same discipline as scaling_probe)
+        doc["n_ok"] = sum(1 for r in results.values() if r.get("ok"))
+        doc["n_total"] = len(results)
+        with open(OUT, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
 
     doc["n_ok"] = sum(1 for r in results.values() if r.get("ok"))
     doc["n_total"] = len(results)
