@@ -116,6 +116,14 @@ def main() -> int:
                 "error": f"{type(e).__name__}: {e}"[:200],
                 "sec": round(time.time() - t0, 2),
             }
+            # a fatal DuckDB error (e.g. an OOM inside one oracle)
+            # INVALIDATES the connection — without a reconnect every
+            # later query cascade-fails in seconds (observed at sf100)
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duckdb_connect(sf_dir)
         if not ok:
             failed.append(name)
         print(f"{name}: {'OK' if ok else 'FAIL'} "
