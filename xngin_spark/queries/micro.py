@@ -1368,6 +1368,20 @@ def join_reorder_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _key_shift(df, key: str) -> int:
+    """Smallest power of 10 above the key domain — the collision-free
+    offset for the CDC scenarios' re-insert branch. This was a
+    +100000000 constant until the sf100 parity probe caught it
+    colliding with the synthesized key shifts (make_sf offsets reach
+    ~1e9 at sf100; sf10's 9.9e7 cleared it by luck), which silently
+    turned "re-inserts" into duplicate keys and broke maintenance ==
+    recompute. Both engines now derive the same integer from the data
+    (oracle twin: POWER(10, LENGTH(CAST(MAX(key) AS VARCHAR)))); the
+    MAX is one footer-served aggregate (parquet aggregate pushdown)."""
+    m = df.agg(F.max(key)).first()[0]
+    return 10 ** len(str(int(m)))
+
+
 @register(
     "snapshot_diff",
     """
@@ -1378,7 +1392,7 @@ def join_reorder_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
              o_orderdate, o_orderpriority
       FROM orders WHERE o_orderkey % 97 <> 0
       UNION ALL
-      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+      SELECT o_orderkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(o_orderkey) AS VARCHAR))) AS BIGINT) FROM orders), o_custkey, o_orderstatus,
              o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE o_orderkey % 101 = 0
     )
@@ -1419,7 +1433,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 100000000
+                "o_orderkey", F.col("o_orderkey") + _key_shift(o, "o_orderkey")
             )
         )
     )
@@ -1435,7 +1449,7 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE o_totalprice END AS o_totalprice
       FROM orders WHERE o_orderkey % 97 <> 0
       UNION ALL
-      SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      SELECT o_orderkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(o_orderkey) AS VARCHAR))) AS BIGINT) FROM orders), o_orderpriority, o_totalprice
       FROM orders WHERE o_orderkey % 101 = 0
     )
     SELECT o_orderpriority,
@@ -1474,7 +1488,7 @@ def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             v1.filter(F.col("o_orderkey") % 101 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 100000000
+                "o_orderkey", F.col("o_orderkey") + _key_shift(v1, "o_orderkey")
             )
         )
     )
@@ -1510,7 +1524,7 @@ def incremental_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE o_totalprice END AS o_totalprice
       FROM orders WHERE o_orderkey % 97 <> 0
       UNION ALL
-      SELECT o_orderkey + 100000000, o_orderpriority, o_totalprice
+      SELECT o_orderkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(o_orderkey) AS VARCHAR))) AS BIGINT) FROM orders), o_orderpriority, o_totalprice
       FROM orders WHERE o_orderkey % 101 = 0
     )
     SELECT o_orderpriority,
@@ -1554,7 +1568,7 @@ def orders_stream_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             v1.filter(F.col("o_orderkey") % 101 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 100000000
+                "o_orderkey", F.col("o_orderkey") + _key_shift(v1, "o_orderkey")
             )
         )
     )
@@ -1637,7 +1651,7 @@ def _drift_oracle() -> str:
              o_orderdate, o_orderpriority
       FROM orders WHERE o_orderkey % 97 <> 0
       UNION ALL
-      SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+      SELECT o_orderkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(o_orderkey) AS VARCHAR))) AS BIGINT) FROM orders), o_custkey, o_orderstatus,
              o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE o_orderkey % 101 = 0
     ),
@@ -1683,7 +1697,7 @@ def snapshot_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             v1.filter(F.col("o_orderkey") % 101 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 100000000
+                "o_orderkey", F.col("o_orderkey") + _key_shift(v1, "o_orderkey")
             )
         )
     )
@@ -1709,7 +1723,7 @@ def snapshot_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
              l_extendedprice
       FROM uniq WHERE l_orderkey % 97 <> 0
       UNION ALL
-      SELECT l_orderkey + 100000000, l_linenumber, l_returnflag,
+      SELECT l_orderkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(l_orderkey) AS VARCHAR))) AS BIGINT) FROM lineitem), l_linenumber, l_returnflag,
              l_quantity, l_extendedprice
       FROM uniq WHERE l_orderkey % 101 = 0
     )
@@ -1768,7 +1782,7 @@ def incremental_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             v1.filter(F.col("l_orderkey") % 101 == 0).withColumn(
-                "l_orderkey", F.col("l_orderkey") + 100000000
+                "l_orderkey", F.col("l_orderkey") + _key_shift(v1, "l_orderkey")
             )
         )
     )
@@ -1806,7 +1820,7 @@ def incremental_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE o_custkey END AS o_custkey
       FROM orders WHERE o_orderkey % 97 <> 0
       UNION ALL
-      SELECT o_orderkey + 100000000, o_orderpriority, o_custkey
+      SELECT o_orderkey + (SELECT CAST(POWER(10, LENGTH(CAST(MAX(o_orderkey) AS VARCHAR))) AS BIGINT) FROM orders), o_orderpriority, o_custkey
       FROM orders WHERE o_orderkey % 101 = 0
     )
     SELECT o_orderpriority,
@@ -1851,7 +1865,7 @@ def incremental_distinct_maintain(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .unionByName(
             v1.filter(F.col("o_orderkey") % 101 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 100000000
+                "o_orderkey", F.col("o_orderkey") + _key_shift(v1, "o_orderkey")
             )
         )
     )
