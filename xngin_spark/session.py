@@ -97,6 +97,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+        # The streaming twins' oracle-compare harness runs availableNow
+        # into a MEMORY sink (results live on the driver by design —
+        # that's what makes them comparable to the batch oracle in one
+        # process). At sf100 an append-mode sink carries ~25M rows and
+        # trips the 1g default ceiling; local[N] drivers here hold the
+        # whole engine anyway (see driver.memory below), so give result
+        # collection headroom. On a real cluster the streaming twins
+        # write parquet/Kafka sinks and this limit never carries data.
+        .config("spark.driver.maxResultSize", "8g")
         # --- quieter driver ---
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "false")
