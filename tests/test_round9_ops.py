@@ -1232,10 +1232,17 @@ def test_scaling_sf10_artifact_sane_and_covers_session2_ops():
 
 def test_parity_sf100_artifact_all_green():
     """PARITY_SF100.json extends the cross-engine value-hash span to
-    sf100 (100,000x over sf0.001): every committed row must be green
-    and the subset must keep its 10-query floor (TPC-H decimal sums at
-    600M lineitem rows, 100M-event window attribution, full-corpus
-    text stats at 5M docs, and the bounded graph family)."""
+    sf100 (100,000x over sf0.001). Contract v2 (round 11, after round
+    10 shipped this test red against a widened artifact): ``queries``
+    holds only rows the probe adjudicated — every one must be green,
+    because a committed VALUE MISMATCH is an engine bug that blocks the
+    round; rows the HARNESS could not finish (oracle OOM/spill, dead
+    SparkContext, stream timeout) live in a separate ``errors`` ledger
+    and are tolerated ONLY when classified with the error string — an
+    unexplained error is treated like a mismatch. The green floor is
+    the round-10 high-water mark so coverage can only ratchet up, and
+    the probe header must make the run attributable (version/host/
+    budgets)."""
     import json
     from pathlib import Path
 
@@ -1244,5 +1251,19 @@ def test_parity_sf100_artifact_all_green():
     )
     qs = doc["queries"]
     bad = sorted(k for k, v in qs.items() if not v.get("ok"))
-    assert not bad, f"sf100 parity failures committed: {bad}"
-    assert len(qs) >= 10, f"sf100 parity subset shrank to {len(qs)}"
+    assert not bad, f"sf100 value mismatches committed: {bad}"
+    known_kinds = {
+        "oracle_spill_disk", "oracle_oom", "spark_session_lost",
+        "stream_timeout",
+    }
+    undocumented = sorted(
+        k for k, v in doc.get("errors", {}).items()
+        if not v.get("error") or v.get("kind") not in known_kinds
+    )
+    assert not undocumented, (
+        f"sf100 harness errors lack a classified reason: {undocumented}"
+    )
+    assert len(qs) >= 34, f"sf100 green parity rows shrank to {len(qs)}"
+    probe = doc.get("probe", {})
+    for key in ("version", "host", "oracle_mem", "stream_timeout_s"):
+        assert key in probe, f"PARITY_SF100 probe header missing {key!r}"

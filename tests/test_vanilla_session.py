@@ -31,6 +31,10 @@ REPRESENTATIVES = [
     "embedding_quantize",      # array-free gate output
     "media_features",          # mapInPandas plumbing
     "contamination_ngram",     # broadcast-join corpus op
+    # round-11 gate rotation: the time-decay attribution row is new to
+    # the window — rehearse its RANGE-frame window functions + truncated
+    # ratio credits on a stock session before the driver does
+    "events_attribution_timedecay",
 ]
 
 _RUNNER = """

@@ -490,7 +490,19 @@ def _bm25_staged(spark, txn: str, id_col: str):
 
     staged_dir = f"{txn}/staged"
     local = staged_dir.removeprefix("file://").removeprefix("file:")
-    if "://" in local or _os.path.exists(local):
+    if "://" in local:
+        # object storage: no cheap local existence check — probe by
+        # reading; a pre-round-10 crashed transaction has no _txn/staged
+        # and must roll forward via the five-directory fallback below
+        try:
+            s = spark.read.parquet(staged_dir)
+            s.schema  # force analysis so a missing path raises HERE
+            staged_exists = True
+        except Exception:
+            staged_exists = False
+    else:
+        staged_exists = _os.path.exists(local)
+    if staged_exists:
         s = spark.read.parquet(staged_dir)
         return {
             "keys": s.filter(F.col("tbl") == "keys").select(id_col),

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -19,12 +21,26 @@ def values_df(spark: SparkSession, schema: str, rows: list[tuple]) -> DataFrame:
     ``schema`` is a DDL string (``"a long, b string"``); values may be
     int/float/str/bool/None and are rendered as SQL literals (strings
     escaped), then cast column-wise to the declared types so the result
-    schema is exact regardless of literal inference."""
-    from pyspark.sql import functions as F
+    schema is exact regardless of literal inference.
 
-    parts = [p.strip() for p in schema.split(",")]
-    names = [p.split()[0] for p in parts]
-    types = [p.split(None, 1)[1] for p in parts]
+    ``rows == []`` falls back to ``createDataFrame([], schema)``:
+    ``VALUES`` with zero tuples is a ParseException, and the empty case
+    is a one-time degenerate path (e.g. BPE on a corpus with no pairs)
+    where the py4j conversion cost is irrelevant. The DDL is parsed via
+    ``StructType.fromDDL`` so parameterized types (``decimal(10,2)``,
+    ``array<int>``) survive — a naive ``split(',')`` would shear them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    struct = StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], struct)
+    names = [f.name for f in struct.fields]
+    types = [f.dataType.simpleString() for f in struct.fields]
+    raw_backslashes = (
+        spark.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+        == "true"
+    )
 
     def lit(v) -> str:
         if v is None:
@@ -32,7 +48,16 @@ def values_df(spark: SparkSession, schema: str, rows: list[tuple]) -> DataFrame:
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
         if isinstance(v, str):
-            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            # doubled-quote escaping parses identically whether or not
+            # spark.sql.parser.escapedStringLiterals is set; backslashes
+            # have no mode-independent rendering, so escape them only
+            # when the parser treats them as escapes
+            s = v if raw_backslashes else v.replace("\\", "\\\\")
+            return "'" + s.replace("'", "''") + "'"
+        if isinstance(v, float) and not math.isfinite(v):
+            # repr(inf/nan) is not a SQL literal; Spark accepts the
+            # typed literal form for non-finite doubles
+            return f"CAST('{v}' AS DOUBLE)"
         return repr(v)
 
     values = ", ".join(

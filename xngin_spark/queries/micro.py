@@ -1377,9 +1377,25 @@ def _key_shift(df, key: str) -> int:
     turned "re-inserts" into duplicate keys and broke maintenance ==
     recompute. Both engines now derive the same integer from the data
     (oracle twin: POWER(10, LENGTH(CAST(MAX(key) AS VARCHAR)))); the
-    MAX is one footer-served aggregate (parquet aggregate pushdown)."""
+    MAX is one footer-served aggregate (parquet aggregate pushdown).
+
+    Cached per input-file set: the CDC scenarios each derived the same
+    shift with their own MAX job in both the Spark leg AND the oracle
+    leg, which the round-10 bench flagged as the incremental_agg_multi
+    regression (1.59x) — the dataset's key domain doesn't change
+    between scenarios, so one derivation per (files, key) serves all.
+    The file list (driver-side metadata, same freshness token the NDV
+    cache uses) keys the cache, so a rewritten dataset re-derives."""
+    ck = (tuple(sorted(df.inputFiles())), key)
+    if ck in _KEY_SHIFT_CACHE:
+        return _KEY_SHIFT_CACHE[ck]
     m = df.agg(F.max(key)).first()[0]
-    return 10 ** len(str(int(m)))
+    shift = 10 ** len(str(int(m)))
+    _KEY_SHIFT_CACHE[ck] = shift
+    return shift
+
+
+_KEY_SHIFT_CACHE: dict = {}
 
 
 @register(

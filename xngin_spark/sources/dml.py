@@ -57,17 +57,65 @@ def _affected_files(spark: SparkSession, path: str, where: Column | str) -> list
     return [_local(r.f) for r in rows]
 
 
+def _recover_swaps(path: str) -> None:
+    """Roll FORWARD any swap journal a crashed :func:`_swap_in` left
+    behind, making the move-new-files-then-delete-old window replay-
+    safe: the journal (written atomically AFTER the rewrite job lands,
+    BEFORE any file is exposed or removed) records exactly which tmp
+    files go live and which old files die, so a replay entering through
+    any scrub/update path completes the interrupted swap instead of
+    reading survivor rows twice. Dot-prefixed, so Spark reads never see
+    the journal or the tmp dir."""
+    local = _local(path)
+    if not os.path.isdir(local):
+        return
+    for name in os.listdir(local):
+        if not (name.startswith(".swap-") and name.endswith(".json")):
+            continue
+        import json
+
+        jpath = os.path.join(local, name)
+        with open(jpath) as fh:
+            doc = json.load(fh)
+        for f in doc["moves"]:
+            src = os.path.join(doc["tmp"], f)
+            dst = os.path.join(local, f)
+            if os.path.exists(src) and not os.path.exists(dst):
+                shutil.move(src, dst)
+        for f in doc["old_files"]:
+            if os.path.exists(f):
+                os.remove(f)
+        shutil.rmtree(doc["tmp"], ignore_errors=True)
+        os.remove(jpath)
+
+
 def _swap_in(spark: SparkSession, out: DataFrame, path: str, old_files: list[str]) -> None:
-    tmp = os.path.join(_local(path), f".cow-{uuid.uuid4().hex}")
+    """Copy-on-write swap, idempotent at EVERY crash point via a
+    journal: (1) rewrite job lands in a dot-tmp dir (invisible to
+    readers); (2) a journal listing the exact moves + deletions is
+    written atomically (write-then-rename); (3) files move live and the
+    old ones are removed; (4) journal deleted. A crash before (2)
+    leaves the live table untouched; a crash after (2) is rolled
+    forward by :func:`_recover_swaps` on the next entry through any
+    scrub/update path — the window the round-10 advice flagged (both
+    old and rewritten files visible, survivor keys outside the scrub
+    set) can no longer survive a replay."""
+    import json
+
+    local = _local(path)
+    tmp = os.path.join(local, f".cow-{uuid.uuid4().hex}")
     out.write.mode("overwrite").parquet(tmp)
-    try:
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                shutil.move(os.path.join(tmp, f), os.path.join(_local(path), f))
-        for f in old_files:
-            os.remove(f)
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    moves = [f for f in os.listdir(tmp) if f.endswith(".parquet")]
+    jpath = os.path.join(local, f".swap-{uuid.uuid4().hex}.json")
+    with open(jpath + ".part", "w") as fh:
+        json.dump({"tmp": tmp, "moves": moves, "old_files": old_files}, fh)
+    os.rename(jpath + ".part", jpath)
+    for f in moves:
+        shutil.move(os.path.join(tmp, f), os.path.join(local, f))
+    for f in old_files:
+        os.remove(f)
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.remove(jpath)
     spark.catalog.refreshByPath(path)
 
 
@@ -83,6 +131,7 @@ def update_table(
     Python literal; expressions may reference any column of the row).
     Returns {"files_rewritten", "rows_updated"}.
     """
+    _recover_swaps(path)
     files = _affected_files(spark, path, where)
     if not files:
         return {"files_rewritten": 0, "rows_updated": 0}
@@ -147,6 +196,7 @@ def merge_into(
             f"merge_into: source has duplicate keys on {keys} — "
             "each target row may match at most one source row"
         )
+    _recover_swaps(path)
     target = spark.read.parquet(path)
     missing = set(target.columns) - set(source.columns)
     if missing:
@@ -223,6 +273,7 @@ def delete_from_table(
     """DELETE FROM <path> WHERE <where>, copy-on-write: affected files
     are rewritten without the matching rows (a file left empty is simply
     removed). Returns {"files_rewritten", "rows_deleted"}."""
+    _recover_swaps(path)
     files = _affected_files(spark, path, where)
     if not files:
         return {"files_rewritten": 0, "rows_deleted": 0}
@@ -279,6 +330,7 @@ def merge_scd2(
     keys = [on] if isinstance(on, str) else list(on)
     if source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count():
         raise ValueError(f"merge_scd2: source has duplicate keys on {keys}")
+    _recover_swaps(path)
     target = spark.read.parquet(path)
     payload = compare_cols or [
         c for c in source.columns if c not in keys and c not in _SCD2_COLS
@@ -393,6 +445,7 @@ def scrub_rows(
     rewrite re-derives from the file path it replaces. A missing /
     not-yet-created dataset has nothing to scrub — no-op, so index
     maintenance can seed a fresh path with its first append."""
+    _recover_swaps(path)
     try:
         stored = spark.read.parquet(path)
     except AnalysisException:
@@ -451,6 +504,7 @@ def scrub_append_rows(
     ABSOLUTE (full replacement rows for their ids) by contract.
     A missing/not-yet-created dataset appends ``add`` fresh (seeding);
     a delta that touches no stored file is a pure append."""
+    _recover_swaps(path)
     try:
         stored = spark.read.parquet(path)
     except AnalysisException:

@@ -16,6 +16,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -320,24 +321,36 @@ def _update_attribution(
             "order must follow event time (sort/partition the source "
             "feed by ts)"
         )
-    out_touch: list[str] = []
-    out_val: list[float] = []
-    for et, val in zip(pdf["event_type"].tolist(), pdf["value"].tolist()):
-        if et == "purchase":
-            out_touch.append(touch if touch else "organic")
-            out_val.append(val)
-        elif et in ("click", "view"):
-            touch = et
-    batch_max = int(pdf["ts"].iloc[-1].value)
-    state.update((touch, max(hw, batch_max) if hw is not None else batch_max))
-    if out_touch:
-        yield pd.DataFrame(
+    # vectorized carry-forward (round 11): the per-event Python loop was
+    # the stateful family's one measured constant-factor tax (the sf100
+    # stream timeout) — last-touch is a forward-fill, so the whole batch
+    # reduces to numpy masks + one pandas ffill. The emitted value stays
+    # the untouched input double; the output MULTISET is loop-identical.
+    et = pdf["event_type"].to_numpy()
+    is_touch = (et == "click") | (et == "view")
+    carried = pd.Series(np.where(is_touch, et, None)).ffill().to_numpy()
+    is_p = et == "purchase"
+    if is_p.any():
+        touch_at_p = carried[is_p]
+        fallback = touch if touch else "organic"
+        touch_at_p = np.where(
+            pd.isna(touch_at_p), fallback, touch_at_p
+        ).astype(object)
+        out = pd.DataFrame(
             {
-                "user_id": [key[0]] * len(out_touch),
-                "touch_type": out_touch,
-                "value": out_val,
+                "user_id": np.full(int(is_p.sum()), key[0], dtype="int64"),
+                "touch_type": touch_at_p,
+                "value": pdf["value"].to_numpy()[is_p],
             }
         )
+    else:
+        out = None
+    if is_touch.any():
+        touch = str(et[is_touch][-1])
+    batch_max = int(pdf["ts"].iloc[-1].value)
+    state.update((touch, max(hw, batch_max) if hw is not None else batch_max))
+    if out is not None:
+        yield out
 
 
 def stream_attribution(sdf: DataFrame) -> DataFrame:
@@ -400,35 +413,74 @@ def _update_attribution_linear(
             f"for user {key[0]}: batch min event time {batch_min} "
             f"precedes the consumed high-watermark {hw}"
         )
-    out_touch: list[str] = []
-    out_credit: list[float] = []
-    for et, val in zip(pdf["event_type"].tolist(), pdf["value"].tolist()):
-        if et == "purchase":
-            tot = nc + nv
-            if tot == 0:
-                out_touch.append("organic")
-                out_credit.append(val)
-            else:
-                if nc > 0:
-                    out_touch.append("click")
-                    out_credit.append(val * (nc / tot))
-                if nv > 0:
-                    out_touch.append("view")
-                    out_credit.append(val * (nv / tot))
-        elif et == "click":
-            nc += 1
-        elif et == "view":
-            nv += 1
+    # vectorized (round 11): linear attribution is two exclusive prefix
+    # sums — numpy cumsum replaces the per-event loop (the r8
+    # interpreted-HOF lesson applied to the stateful family). The
+    # credit expression `val * (nc / tot)` is the same IEEE double
+    # division + multiply elementwise, so the sink's micro-unit
+    # truncated sums are bit-identical to the loop's (and the batch
+    # twin's); the output multiset is loop-identical (organic rows,
+    # then click/view rows per purchase, in whatever order — the
+    # consumer aggregates by channel).
+    et = pdf["event_type"].to_numpy()
+    val = pdf["value"].to_numpy()
+    is_c = et == "click"
+    is_v = et == "view"
+    is_p = et == "purchase"
+    # clicks/views STRICTLY before each row: carried count + inclusive
+    # cumsum minus the row's own contribution
+    cc = nc + np.cumsum(is_c) - is_c
+    cv = nv + np.cumsum(is_v) - is_v
+    if is_p.any():
+        pcc = cc[is_p].astype(np.float64)
+        pcv = cv[is_p].astype(np.float64)
+        pval = val[is_p]
+        tot = pcc + pcv
+        organic = tot == 0.0
+        uid = key[0]
+        frames = []
+        if organic.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(int(organic.sum()), uid, "int64"),
+                        "touch_type": "organic",
+                        "credit": pval[organic],
+                    }
+                )
+            )
+        m_click = (~organic) & (pcc > 0)
+        if m_click.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(int(m_click.sum()), uid, "int64"),
+                        "touch_type": "click",
+                        "credit": pval[m_click]
+                        * (pcc[m_click] / tot[m_click]),
+                    }
+                )
+            )
+        m_view = (~organic) & (pcv > 0)
+        if m_view.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(int(m_view.sum()), uid, "int64"),
+                        "touch_type": "view",
+                        "credit": pval[m_view] * (pcv[m_view] / tot[m_view]),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True) if frames else None
+    else:
+        out = None
+    nc += int(is_c.sum())
+    nv += int(is_v.sum())
     batch_max = int(pdf["ts"].iloc[-1].value)
     state.update((nc, nv, max(hw, batch_max) if hw is not None else batch_max))
-    if out_touch:
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(out_touch),
-                "touch_type": out_touch,
-                "credit": out_credit,
-            }
-        )
+    if out is not None:
+        yield out
 
 
 def stream_attribution_linear(sdf: DataFrame) -> DataFrame:
@@ -482,34 +534,73 @@ def _update_attribution_ushaped(
             f"for user {key[0]}: batch min event time {batch_min} "
             f"precedes the consumed high-watermark {hw}"
         )
-    out_touch: list[str] = []
-    out_credit: list[float] = []
-    for et, val in zip(pdf["event_type"].tolist(), pdf["value"].tolist()):
-        if et == "purchase":
-            if not ft:
-                out_touch.append("organic")
-                out_credit.append(val)
-            else:
-                out_touch.append(ft)
-                out_credit.append(val * 0.5)
-                out_touch.append(lt)
-                out_credit.append(val * 0.5)
-        elif et in ("click", "view"):
-            if not ft:
-                ft = et
-            lt = et
+    # vectorized (round 11): u-shaped needs only FIRST and LAST touch
+    # per purchase — first is a constant once known (carried ft, else
+    # the first in-batch touch), last is a forward-fill; both are
+    # numpy/pandas primitives. val * 0.5 stays exact IEEE halving
+    # elementwise; output multiset is loop-identical (ft-half + lt-half
+    # per credited purchase, organic whole otherwise).
+    et = pdf["event_type"].to_numpy()
+    val = pdf["value"].to_numpy()
+    is_touch = (et == "click") | (et == "view")
+    is_p = et == "purchase"
+    if is_p.any():
+        uid = key[0]
+        lt_ff = pd.Series(np.where(is_touch, et, None)).ffill().to_numpy()
+        idx = np.arange(len(et))
+        if ft:
+            ft_at_p = np.full(int(is_p.sum()), ft, dtype=object)
+        elif is_touch.any():
+            fp = int(is_touch.argmax())
+            first_et = str(et[fp])
+            ft_at_p = np.where(idx[is_p] > fp, first_et, "").astype(object)
+        else:
+            ft_at_p = np.full(int(is_p.sum()), "", dtype=object)
+        lt_at_p = lt_ff[is_p]
+        lt_at_p = np.where(
+            pd.isna(lt_at_p), lt if lt else "", lt_at_p
+        ).astype(object)
+        pval = val[is_p]
+        organic = ft_at_p == ""
+        frames = []
+        if organic.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(int(organic.sum()), uid, "int64"),
+                        "touch_type": "organic",
+                        "credit": pval[organic],
+                    }
+                )
+            )
+        cred = ~organic
+        if cred.any():
+            half = pval[cred] * 0.5
+            n = int(cred.sum())
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "user_id": np.full(2 * n, uid, "int64"),
+                        "touch_type": np.concatenate(
+                            [ft_at_p[cred], lt_at_p[cred]]
+                        ),
+                        "credit": np.concatenate([half, half]),
+                    }
+                )
+            )
+        out = pd.concat(frames, ignore_index=True) if frames else None
+    else:
+        out = None
+    if is_touch.any():
+        if not ft:
+            ft = str(et[is_touch][0])
+        lt = str(et[is_touch][-1])
     batch_max = int(pdf["ts"].iloc[-1].value)
     state.update(
         (ft, lt, max(hw, batch_max) if hw is not None else batch_max)
     )
-    if out_touch:
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]] * len(out_touch),
-                "touch_type": out_touch,
-                "credit": out_credit,
-            }
-        )
+    if out is not None:
+        yield out
 
 
 def stream_attribution_ushaped(sdf: DataFrame) -> DataFrame:
