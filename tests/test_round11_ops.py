@@ -208,6 +208,74 @@ def test_key_shift_cached_per_dataset(spark):
     assert s1 == 10 ** len(str(int(mx))) and s1 > mx
 
 
+# --- SQL-side oracle digest == Python digest, whole corpus -------------------
+
+
+def test_sql_digest_matches_python_digest_corpus_wide(oracle_con):
+    """The round-11 oracle digest runs INSIDE DuckDB (per-row sha256 +
+    limb sums) so sf100 oracles never materialize results. Its verdicts
+    must be indistinguishable from the Python digest: every registered
+    oracle at sf0.001 must produce the identical (row count, hash)
+    under both paths — covering every output type the corpus uses
+    (doubles incl. inf/NaN-free aggregates, decimals, timestamps,
+    dates, booleans, strings, ints). Oracles whose types have no SQL
+    normalization must cleanly return None (Python fallback), never a
+    wrong hash."""
+    from xngin_spark import queries as Q
+    from xngin_spark.oracle import _digest_rows, _digest_sql
+
+    Q.load_all()
+    sql_path = 0
+    fallback = []
+    for name, sql in sorted(Q.ORACLE.items()):
+        r = _digest_sql(oracle_con, sql)
+        if r is None:
+            fallback.append(name)
+            continue
+        sql_path += 1
+        n_sql, h_sql, cols = r
+        cur = oracle_con.execute(sql)
+        ocols = [d[0] for d in cur.description]
+        n_py, h_py = _digest_rows(ocols, iter(cur.fetchall()))
+        assert (n_sql, h_sql) == (n_py, h_py), (
+            f"{name}: sql digest {n_sql}/{h_sql} != python {n_py}/{h_py}"
+        )
+        assert cols == ocols
+    # the digest must actually carry the corpus, not silently fall back
+    assert sql_path >= 150, (
+        f"only {sql_path} oracles took the SQL digest; fallbacks: {fallback}"
+    )
+
+
+def test_sql_digest_type_edges(oracle_con):
+    """Planted edge battery for the SQL normalization: trailing-zero
+    micros, micros-free timestamps, NaN/inf doubles, -0.0, negative
+    decimals, NULLs of every type, empty strings, chr(31) in data,
+    float32 widening, empty result sets."""
+    from xngin_spark.oracle import _digest_rows, _digest_sql
+
+    probes = [
+        """SELECT * FROM (VALUES
+             (TIMESTAMP '2024-01-02 03:04:05.120000', 1.5, 'a'),
+             (TIMESTAMP '2024-01-02 03:04:05', CAST('nan' AS DOUBLE), ''),
+             (TIMESTAMP '2024-01-02 03:04:05.000001', CAST('-inf' AS DOUBLE), chr(31)),
+             (NULL, -0.0, NULL)) t(ts, d, s)""",
+        """SELECT CAST(-1.50 AS DECIMAL(25,6)) AS dec, TRUE AS b, DATE '1999-12-31' AS dt
+           UNION ALL SELECT NULL, FALSE, NULL
+           UNION ALL SELECT NULL, NULL, NULL""",
+        "SELECT CAST(0.1 AS FLOAT) AS f, CAST(5 AS HUGEINT) AS h",
+        "SELECT 1 AS x WHERE 1 = 0",
+    ]
+    for sql in probes:
+        r = _digest_sql(oracle_con, sql)
+        assert r is not None, sql
+        n_sql, h_sql, _ = r
+        cur = oracle_con.execute(sql)
+        ocols = [d[0] for d in cur.description]
+        n_py, h_py = _digest_rows(ocols, iter(cur.fetchall()))
+        assert (n_sql, h_sql) == (n_py, h_py), sql
+
+
 # --- vectorized stateful twins == scalar reference ---------------------------
 
 

@@ -23,14 +23,88 @@ that preserve the properties the probe cares about:
   the workload, not the volume), user/event ids shifted.
 
 Usage: python tools/make_sf.py /root/testdata/sf0.1 /tmp/xngin_scale/sf1 10
+
+Dedup-bounded mode (``--dedup-docs``): synthesizes ONLY documents, with
+near-dup structure that scales LINEARLY in K. The default rotation
+makes all K copies of a doc mutual near-duplicates (rotations share
+most shingles), so true near-dup PAIRS grow ~K² — at sf100 the scaling
+probe measured the synthesis's pair explosion, not the operator
+(SCALE.md round-10 exclusion). Here copies are grouped into bounded
+COPY GROUPS of 4: within a group, copies are position-rotations of
+each other (genuine near-dups, as before); across groups, a per-group
+substitution cipher (rotated alphabet via translate()) rewrites every
+shingle, so cross-group pairs are NOT near-dups. Each source doc then
+contributes K/4 groups x C(4,2)=6 pairs = 1.5*K pairs — linear — which
+is how a real K x-larger corpus behaves (a 10x crawl does not square
+its near-dup set).
+
+Usage: python tools/make_sf.py SRC DST K --dedup-docs
 """
 
 from __future__ import annotations
 
 import os
+import string
 import sys
 
 import duckdb
+
+#: bounded copy-group size for --dedup-docs (pairs per source doc =
+#: (K/G) * C(G,2) = K*(G-1)/2 — linear in K for fixed G)
+DEDUP_GROUP = 4
+
+
+def make_dedup_docs(src: str, dst: str, k: int) -> None:
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    (m,) = con.sql(
+        f"SELECT MAX(doc_id) FROM read_parquet('{src}/documents.parquet')"
+    ).fetchone()
+    o_doc = 1
+    while o_doc <= m:
+        o_doc *= 10
+
+    lower, upper, digits = (
+        string.ascii_lowercase, string.ascii_uppercase, string.digits
+    )
+    src_alpha = lower + upper + digits
+
+    def rot(s: str, n: int) -> str:
+        n %= len(s)
+        return s[n:] + s[:n]
+
+    n_groups = (k + DEDUP_GROUP - 1) // DEDUP_GROUP
+    # group 0 keeps the identity alphabet so copy 0 is the verbatim src
+    rows = ", ".join(
+        "({}, '{}')".format(
+            g, rot(lower, g * 7) + rot(upper, g * 11) + rot(digits, g * 3)
+        )
+        for g in range(n_groups)
+    )
+    q = f"""
+        SELECT doc_id + i*{o_doc} AS doc_id,
+               CASE WHEN length(text) = 0 THEN text
+                    ELSE translate(
+                      CASE WHEN i % {DEDUP_GROUP} = 0 THEN text
+                           ELSE substr(text,
+                                  ((i % {DEDUP_GROUP})*37 % length(text)) + 1)
+                                || substr(text, 1,
+                                  (i % {DEDUP_GROUP})*37 % length(text))
+                      END, '{src_alpha}', gm.tgt)
+               END AS text,
+               lang, source, n_chars
+        FROM read_parquet('{src}/documents.parquet'),
+             (SELECT unnest(range({k})) AS i) copies
+        JOIN (VALUES {rows}) gm(g, tgt)
+          ON gm.g = i // {DEDUP_GROUP}
+    """
+    out = os.path.join(dst, "documents.parquet")
+    con.execute(
+        f"COPY ({q}) TO '{out}' (FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+    )
+    (n,) = con.sql(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()
+    print(f"documents (dedup-bounded, G={DEDUP_GROUP}): {n} rows -> {out}")
 
 
 def main(src: str, dst: str, k: int) -> None:
@@ -121,4 +195,7 @@ def main(src: str, dst: str, k: int) -> None:
 
 if __name__ == "__main__":
     src, dst, k = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    main(src, dst, k)
+    if "--dedup-docs" in sys.argv[4:]:
+        make_dedup_docs(src, dst, k)
+    else:
+        main(src, dst, k)

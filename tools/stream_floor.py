@@ -76,6 +76,41 @@ def _run_bm25(spark, sf_dir, tmp):
     return time.time() - t0
 
 
+#: the applyInPandasWithState family — the engine's one per-event
+#: Python surface, so its events/sec ceiling is the scale number the
+#: round-10 verdict asked for (the sf100 stream timeout's suspected
+#: cause). Each runs the REGISTERED query (machinery included), so the
+#: throughput is end-to-end availableNow, not a microbenchmark.
+STATEFUL_TWINS = [
+    "events_stream_attribution",
+    "events_stream_attribution_linear",
+    "events_stream_attribution_ushaped",
+    "events_stream_attribution_timedecay",
+    "events_stream_pattern",
+    "events_stream_transitions",
+]
+
+
+def _run_stateful_throughput(spark, sf_dir: str) -> dict:
+    from xngin_spark.queries import QUERIES, load_all
+
+    load_all()
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    out = {}
+    for name in STATEFUL_TWINS:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).collect()
+        wall = time.time() - t0
+        out[name] = {
+            "events": n_events,
+            "wall_sec": round(wall, 2),
+            "events_per_sec": round(n_events / wall),
+        }
+        print(f"  {name}: {out[name]['events_per_sec']} ev/s "
+              f"({wall:.1f}s over {n_events} events)", flush=True)
+    return out
+
+
 def _summarize(recs: list[dict], sink: str, wall: float) -> dict:
     mine = [r for r in recs if r["sink"] == sink]
     phases: dict[str, list[float]] = {}
@@ -129,6 +164,7 @@ def main() -> None:
             "streaming_bm25_maintain": _summarize(
                 bm25_recs, "bm25", bm25_wall
             ),
+            "stateful_throughput": _run_stateful_throughput(spark, sf_dir),
         }
         print(json.dumps({sf_dir: doc[sf_dir]}, indent=1))
 

@@ -111,6 +111,90 @@ class ParityResult:
         )
 
 
+#: exact-match normalizations verified against Python's _norm_cell:
+#: DuckDB's double->VARCHAR is shortest-roundtrip with repr()-identical
+#: exponent thresholds (probed over the full magnitude range incl.
+#: denormals/inf/-0.0); decimals/dates/ints stringify identically.
+_SQL_NORM_SIMPLE = (
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT", "HUGEINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT", "UHUGEINT",
+    "VARCHAR", "DATE",
+)
+
+
+def _norm_cell_sql(col: str, dtype: str) -> str | None:
+    """SQL expression producing EXACTLY _norm_cell's text for one
+    column, or None if the type has no verified SQL twin (caller falls
+    back to the Python digest)."""
+    q = '"' + col.replace('"', '""') + '"'
+    t = dtype.upper()
+    if t in ("FLOAT", "REAL"):
+        # fetched floats widen to Python doubles before repr; widen in
+        # SQL too or the 32-bit shortest form ('0.1') diverges from the
+        # widened repr ('0.10000000149011612')
+        q, t = f"CAST({q} AS DOUBLE)", "DOUBLE"
+    if t == "DOUBLE":
+        body = f"CASE WHEN isnan({q}) THEN 'NaN' ELSE CAST({q} AS VARCHAR) END"
+    elif t == "BOOLEAN":
+        # NULL must FALL THROUGH to the COALESCE (an ELSE branch would
+        # normalize NULL as 'false' — caught by the planted edge test)
+        body = f"CASE WHEN {q} THEN 'true' WHEN NOT {q} THEN 'false' END"
+    elif t == "TIMESTAMP":
+        # str(datetime) omits '.000000' entirely but prints TRAILING
+        # zeros of nonzero micros; DuckDB's cast trims them — strftime
+        # branches reproduce Python exactly
+        body = (
+            f"CASE WHEN date_trunc('second', {q}) = {q} "
+            f"THEN strftime({q}, '%Y-%m-%d %H:%M:%S') "
+            f"ELSE strftime({q}, '%Y-%m-%d %H:%M:%S.%f') END"
+        )
+    elif t in _SQL_NORM_SIMPLE or t.startswith("DECIMAL"):
+        body = f"CAST({q} AS VARCHAR)"
+    else:
+        return None
+    return f"COALESCE({body}, '<NULL>')"
+
+
+def _digest_sql(
+    con: "duckdb.DuckDBPyConnection", oracle_sql: str
+) -> tuple[int, str, list[str]] | None:
+    """Run the AdHash multiset digest INSIDE DuckDB: per-row sha256
+    over the same chr(31)-joined normalized cells, summed as eight
+    32-bit limb sums (HUGEINT-safe to ~1e19 rows) recombined in Python
+    mod 2^256 — bit-identical to _digest_rows by construction. The
+    oracle result is never materialized, fetched, or hashed in Python:
+    at sf100 the Python path's full-result fetch was the probe's disk/
+    memory killer (bm25_topk spilled 381s then died; a 15M-row
+    tfidf_topk fetch is minutes of pure conversion). Returns None when
+    a result column's type has no verified SQL normalization (caller
+    falls back to the Python digest — same verdicts either way,
+    guaranteed by a corpus-wide equivalence test)."""
+    desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    cols = [(r[0], r[1]) for r in desc]
+    order = sorted(range(len(cols)), key=lambda i: cols[i][0])
+    norms = []
+    for i in order:
+        e = _norm_cell_sql(cols[i][0], cols[i][1])
+        if e is None:
+            return None
+        norms.append(e)
+    line = f"concat_ws(chr(31), {', '.join(norms)})" if norms else "''"
+    limbs = ", ".join(
+        f"SUM(CAST(CAST('0x' || substr(h, {1 + 8 * i}, 8) AS BIGINT) AS HUGEINT)) AS l{i}"
+        for i in range(8)
+    )
+    row = con.execute(
+        f"WITH __oq AS ({oracle_sql}), "
+        f"__oh AS (SELECT sha256({line}) AS h FROM __oq) "
+        f"SELECT COUNT(*) AS n, {limbs} FROM __oh"
+    ).fetchone()
+    n = int(row[0])
+    acc = 0
+    for i in range(8):
+        acc += int(row[1 + i] or 0) << (32 * (7 - i))
+    return n, format(acc % (1 << 256), "064x")[:16], [c for c, _ in cols]
+
+
 def compare(
     name: str,
     sdf: DataFrame,
@@ -121,6 +205,23 @@ def compare(
     sn, sh = _digest_rows(
         scols, sdf.toLocalIterator(prefetchPartitions=True)
     )
+    mode = os.environ.get("XNGIN_ORACLE_DIGEST", "auto")
+    if mode in ("auto", "sql"):
+        try:
+            r = _digest_sql(con, oracle_sql)
+        except Exception:
+            if mode == "sql":
+                raise
+            r = None
+        if r is not None:
+            on, oh, ocols = r
+            return ParityResult(name, sn, on, sh, oh, scols, ocols)
+        if mode == "sql":
+            raise ValueError(
+                f"{name}: oracle result has a column type without a "
+                "verified SQL normalization; XNGIN_ORACLE_DIGEST=sql "
+                "refuses the Python fallback"
+            )
     cur = con.execute(oracle_sql)
     ocols = [d[0] for d in cur.description]
 
