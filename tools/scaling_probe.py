@@ -49,11 +49,22 @@ def write_results(
     itself. Top-level metadata is refreshed only when compatible;
     mixing runs of DIFFERENT ratio/dirs raises rather than silently
     blending incomparable alphas."""
+    import platform
+
     doc = {
         "ratio": ratio,
         "small_dir": small_dir,
         "big_dir": big_dir,
         "design": "interleaved per-query A/B, one session",
+        # attributability header (round 11): a flagged row must carry
+        # enough context to be judged without SCALE.md archaeology
+        "probe": {
+            "version": 2,
+            "host": platform.node(),
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "state_store": os.environ.get("XNGIN_STATE_STORE", "default"),
+        },
         "queries": {},
     }
     if os.path.exists(path):
@@ -87,7 +98,19 @@ def main(small_dir: str, big_dir: str, ratio: float, only: set[str]) -> None:
     from xngin_spark.session import get_spark
 
     Q.load_all()
-    spark = get_spark("scaling_probe")
+    extra = {}
+    if os.environ.get("XNGIN_STATE_STORE", "").lower() == "rocksdb":
+        # the documented single-JVM heap-state ceiling fix (SCALE.md):
+        # RocksDB keeps streaming state off-heap on disk, so the
+        # 100M-key sf100 state queries fit a local JVM — on a cluster
+        # the same provider is the standard large-state choice
+        extra["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    spark = get_spark("scaling_probe", extra_conf=extra)
+    for k, v in extra.items():
+        spark.conf.set(k, v)  # runtime conf: survives session reuse too
 
     def canary() -> float:
         t0 = time.perf_counter()
@@ -143,6 +166,11 @@ def main(small_dir: str, big_dir: str, ratio: float, only: set[str]) -> None:
             "alpha": round(alpha, 2),
             "canary": c,
         }
+        if extra:
+            # per-row provenance: these rows ran under a non-default
+            # state store (the header alone can't disambiguate a
+            # merged artifact with rows from both providers)
+            rows[name]["state_store"] = "rocksdb"
         print(
             f"# [{i + 1}/{len(names)}] {name}: {ts}s -> {tb}s "
             f"a={alpha:.2f} (canary {c}s)",
