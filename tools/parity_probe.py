@@ -229,12 +229,44 @@ def main() -> int:
                 err = f"{type(e).__name__}: {e}"[:300]
                 # a fatal DuckDB error invalidates the connection; a
                 # fatal Spark error may have killed the local JVM —
-                # rebuild whichever side is dead before retrying
+                # rebuild whichever side is dead before retrying. The
+                # reconnect itself can OOM while the dying connection
+                # still pins memory (observed: events_pattern_match at
+                # sf100 crashed the WHOLE sweep this way) — release,
+                # gc, and retry with backoff rather than die.
                 try:
                     con.close()
                 except Exception:
                     pass
-                con = duckdb_connect(sf_dir)
+                con = None
+                import gc
+                import time as _t
+
+                for backoff in (0, 5, 30):
+                    gc.collect()
+                    _t.sleep(backoff)
+                    try:
+                        con = duckdb_connect(sf_dir)
+                        break
+                    except Exception:
+                        continue
+                if con is None:
+                    errors[name] = {
+                        "error": err + " (oracle reconnect failed)",
+                        "kind": _classify(err),
+                        "sec": round(time.time() - t0, 2),
+                        "retries": attempt,
+                    }
+                    results.pop(name, None)
+                    outcome = f"ERROR({_classify(err)})"
+                    print(f"# {name}: oracle reconnect failed, skipping "
+                          "remaining oracle work this row",
+                          file=sys.stderr, flush=True)
+                    _write()
+                    raise SystemExit(
+                        "oracle reconnect failed after backoff — host "
+                        "memory exhausted; completed rows are saved"
+                    )
                 if not _spark_alive(spark):
                     print(f"# {name}: spark session dead, rebuilding",
                           file=sys.stderr, flush=True)
