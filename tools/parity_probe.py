@@ -282,6 +282,29 @@ def main() -> int:
                     outcome = f"ERROR({_classify(err)})"
         if outcome != "OK":
             failed.append(name)
+        # release per-row storage BEFORE the next row: operator persists,
+        # dedup-tracked checkpoints, and (via gc -> ContextCleaner) the
+        # anonymous localCheckpoints the CDC rows hold — at sf100 the
+        # incremental_agg_multi checkpoint+shuffle footprint is ~45 GB
+        # of spark-local that otherwise coexists with the NEXT row's
+        # oracle spill (the disk death the round-10 sweep hit twice)
+        try:
+            from xngin_spark.operators.dedup import (
+                release_checkpoints,
+                release_persisted,
+            )
+
+            release_persisted()
+            release_checkpoints()
+        except Exception:
+            pass
+        import gc
+
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         print(f"{name}: {outcome} ({round(time.time() - t0, 2)}s)", flush=True)
         # merge-write per query: a killed multi-hour probe keeps its
         # completed rows (same discipline as scaling_probe)
