@@ -156,7 +156,25 @@ def _respark(cpus: str):
         pass
     from xngin_spark.session import get_spark
 
-    return get_spark("parity_probe", cpus=cpus)
+    try:
+        return get_spark("parity_probe", cpus=cpus)
+    except Exception:
+        # a HALF-dead JVM (executor threads OOM'd, gateway still
+        # answering) rejects a new context with "another context is
+        # running" — force the gateway down and start a genuinely
+        # fresh JVM (observed: bm25_topk sf100 heap death)
+        gw = getattr(SparkContext, "_gateway", None)
+        if gw is not None:
+            try:
+                gw.shutdown()
+            except Exception:
+                pass
+        SparkContext._gateway = None
+        SparkContext._jvm = None
+        SparkContext._active_spark_context = None
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        return get_spark("parity_probe", cpus=cpus)
 
 
 def main() -> int:
