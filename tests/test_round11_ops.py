@@ -276,6 +276,53 @@ def test_sql_digest_type_edges(oracle_con):
         assert (n_sql, h_sql) == (n_py, h_py), sql
 
 
+# --- relational 'vc*p' oracle == regex scan, exhaustively --------------------
+
+
+def test_pattern_oracle_relational_form_equals_regex():
+    """Round 11 replaced events_pattern_match's string_agg+regexp
+    oracle (unspillable in DuckDB, OOM'd the sf100 sweep at 55 GB)
+    with a window+aggregate form. The rewrite's claim: a left-to-right
+    non-overlapping scan for 'vc*p' matches exactly the 'p' positions
+    whose last non-'c' predecessor is 'v'. Exhaustive over every
+    {c,v,p} string to length 10 (~88k cases) — any counterexample
+    would mean the sf100 row verifies the wrong answer."""
+    import itertools
+    import re
+
+    def relational(s: str) -> int:
+        n, prev_nonc = 0, None
+        for ch in s:
+            if ch == "p" and prev_nonc == "v":
+                n += 1
+            if ch != "c":
+                prev_nonc = ch
+        return n
+
+    for length in range(0, 11):
+        for s in map("".join, itertools.product("cvp", repeat=length)):
+            assert len(re.findall("vc*p", s)) == relational(s), s
+
+
+def test_pattern_oracle_matches_spark_leg(spark, oracle_con):
+    """The rewritten oracle must still hash-match the UNCHANGED Spark
+    leg on real data (the gate's exact compare)."""
+    from xngin_spark import queries as Q
+    from xngin_spark.oracle import compare
+
+    Q.load_all()
+    res = compare(
+        "events_pattern_match",
+        Q.QUERIES["events_pattern_match"](spark, SF_SMALL),
+        oracle_con,
+        Q.ORACLE["events_pattern_match"],
+    )
+    assert res.ok, (
+        f"spark {res.spark_rows}/{res.spark_hash} vs "
+        f"oracle {res.oracle_rows}/{res.oracle_hash}"
+    )
+
+
 # --- vectorized stateful twins == scalar reference ---------------------------
 
 

@@ -1047,6 +1047,14 @@ def events_concurrent_sessions(spark, sf_dir):
 
 @register(
     "events_pattern_match",
+    # Relational form of the original string_agg + regexp oracle: a
+    # non-overlapping left-to-right scan for 'vc*p' finds exactly the
+    # 'p' rows whose LAST NON-'c' predecessor is a 'v' (proved by
+    # exhaustive equivalence to re.findall over every {c,v,p}-string to
+    # length 12, tests/test_round11_ops.py, and pinned equal on real
+    # data) — windows + hash aggregation SPILL in DuckDB where the
+    # ordered string_agg + regexp_extract_all form held every per-user
+    # sequence in memory and OOM'd the sf100 oracle at a 55 GB limit.
     """
     WITH r AS (
       SELECT user_id, substr(event_type, 1, 1) AS c,
@@ -1054,15 +1062,22 @@ def events_concurrent_sessions(spark, sf_dir):
                                 ORDER BY ts, event_id) AS rn
       FROM events
     ),
+    k AS (SELECT user_id, c, rn FROM r WHERE rn <= 512),
+    w AS (
+      SELECT user_id, c,
+             last_value(CASE WHEN c <> 'c' THEN c END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_nonc
+      FROM k
+    ),
     s AS (
-      SELECT user_id, string_agg(c, '' ORDER BY rn) AS seq
-      FROM r WHERE rn <= 512 GROUP BY user_id
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS seq_len,
+             CAST(COUNT(*) FILTER (WHERE c = 'p' AND prev_nonc = 'v')
+                  AS BIGINT) AS n_matches
+      FROM w GROUP BY user_id
     )
-    SELECT user_id,
-           CAST(length(seq) AS BIGINT) AS seq_len,
-           CAST(len(regexp_extract_all(seq, 'vc*p')) AS BIGINT) AS n_matches
-    FROM s
-    WHERE len(regexp_extract_all(seq, 'vc*p')) >= 1
+    SELECT user_id, seq_len, n_matches FROM s WHERE n_matches >= 1
     """,
 )
 def events_pattern_match(spark, sf_dir):
