@@ -1725,13 +1725,20 @@ def snapshot_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "incremental_agg_multi",
     """
-    WITH keyed AS (
-      SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
-             l_extendedprice,
-             COUNT(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS __n
+    WITH uniq AS (
+      -- unique-key filter in spillable GROUP BY/HAVING form: with
+      -- exactly one row per group, MAX(col) IS the col. The prior
+      -- COUNT(*) OVER (PARTITION BY pk) window form OOM-killed the
+      -- DuckDB oracle at sf100 (window state doesn't spill; hash
+      -- aggregate does) -- same swap events_pattern_match needed.
+      SELECT l_orderkey, l_linenumber,
+             MAX(l_returnflag) AS l_returnflag,
+             MAX(l_quantity) AS l_quantity,
+             MAX(l_extendedprice) AS l_extendedprice
       FROM lineitem
+      GROUP BY l_orderkey, l_linenumber
+      HAVING COUNT(*) = 1
     ),
-    uniq AS (SELECT * EXCLUDE (__n) FROM keyed WHERE __n = 1),
     newsnap AS (
       SELECT l_orderkey, l_linenumber, l_returnflag,
              CASE WHEN l_orderkey % 89 = 0 THEN l_quantity + 1
