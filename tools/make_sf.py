@@ -75,10 +75,25 @@ def make_dedup_docs(src: str, dst: str, k: int) -> None:
         return s[n:] + s[:n]
 
     n_groups = (k + DEDUP_GROUP - 1) // DEDUP_GROUP
-    # group 0 keeps the identity alphabet so copy 0 is the verbatim src
+    # group 0 keeps the identity alphabet so copy 0 is the verbatim src.
+    # Mixed-radix rotations make the cipher INJECTIVE for g < 26*26*10
+    # = 6760 groups (K <= 27040): the first cut (rot by g*7 etc.) had
+    # period lcm(26,10)=130, so sf100's 250 groups put g and g+130 on
+    # the SAME cipher — their copies became cross-group near-dups and
+    # pair growth went 22.8x per 10x data (the measured a=1.35 on
+    # dedup_minhash_lsh came from exactly this synthesis artifact, not
+    # the operator)
+    if n_groups > 26 * 26 * 10:
+        raise SystemExit(
+            f"--dedup-docs supports at most {26 * 26 * 10 * DEDUP_GROUP} "
+            f"copies per source doc (cipher injectivity); got k={k}"
+        )
     rows = ", ".join(
         "({}, '{}')".format(
-            g, rot(lower, g * 7) + rot(upper, g * 11) + rot(digits, g * 3)
+            g,
+            rot(lower, g % 26)
+            + rot(upper, (g // 26) % 26)
+            + rot(digits, (g // 676) % 10),
         )
         for g in range(n_groups)
     )
