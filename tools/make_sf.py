@@ -70,32 +70,37 @@ def make_dedup_docs(src: str, dst: str, k: int) -> None:
     )
     src_alpha = lower + upper + digits
 
-    def rot(s: str, n: int) -> str:
-        n %= len(s)
-        return s[n:] + s[:n]
-
     n_groups = (k + DEDUP_GROUP - 1) // DEDUP_GROUP
     # group 0 keeps the identity alphabet so copy 0 is the verbatim src.
-    # Mixed-radix rotations make the cipher INJECTIVE for g < 26*26*10
-    # = 6760 groups (K <= 27040): the first cut (rot by g*7 etc.) had
-    # period lcm(26,10)=130, so sf100's 250 groups put g and g+130 on
-    # the SAME cipher — their copies became cross-group near-dups and
-    # pair growth went 22.8x per 10x data (the measured a=1.35 on
-    # dedup_minhash_lsh came from exactly this synthesis artifact, not
-    # the operator)
-    if n_groups > 26 * 26 * 10:
-        raise SystemExit(
-            f"--dedup-docs supports at most {26 * 26 * 10 * DEDUP_GROUP} "
-            f"copies per source doc (cipher injectivity); got k={k}"
+    # Each group gets a full PERMUTATION of each character class, not a
+    # rotation: rotations admit only 26 distinct lowercase ciphers, and
+    # the synthetic corpus is lowercase-only — at sf100 (250 groups)
+    # every ~10th group shared a cipher, so copies of the same source
+    # doc agreed on >=50% of their minhashes across groups and the LSH
+    # pair count grew 123x per 10x data (measured with
+    # tools/lsh_phase_probe.py: 160-doc band buckets, a=1.38). With
+    # per-group shuffles the cipher space is 26! per class; uniqueness
+    # over the emitted groups is asserted, so cross-group pairs are
+    # structurally impossible rather than probabilistic.
+    import random as _random
+
+    def perm(g: int, alphabet: str) -> str:
+        if g == 0:
+            return alphabet
+        return "".join(
+            _random.Random(f"dedup-cipher-{g}-{alphabet[0]}").sample(
+                alphabet, len(alphabet)
+            )
         )
-    rows = ", ".join(
-        "({}, '{}')".format(
-            g,
-            rot(lower, g % 26)
-            + rot(upper, (g // 26) % 26)
-            + rot(digits, (g // 676) % 10),
-        )
+
+    ciphers = [
+        perm(g, lower) + perm(g, upper) + perm(g, digits)
         for g in range(n_groups)
+    ]
+    if len(set(ciphers)) != n_groups:
+        raise SystemExit("cipher collision — change the seed scheme")
+    rows = ", ".join(
+        "({}, '{}')".format(g, c) for g, c in enumerate(ciphers)
     )
     q = f"""
         SELECT doc_id + i*{o_doc} AS doc_id,
