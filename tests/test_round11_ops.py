@@ -461,3 +461,95 @@ def test_vectorized_twins_match_scalar_spec(seed):
 
     got_last, _ = _run_twin(_update_attribution, batches)
     assert got_last == sorted(_scalar_lasttouch(batches))
+
+
+# ---------------------------------------------------------------------------
+# dedup-bounded synthesis invariants (tools/make_sf.py --dedup-docs)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_synthesis_bounded_pair_growth(tmp_path):
+    """The --dedup-docs cipher must isolate copy groups: group-0/copy-0
+    is the verbatim source doc, all per-group ciphers are distinct, and
+    copies of one source doc in DIFFERENT groups share (almost) no
+    3-token shingles — the invariant that keeps near-dup pair growth
+    linear in K. Round 11 shipped two broken ciphers before this test:
+    rot(g*7) repeated every 130 groups, and mixed-radix rotations
+    collapsed to 26 distinct ciphers on the lowercase-only corpus
+    (measured 123x pair growth per 10x data, tools/lsh_phase_probe.py).
+    A permutation cipher with asserted uniqueness is structural, but
+    only a shingle-level check catches an alphabet/corpus mismatch —
+    so check shingles, not cipher strings."""
+    import duckdb
+
+    import tools.make_sf as ms
+
+    src = tmp_path / "src"
+    src.mkdir()
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT CAST(i AS BIGINT) AS doc_id,
+                 'alpha beta gamma delta epsilon zeta eta theta iota '
+                 || 'kappa lam mu nu xi omicron pi rho sigma tau ups'
+                 || CAST(i AS VARCHAR) AS text,
+                 'en' AS lang, 'synth' AS source, CAST(60 AS BIGINT) AS n_chars
+          FROM range(3) t(i)
+        ) TO '{src}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    dst = tmp_path / "dst"
+    # k=536 -> 134 groups: crosses the 130-group period of the FIRST
+    # broken cipher and the 26-rotation space of the second
+    ms.make_dedup_docs(str(src), str(dst), 536)
+
+    out = f"{dst}/documents.parquet"
+    n, = con.sql(f"SELECT COUNT(*) FROM read_parquet('{out}')").fetchone()
+    assert n == 3 * 536
+
+    # verbatim copy: i=0 keeps the source text byte-for-byte
+    verbatim = con.sql(
+        f"""
+        SELECT COUNT(*) FROM read_parquet('{out}') d
+        JOIN read_parquet('{src}/documents.parquet') s
+          ON d.doc_id = s.doc_id AND d.text = s.text
+        """
+    ).fetchone()[0]
+    assert verbatim == 3
+
+    # cross-group 3-shingle overlap for source doc 0: tokens are pure
+    # lowercase words, so distinct group permutations must give
+    # near-disjoint shingle sets (jaccard ~ 0), while within-group
+    # rotations stay near-dups (jaccard >= 0.5)
+    rows = con.sql(
+        f"""
+        WITH d AS (
+          SELECT doc_id // 10 AS i, text FROM read_parquet('{out}')
+          WHERE doc_id % 10 = 0
+        ),
+        sh AS (
+          SELECT i, i // {ms.DEDUP_GROUP} AS g, j,
+                 toks[j] || ' ' || toks[j+1] || ' ' || toks[j+2] AS shingle
+          FROM (SELECT i, string_split(text, ' ') AS toks FROM d),
+               LATERAL unnest(range(1, len(toks) - 1)) t(j)
+        ),
+        pairs AS (
+          SELECT a.g AS ga, b.g AS gb,
+                 COUNT(DISTINCT CASE WHEN a.shingle = b.shingle
+                                     THEN a.shingle END) AS inter
+          FROM (SELECT DISTINCT g, shingle, i FROM sh) a
+          JOIN (SELECT DISTINCT g, shingle, i FROM sh) b
+            ON a.i < b.i
+          GROUP BY 1, 2
+        )
+        SELECT MAX(CASE WHEN ga <> gb THEN inter ELSE 0 END) AS cross_max,
+               MIN(CASE WHEN ga = gb THEN inter END) AS within_min
+        FROM pairs
+        """
+    ).fetchone()
+    cross_max, within_min = rows
+    # a 20-token doc has 18 shingles; allow <=2 accidental cross-group
+    # matches (boundary effects), require >=9 shared within a group
+    assert cross_max <= 2, f"cross-group shingle overlap {cross_max}"
+    assert within_min >= 9, f"within-group shingle overlap {within_min}"
