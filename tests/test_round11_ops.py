@@ -553,3 +553,28 @@ def test_dedup_synthesis_bounded_pair_growth(tmp_path):
     # matches (boundary effects), require >=9 shared within a group
     assert cross_max <= 2, f"cross-group shingle overlap {cross_max}"
     assert within_min >= 9, f"within-group shingle overlap {within_min}"
+
+
+def test_parquet_stream_sink_matches_memory_sink(spark):
+    """XNGIN_STREAM_SINK=parquet must reproduce the memory-sink result
+    exactly for both output modes (append: native parquet sink;
+    complete: foreachBatch overwrite). The file sink exists because the
+    sf100 state twins OOM a 28g JVM on the memory sink's
+    collect-on-heap shape, not on streaming state — it is the
+    production sink shape, so parity with the oracle-checked memory
+    path is the load-bearing claim."""
+    import os
+
+    from xngin_spark import queries as Q
+
+    Q.load_all()
+    sf = SF_SMALL
+    for name in ("events_stream_dedup", "events_stream_session"):
+        os.environ.pop("XNGIN_STREAM_SINK", None)
+        mem = sorted(map(tuple, Q.QUERIES[name](spark, sf).collect()))
+        os.environ["XNGIN_STREAM_SINK"] = "parquet"
+        try:
+            par = sorted(map(tuple, Q.QUERIES[name](spark, sf).collect()))
+        finally:
+            os.environ.pop("XNGIN_STREAM_SINK", None)
+        assert mem == par, f"{name}: parquet sink diverged from memory sink"

@@ -221,7 +221,55 @@ def run_available_now(
             )
             timeout_s = 120
     ckpt = tempfile.mkdtemp(prefix=f"xngin-ckpt-{name}-")
+    sink = os.environ.get("XNGIN_STREAM_SINK", "memory").lower()
     try:
+        if sink == "parquet":
+            # File-sink twin for scales where the memory sink's
+            # collect-everything-on-heap shape is the bottleneck: the
+            # sf100 state twins OOM'd a 28g JVM not on streaming STATE
+            # (RocksDB moves that off-heap) but on the ~100M-row memory
+            # sink itself. A parquet sink is the production shape —
+            # results land on disk, the returned frame reads them back.
+            # append-mode streams write through the native parquet
+            # sink; complete-mode output replaces per trigger, which
+            # foreachBatch mirrors with an overwrite write (availableNow
+            # → the final batch wins, exactly the memory-sink table).
+            base = os.environ.get(
+                "XNGIN_STREAM_SINK_DIR", "/tmp/xngin_stream_sink"
+            )
+            out_dir = os.path.join(base, name)
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.makedirs(out_dir, exist_ok=True)
+            if output_mode == "append":
+                q = (
+                    sdf.writeStream.format("parquet")
+                    .option("path", out_dir)
+                    .option("checkpointLocation", ckpt)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            else:
+                q = (
+                    sdf.writeStream.foreachBatch(
+                        lambda df, _bid: df.write.mode("overwrite").parquet(
+                            out_dir
+                        )
+                    )
+                    .option("checkpointLocation", ckpt)
+                    .outputMode(output_mode)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+            if not q.awaitTermination(timeout_s):
+                q.stop()
+                raise TimeoutError(
+                    f"stream {name!r} did not finish in {timeout_s}s"
+                )
+            try:
+                return spark.read.schema(sdf.schema).parquet(out_dir)
+            except Exception:
+                return spark.createDataFrame([], sdf.schema)
         q = to_memory_sink(sdf, name, output_mode, checkpoint_location=ckpt)
         if not q.awaitTermination(timeout_s):
             q.stop()
