@@ -1784,24 +1784,20 @@ def incremental_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic lineitem VIOLATES its composite PK (a real finding
     # constraint_check surfaces) — CDC needs unique keys, so the
     # scenario runs over the unique-keyed subset on both engines.
-    # Hash-aggregate form (MAX == the value when the group is a single
-    # row) rather than a COUNT() OVER (PARTITION BY pk) window: the
-    # window needs a full sort of the fact table per shuffle partition,
-    # the aggregate is sort-free and spillable — the same swap the
-    # DuckDB oracle needed to survive sf100
+    # NOTE the oracle uses a GROUP BY/HAVING COUNT(*)=1 form instead of
+    # this window: DuckDB's window operator cannot spill and OOM'd at
+    # sf100, while Spark's sort-based window spills fine and is ~40%
+    # faster than the equivalent 4-aggregate hash aggregate at bench
+    # scale (measured 0.6s vs 1.05s warm at sf0.1) — same rows either
+    # way, each engine gets its cheaper spillable shape
+    w = Window.partitionBy("l_orderkey", "l_linenumber")
     v1 = (
         T(spark, sf_dir, "lineitem")
         .select(
             "l_orderkey", "l_linenumber", "l_returnflag",
             "l_quantity", "l_extendedprice",
         )
-        .groupBy("l_orderkey", "l_linenumber")
-        .agg(
-            F.max("l_returnflag").alias("l_returnflag"),
-            F.max("l_quantity").alias("l_quantity"),
-            F.max("l_extendedprice").alias("l_extendedprice"),
-            F.count(F.lit(1)).alias("__n"),
-        )
+        .withColumn("__n", F.count(F.lit(1)).over(w))
         .filter(F.col("__n") == 1)
         .drop("__n")
     )
