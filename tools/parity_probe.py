@@ -55,8 +55,12 @@ OUT = os.environ.get("XNGIN_PARITY_OUT", os.path.join(REPO, "PARITY_SF10.json"))
 #: one row per value-determinism family; heavy tails deliberately in
 #: (the point is the scales where they hurt)
 DEFAULT_NAMES = [
-    # decimal-sum TPC-H (big joins, revenue-scale sums)
-    "q1", "q5", "q9", "q18", "q21",
+    # decimal-sum TPC-H (big joins, revenue-scale sums), plus the
+    # round-11 breadth rows: semi (q4), null-aware anti (q22),
+    # top-k join (q3), multi-join date logic (q7), group-heavy (q10),
+    # decimal ratio (q14)
+    "q1", "q3", "q4", "q5", "q7", "q9", "q10", "q14", "q18", "q21",
+    "q22",
     # dedup family: md5 minhash/simhash, span logic, window counting.
     # dedup_winnow is deliberately NOT here: at the self-union sf10 the
     # boilerplate cap drops every fingerprint (the round-9 warn guard),
@@ -84,6 +88,8 @@ DEFAULT_NAMES = [
     # by events_stream_attribution; micro-unit truncated ratio credits)
     "events_attribution_ushaped", "events_attribution_linear",
     "events_attribution_timedecay",
+    # windows / grouping-sets / mark-join / streaming tumbling
+    "window_frames", "cube_agg", "mark_join_q", "events_stream_tumbling",
 ]
 
 
