@@ -1352,3 +1352,29 @@ def test_maintain_agg_multi_insert_only_no_snapshot_scan(spark):
     assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
         map(tuple, expect.select(*cols).collect())
     )
+
+
+def test_bpe_driver_and_distributed_learn_agree(spark):
+    """Round-11 optimization: learn() lands the word table driver-side
+    under BPE_DRIVER_CAP. The two paths must produce the identical
+    merge table — same pairs, same order, same counts — including on
+    tie-heavy input (every pair count equal) and multi-char merges."""
+    from xngin_spark.operators import bpe
+    from xngin_spark.operators.util import values_df
+
+    docs = values_df(
+        spark,
+        "doc_id long, text string",
+        [
+            (1, "low low lower lowest"),
+            (2, "new newer newest low"),
+            (3, "wider wide widest new"),
+        ],
+    )
+    a = [tuple(r) for r in bpe.learn(spark, docs, merges=6).collect()]
+    b = [
+        tuple(r)
+        for r in bpe.learn(spark, docs, merges=6, driver_cap=0).collect()
+    ]
+    assert a == b
+    assert len(a) == 6

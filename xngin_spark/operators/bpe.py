@@ -99,17 +99,91 @@ def apply_merge(symtab: DataFrame, left: str, right: str) -> DataFrame:
     )
 
 
+#: Distinct-word ceiling for running the merge loop driver-side.
+#: The word-frequency table is the scale-invariant SMALL side of BPE
+#: (invariant to corpus duplication), but "small" is relative: real
+#: 100 TB corpora carry tens of millions of distinct words and stay on
+#: the distributed loop. Under the cap the whole loop is driver
+#: arithmetic over symbol lists — the CC_DRIVER_CAP discipline: the
+#: distributed loop pays merges x (pair-count shuffle + top-1 collect +
+#: checkpoint) of scheduling for a table that fits one Python dict.
+BPE_DRIVER_CAP = 500_000
+
+
+def _driver_learn(
+    sym_rows: list[tuple[list, int]], merges: int
+) -> list[tuple]:
+    """The merge loop on collected (syms, freq) rows — semantics are the
+    distributed loop's exactly: frequency-weighted adjacent-pair counts,
+    top pair by (count DESC, left, right) (Python str comparison is
+    code-point order == Spark's UTF8 byte order), then the identical
+    left-to-right non-overlapping fold. Symbol lists are collected from
+    ``init_symbols`` output, so char splitting is Spark's in both paths.
+    This is the reference loop the distributed fold is property-tested
+    against (tests/test_round7_ops.py)."""
+    words = [(list(s), int(f)) for s, f in sym_rows]
+    rows: list[tuple] = []
+    for rank in range(1, merges + 1):
+        counts: dict = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        (l, r), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        rows.append((rank, l, r, l + r, c))
+        for idx, (syms, freq) in enumerate(words):
+            acc: list = []
+            for s in syms:
+                if acc and acc[-1] == l and s == r:
+                    acc[-1] = l + r
+                else:
+                    acc.append(s)
+            words[idx] = (acc, freq)
+    return rows
+
+
 def learn(
     spark: SparkSession,
     docs: DataFrame,
     merges: int = 12,
     text_col: str = "text",
+    driver_cap: int = BPE_DRIVER_CAP,
 ) -> DataFrame:
     """Learn ``merges`` BPE merges; returns the merge table
     (rank, left_sym, right_sym, merged, pair_count) in learn order.
     Deterministic: ties break on (pair_count DESC, left_sym,
     right_sym), and all counts are exact integers."""
-    symtab = init_symbols(word_freq_table(docs, text_col)).localCheckpoint()
+    symtab0 = init_symbols(word_freq_table(docs, text_col))
+    # one corpus pass either way: try to land the word table on the
+    # driver (limit cap+1 detects overflow without a separate count job)
+    probe = symtab0.select("syms", "freq").limit(driver_cap + 1).toPandas()
+    if len(probe) <= driver_cap:
+        rows = _driver_learn(
+            list(zip(probe["syms"].tolist(), probe["freq"].tolist())), merges
+        )
+    else:
+        rows = _distributed_learn(symtab0, merges)
+    # values_df, not createDataFrame: downstream bench actions over a
+    # python local relation each pay a ~4s python->JVM stage
+    # (operators/util.values_df); merge lists are small by construction
+    from xngin_spark.operators.util import values_df
+
+    return values_df(
+        spark,
+        "rank INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, pair_count BIGINT",
+        rows,
+    )
+
+
+def _distributed_learn(symtab: DataFrame, merges: int) -> list[tuple]:
+    """The above-cap merge loop: per round one pair-count shuffle, one
+    top-1 collect, one checkpointed JVM fold (unchanged semantics)."""
+    symtab = symtab.localCheckpoint()
     rows: list[tuple] = []
     for rank in range(1, merges + 1):
         top = (
@@ -124,17 +198,7 @@ def learn(
         l, r, c = top["left_sym"], top["right_sym"], int(top["pair_count"])
         rows.append((rank, l, r, l + r, c))
         symtab = apply_merge(symtab, l, r).localCheckpoint()
-    # values_df, not createDataFrame: downstream bench actions over a
-    # python local relation each pay a ~4s python->JVM stage
-    # (operators/util.values_df); merge lists are small by construction
-    from xngin_spark.operators.util import values_df
-
-    return values_df(
-        spark,
-        "rank INT, left_sym STRING, right_sym STRING, "
-        "merged STRING, pair_count BIGINT",
-        rows,
-    )
+    return rows
 
 
 def encode(symtab_words: DataFrame, merge_rows: list[tuple]) -> DataFrame:

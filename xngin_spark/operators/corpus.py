@@ -1693,6 +1693,58 @@ def triangle_count(
     )
 
 
+def _driver_kcore(
+    edges_uv: DataFrame, k: int, rounds: int, id_col: str
+) -> DataFrame:
+    """Fixed-budget peel of a SMALL (long, long) edge set on the driver
+    — the :func:`_driver_components` pattern. Semantics are the
+    distributed loop's, round for round: each round computes degrees
+    over the surviving edges, drops every node with degree < k
+    SIMULTANEOUSLY, keeps edges between survivors; a round that changes
+    nothing is the fixpoint (early exit); budget exhaustion before the
+    fixpoint warns naming the ``rounds`` knob and returns the same
+    SUPERSET the distributed loop would. Arrow collect of two primitive
+    columns (the CC_DRIVER_CAP memory math applies unchanged)."""
+    import warnings
+    from collections import Counter
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    pdf = edges_uv.toPandas()
+    edges = list(zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()))
+    prev = len(edges)
+    converged = prev == 0
+    for _ in range(rounds):
+        if converged:
+            break
+        deg: Counter = Counter()
+        for u, v in edges:
+            deg[u] += 1
+            deg[v] += 1
+        keep = {n for n, dg in deg.items() if dg >= k}
+        edges = [(u, v) for u, v in edges if u in keep and v in keep]
+        n_edges = len(edges)
+        converged = n_edges in (prev, 0)
+        prev = n_edges
+    if not converged:
+        warnings.warn(
+            f"kcore_peel: round budget exhausted before the peel reached "
+            f"a fixpoint (rounds={rounds}, k={k}, {prev} edges still "
+            "shrinking) — the result is a SUPERSET of the true k-core; "
+            "raise the `rounds` knob",
+            stacklevel=3,
+        )
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    rows = [(int(n), int(dg)) for n, dg in deg.items() if dg >= k]
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("core_degree", LongType())]
+    )
+    return edges_uv.sparkSession.createDataFrame(rows, schema)
+
+
 def kcore_peel(
     edges: DataFrame,
     k: int = 3,
@@ -1733,6 +1785,22 @@ def kcore_peel(
         F.col("lo").cast("long"), F.col("hi").cast("long")
     ).localCheckpoint(eager=True)
     prev_edges = e.count()
+    # Small edge sets peel on the DRIVER (the _driver_components
+    # precedent, same cap): the near-dup graph is tiny relative to the
+    # corpus, and the distributed loop pays rounds x (groupBy + two
+    # semi-joins + checkpoint + count) of pure scheduling for data that
+    # fits in one Python list — measured at sf0.1, 15 rounds x ~0.2s on
+    # a 934-edge graph, ~75% of the query's wall time. Round semantics
+    # are replicated EXACTLY (simultaneous degree<k removal, early
+    # fixpoint exit, SUPERSET + warn on budget exhaustion), so the
+    # result is identical at every scale the cap admits, including
+    # non-converged budgets. Graphs above the cap run the distributed
+    # loop unchanged.
+    if prev_edges <= CC_DRIVER_CAP:
+        try:
+            return _driver_kcore(e, k, rounds, id_col)
+        finally:
+            release_checkpoint(e)
     converged = prev_edges == 0
     for _ in range(rounds):
         if converged:

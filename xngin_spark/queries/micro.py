@@ -1588,9 +1588,13 @@ def orders_stream_agg_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # materialize the delta ONCE (the incremental_agg_maintain
+    # discipline): each of the three chunk writes below filters
+    # `changes`, and without the checkpoint every write re-executes the
+    # full-outer diff join — 3x the scan+join for identical rows
     changes = cdc_changes(
         v1, v2, ["o_orderkey"], cols=["o_orderpriority", "o_totalprice"]
-    )
+    ).localCheckpoint(eager=True)
     root = tempfile.mkdtemp(prefix="xngin_aggmaint_")
     delta_dir = os.path.join(root, "delta")
     rollup = os.path.join(root, "rollup")
