@@ -67,6 +67,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-plan (coalesce/skew-split) the shuffles FEEDING a
+        # persisted subtree: the default (false) pins every cached
+        # plan's exchanges at initialPartitionNum — the operator-internal
+        # persists (minhash signatures, winnow fingerprints, band
+        # buckets) were executing tiny shuffles as 256 scheduled tasks
+        # with no runtime coalescing, and every cache READER inherited
+        # the 256-partition layout. Output-partitioning stability of a
+        # cache is not load-bearing anywhere in this engine (caches feed
+        # differently-keyed joins/aggs), so the re-plan is pure win at
+        # every scale.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         # AQE starts every shuffle at 256 partitions and coalesces the
         # small ones away, so tiny queries stay cheap while a 600M-row
         # shuffle gets sort/hash buffers that fit memory. Measured at
