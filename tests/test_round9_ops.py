@@ -1267,3 +1267,34 @@ def test_parity_sf100_artifact_all_green():
     probe = doc.get("probe", {})
     for key in ("version", "host", "oracle_mem", "stream_timeout_s"):
         assert key in probe, f"PARITY_SF100 probe header missing {key!r}"
+
+
+def test_triangle_driver_and_distributed_agree(spark):
+    """Round-11 optimization: triangle_count lands small edge sets on
+    the driver. Both paths must agree exactly — integer counts AND the
+    rounded clustering double — including on degree ties and nodes with
+    no triangles; the driver path's HALF_UP Decimal(repr) round must
+    reproduce Spark's F.round."""
+    import random
+
+    from xngin_spark.operators.corpus import triangle_count
+    from xngin_spark.operators.util import values_df
+
+    rng = random.Random(17)
+    es = sorted(
+        {
+            (a, b)
+            for _ in range(160)
+            for a, b in [sorted(rng.sample(range(28), 2))]
+        }
+    )
+    edges = values_df(spark, "lo long, hi long", es)
+    a = {
+        tuple(r)
+        for r in triangle_count(edges).collect()
+    }
+    b = {
+        tuple(r)
+        for r in triangle_count(edges, driver_cap=0).collect()
+    }
+    assert a == b

@@ -1591,9 +1591,82 @@ def connected_components_star(
     )
 
 
+#: Edge ceiling for driver-side triangle counting — deliberately far
+#: below CC_DRIVER_CAP: the per-edge neighbor-set intersections cost
+#: O(|E|^1.5) worst case, so the cap bounds the driver loop, not just
+#: the collect.
+TRIANGLE_DRIVER_CAP = 20_000
+
+
+def _driver_triangles(edges_uv: DataFrame, id_col: str) -> DataFrame | None:
+    """Per-node triangle counts + clustering on a SMALL unique-edge set,
+    driver-side (the _driver_components pattern). Triangle counts and
+    degrees are exact integers, so ANY correct enumeration yields the
+    distributed algorithm's numbers; the single float — the clustering
+    coefficient round(2t/(d(d-1)), 8) — replicates Spark's
+    HALF_UP-on-shortest-decimal semantics via Decimal(repr(x)).
+    Returns None when the input violates the unique-edge contract
+    (multiset semantics would need the distributed path's exact wedge
+    multiplication — fall back rather than risk divergence)."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    pdf = edges_uv.toPandas()
+    edges = list(zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()))
+    if len(set(edges)) != len(edges):
+        return None
+    deg: Counter = Counter()
+    nbrs: dict = {}
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+        nbrs.setdefault(u, set()).add(v)
+        nbrs.setdefault(v, set()).add(u)
+    tri: Counter = Counter()
+    for u, v in edges:
+        lo_n, hi_n = (u, v) if len(nbrs[u]) <= len(nbrs[v]) else (v, u)
+        mx = max(u, v)
+        for w in nbrs[lo_n]:
+            # count each triangle once: from its lowest-ordered edge,
+            # closing vertex strictly above both endpoints
+            if w > mx and w in nbrs[hi_n]:
+                tri[u] += 1
+                tri[v] += 1
+                tri[w] += 1
+    rows = []
+    for nid, d in deg.items():
+        t = tri.get(nid, 0)
+        if d >= 2:
+            c = float(
+                Decimal(repr(2.0 * t / (d * (d - 1.0)))).quantize(
+                    Decimal("1e-8"), ROUND_HALF_UP
+                )
+            )
+        else:
+            c = 0.0
+        rows.append((int(nid), int(t), int(d), c))
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_triangles", LongType()),
+            StructField("degree", LongType()),
+            StructField("clustering", DoubleType()),
+        ]
+    )
+    return edges_uv.sparkSession.createDataFrame(rows, schema)
+
+
 def triangle_count(
     edges: DataFrame,
     id_col: str = "doc_id",
+    driver_cap: int = TRIANGLE_DRIVER_CAP,
 ) -> DataFrame:
     """Per-node triangle counting + local clustering coefficient over an
     undirected edge table ``(lo, hi)`` with ``lo < hi`` (one row per
@@ -1621,7 +1694,19 @@ def triangle_count(
     """
     from xngin_spark.operators.dedup import track_checkpoint
 
-    e = edges.select(F.col("lo").cast("long"), F.col("hi").cast("long"))
+    # materialize the (possibly expensive) upstream edge pipeline ONCE:
+    # deg and oriented below each consumed it separately before, so the
+    # winnow self-join behind triangle_dedup_graph executed twice; the
+    # count doubles as the driver-path gate
+    e = (
+        edges.select(F.col("lo").cast("long"), F.col("hi").cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    if e.count() <= driver_cap:
+        out = _driver_triangles(e, id_col)
+        if out is not None:
+            release_checkpoint(e)
+            return out
     # deg/oriented checkpoints are part of the RETURNED plan, so they
     # are registered for the session-wide release_persisted() drain
     # instead of accumulating across a long bench session (ADVICE r9)
@@ -1650,6 +1735,8 @@ def triangle_count(
         )
         .localCheckpoint(eager=True)
     )
+    # deg and oriented are materialized — the edge checkpoint is dead
+    release_checkpoint(e)
     w1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
     w2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
     wedges = w1.join(w2, "src").filter(
