@@ -1298,3 +1298,31 @@ def test_triangle_driver_and_distributed_agree(spark):
         for r in triangle_count(edges, driver_cap=0).collect()
     }
     assert a == b
+
+
+def test_pagerank_driver_and_distributed_agree(spark):
+    """Round-11 optimization: pagerank_fixed lands small graphs on the
+    driver with replicated decimal-exact arithmetic. Both paths must
+    produce bit-identical rank_score doubles — including dangling nodes
+    (no out-edges), isolated nodes, and multi-iteration compounding."""
+    import random
+
+    from xngin_spark.operators.corpus import pagerank_fixed
+    from xngin_spark.operators.util import values_df
+
+    rng = random.Random(23)
+    es = [
+        (a, b)
+        for _ in range(120)
+        for a, b in [rng.sample(range(40), 2)]
+    ]
+    edges = values_df(spark, "src long, dst long", es)
+    nodes = values_df(spark, "doc_id long", [(i,) for i in range(45)])
+    a = sorted(
+        tuple(r) for r in pagerank_fixed(edges, nodes, iters=4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pagerank_fixed(edges, nodes, iters=4, driver_cap=0).collect()
+    )
+    assert a == b

@@ -974,12 +974,76 @@ def _driver_components(edges_uv: DataFrame, nodes, id_col: str) -> DataFrame:
     )
 
 
+#: Edge ceiling for driver-side fixed-iteration PageRank. Deliberately
+#: far below CC_DRIVER_CAP: the driver loop replicates the engine's
+#: decimal-exact arithmetic with Python Decimal (slow per op), so the
+#: cap keeps the loop cheaper than the distributed rounds it replaces —
+#: the near-dup graphs are hundreds of edges, the event-chain graphs
+#: (100k+ edges) stay distributed.
+PAGERANK_DRIVER_CAP = 10_000
+
+
+def _driver_pagerank(
+    edges_uv: DataFrame,
+    node_ids: list,
+    id_col: str,
+    iters: int,
+    damping: float,
+) -> DataFrame:
+    """pagerank_fixed's per-iteration arithmetic on the driver,
+    bit-for-bit: contributions are IEEE double damping*r/outdeg rounded
+    HALF_UP at 8 digits on the shortest-decimal repr (== Spark F.round
+    on DoubleType), summed exactly as decimals (== the DECIMAL(25,9)
+    accumulation — the rounded doubles have <= 8 fractional digits, so
+    the decimal cast is exact), converted back with correct rounding
+    (float(Decimal) == BigDecimal.doubleValue), and the new rank is
+    round(base + dshare + s, 8) in the same double arithmetic. The
+    dangling share replicates the anti-join-of-outdeg aggregate."""
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    def r8(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(Decimal("1e-8"), ROUND_HALF_UP)
+        )
+
+    pdf = edges_uv.toPandas()
+    edges = list(zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()))
+    outdeg: Counter = Counter(u for u, _ in edges)
+    base = 1.0 - damping
+    n_nodes = float(len(node_ids))
+    ranks = {n: 1.0 for n in node_ids}
+    for _ in range(iters):
+        sums: dict = {}
+        for u, v in edges:
+            c = r8(damping * ranks[u] / outdeg[u])
+            sums[v] = sums.get(v, Decimal(0)) + Decimal(repr(c))
+        dmass = Decimal(0)
+        for n, r in ranks.items():
+            if n not in outdeg:
+                dmass += Decimal(repr(r))
+        dshare = r8(damping * float(dmass) / n_nodes)
+        ranks = {
+            n: r8(base + dshare + float(sums.get(n, Decimal(0))))
+            for n in node_ids
+        }
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("rank_score", DoubleType())]
+    )
+    return edges_uv.sparkSession.createDataFrame(
+        [(int(n), ranks[n]) for n in node_ids], schema
+    )
+
+
 def pagerank_fixed(
     edges: DataFrame,
     nodes: DataFrame,
     id_col: str = "doc_id",
     iters: int = 3,
     damping: float = 0.85,
+    driver_cap: int = PAGERANK_DRIVER_CAP,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a (src, dst) edge table — the
     graph-centrality member of the corpus family (which document is
@@ -1014,6 +1078,19 @@ def pagerank_fixed(
     """
     base = 1.0 - damping
     e = edges.localCheckpoint(eager=True)
+    # small graphs run the replicated-arithmetic driver loop (the
+    # _driver_components pattern; see _driver_pagerank for the
+    # bit-exactness argument). Long ids only — the replication relies
+    # on exact int promotion; anything else stays distributed.
+    id_type = dict(nodes.dtypes).get(id_col, "")
+    if id_type in ("bigint", "int") and e.count() <= driver_cap:
+        node_ids = [
+            r[0] for r in nodes.select(id_col).distinct().collect()
+        ]
+        try:
+            return _driver_pagerank(e, node_ids, id_col, iters, damping)
+        finally:
+            release_checkpoint(e)
     outdeg = (
         e.groupBy("src")
         .agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
