@@ -578,3 +578,52 @@ def test_parquet_stream_sink_matches_memory_sink(spark):
         finally:
             os.environ.pop("XNGIN_STREAM_SINK", None)
         assert mem == par, f"{name}: parquet sink diverged from memory sink"
+
+
+# --- batched winnow kernel: boundary masking edges --------------------------
+
+
+def test_winnow_batched_kernel_boundary_edges(spark):
+    """The round-11 winnow kernel hashes ONE concatenation of all docs
+    in an Arrow batch and masks away window positions whose k+w-1-char
+    span crosses a doc boundary. Pin the edges the masking must get
+    right — a doc of exactly k+w-1 chars (one window), adjacent docs
+    whose concatenation seam would mint a fake shared fingerprint if
+    unmasked, repeated-text docs (per-doc distinct), and exact-dup docs
+    (identical fp sets under different ids) — against the all-JVM
+    expression twin, forced through ONE partition so every doc lands in
+    the same batch."""
+    from xngin_spark.operators import dedup as D
+
+    k, w = 12, 4
+    rows = [
+        (10, "a" * (k + w - 1)),  # exactly one window
+        (11, "zzzzzzzzzzzzzzzzzzzz"),  # seam partner 1
+        (12, "aaaaaaaaaaaaaaaaaaaa"),  # seam partner 2 (follows 11)
+        (13, "abcabcabcabc" * 6),  # repeated shingles → distinct fps
+        (14, "the quick brown fox jumps over the lazy dog again"),
+        (15, "the quick brown fox jumps over the lazy dog again"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    got = {(r.id, r.fp) for r in D.winnow_fingerprints(df, k=k, w=w).collect()}
+    want = {
+        (r.id, r.fp)
+        for r in D._winnow_fingerprints_expr(df, k=k, w=w).collect()
+    }
+    assert got == want and len(got) > 0
+    by_id = {}
+    for i, fp in got:
+        by_id.setdefault(i, set()).add(fp)
+    assert by_id[14] == by_id[15]  # exact dups share the full fp set
+    assert len(by_id[10]) == 1  # single-window doc → exactly one fp
+
+    # chunk-cap path: a tiny _chunk_chars forces splits mid-batch (and
+    # makes every doc longer than the cap its own oversized chunk) —
+    # the chunked kernel must produce the identical fp sets
+    chunked = {
+        (r.id, r.fp)
+        for r in D.winnow_fingerprints(
+            df, k=k, w=w, _chunk_chars=25
+        ).collect()
+    }
+    assert chunked == want

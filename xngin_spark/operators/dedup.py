@@ -524,6 +524,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 12,
     w: int = 4,
+    _chunk_chars: int = 1 << 18,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every ``k``-gram with a
@@ -565,29 +566,94 @@ def winnow_fingerprints(
         pv = np.array(pows, dtype=np.int64)
         empty = pd.DataFrame({"id": pd.Series([], dtype="int64"),
                               "fp": pd.Series([], dtype="int64")})
+        # The k-gram matvec goes through BLAS, which copies its strided
+        # sliding_window_view input to a contiguous temporary — ~8·k
+        # bytes per character (~96B/char at k=12). Concatenating an
+        # UNBOUNDED Arrow batch would make that temporary proportional
+        # to the whole batch's text (10k docs x 10KB → ~10GB/task), so
+        # chunks are capped at CHUNK_CHARS: big enough to amortize the
+        # per-call numpy overhead over hundreds of average docs, small
+        # enough that the temporary stays ~25MB — which also kills the
+        # multi-second allocation-stall spikes the unbounded form
+        # showed (interleaved CPU-time A/B, 12 rounds: per-doc 0.411s
+        # median, unbounded 0.147s median with 1.5-3.5s spikes, 256K
+        # chunks 0.122s median, no spikes). A single doc longer than
+        # the cap forms its own chunk — identical peak memory to the
+        # old per-doc form.
+        CHUNK_CHARS = _chunk_chars
+
+        def run(texts, ids_np, lens):
+            # One vectorized pass over the chunk (not per doc):
+            # concatenate the texts, run the rolling hash and window
+            # minima over the concatenation, and mask away positions
+            # whose k+w-1-char span crosses a doc boundary. Same exact
+            # integers as the per-doc form (the hash of a
+            # boundary-crossing window is computed but never selected);
+            # 2.9x median kernel-CPU on the sf0.1 corpus — the per-doc
+            # numpy-call overhead (encode/frombuffer/matvec/unique per
+            # doc) was most of the pass once docs are a few hundred
+            # chars.
+            # utf-32-le == one uint32 code point per character — the
+            # vectorized twin of ascii(substring(text, i, 1))
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype="<u4"
+            ).astype(np.int64)
+            # code < 2^21, power < 2^31, k terms → sums < 2^56: exact
+            # in int64, mod once ≡ Horner-mod-every-step
+            grams_all = (sliding_window_view(codes, k) @ pv) % WINNOW_MOD
+            win_all = sliding_window_view(grams_all, w).min(axis=1)
+            # valid window-min positions for doc d (start s, length L):
+            # s .. s+L-(k+w-1) — m_d = L-min_len+1 of them (>= 1)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            m = lens - min_len + 1
+            doc_idx = np.repeat(np.arange(len(texts)), m)
+            pos = (
+                np.arange(m.sum())
+                - np.repeat(np.cumsum(m) - m, m)
+                + np.repeat(starts, m)
+            )
+            # per-doc distinct via ONE int64 sort: fp < 2^31 (the mod)
+            # and doc_idx < chunk size, so doc_idx<<31 | fp is exact
+            comb = doc_idx << np.int64(31) | win_all[pos]
+            comb = np.sort(comb)
+            keep = np.empty(len(comb), dtype=bool)
+            keep[0] = True
+            keep[1:] = comb[1:] != comb[:-1]
+            comb = comb[keep]
+            return pd.DataFrame(
+                {
+                    "id": ids_np[comb >> np.int64(31)],
+                    "fp": comb & np.int64(WINNOW_MOD),
+                }
+            )
+
         for pdf in batches:
-            ids_out: list = []
-            fps_out: list = []
+            texts: list = []
+            ids: list = []
+            out: list = []
+            chars = 0
             for did, txt in zip(pdf[id_col], pdf[text_col]):
                 if txt is None or len(txt) < min_len:
                     continue
-                # utf-32-le == one uint32 code point per character —
-                # the vectorized twin of ascii(substring(text, i, 1))
-                codes = np.frombuffer(
-                    txt.encode("utf-32-le"), dtype="<u4"
-                ).astype(np.int64)
-                # code < 2^21, power < 2^31, k terms → sums < 2^56:
-                # exact in int64, mod once ≡ Horner-mod-every-step
-                grams = (sliding_window_view(codes, k) @ pv) % WINNOW_MOD
-                fps = np.unique(sliding_window_view(grams, w).min(axis=1))
-                ids_out.append(np.full(len(fps), did, dtype=np.int64))
-                fps_out.append(fps)
-            if ids_out:
-                yield pd.DataFrame(
-                    {"id": np.concatenate(ids_out), "fp": np.concatenate(fps_out)}
-                )
-            else:
-                yield empty
+                if texts and chars + len(txt) > CHUNK_CHARS:
+                    out.append(run(
+                        texts,
+                        np.asarray(ids, dtype=np.int64),
+                        np.fromiter(map(len, texts), count=len(texts),
+                                    dtype=np.int64),
+                    ))
+                    texts, ids, chars = [], [], 0
+                texts.append(txt)
+                ids.append(did)
+                chars += len(txt)
+            if texts:
+                out.append(run(
+                    texts,
+                    np.asarray(ids, dtype=np.int64),
+                    np.fromiter(map(len, texts), count=len(texts),
+                                dtype=np.int64),
+                ))
+            yield pd.concat(out, ignore_index=True) if out else empty
 
     return (
         fan_out(df)
