@@ -1027,6 +1027,12 @@ def events_concurrent_sessions(spark, sf_dir):
             F.max("ts").alias("session_end"),
         )
         .select("user_id", "session_start", "session_end")
+        # sess feeds THREE consumers (both explode sides of the
+        # overlap join + the final left join) and exchange reuse does
+        # not dedupe the session-window agg across them — materialize
+        # the #sessions-sized frame once (measured 20-30% interleaved,
+        # hash-identical output)
+        .localCheckpoint(eager=True)
     )
     overlap = interval_overlap_join(
         sess, sess, start="session_start", end="session_end"
