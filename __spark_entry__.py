@@ -61,17 +61,14 @@ GATE_PRIORITY = [
     # knn_cosine's ANN evidence — the displaced query keeps its local
     # oracle compare in test_tpch_parity.py.
     "bm25_topk",
-    # events_attribution_timedecay replaces embedding_quantize in the
-    # window (round 11): the time-decay attribution model is the
-    # hardest determinism discipline in the standard four-model family
-    # — stepped dyadic half-life weights (integer 4*n7+2*n14+n21+n28
-    # from eight RANGE-frame counts, zero transcendentals) plus
-    # micro-unit-truncated ratio credits, so the gate row re-proves the
-    # no-libm-drift design every run. embedding_quantize was the
-    # embedding family's fourth value-checked row alongside knn_cosine
-    # / knn_l2_pq_checked / embedding_jl_project — the displaced query
-    # keeps its local oracle compare in test_tpch_parity.py.
-    "events_attribution_timedecay",
+    # Round 12 reverts the round-11 gate rotation (commit 380525f, an
+    # inherited partial-round change): embedding_quantize is restored so
+    # the driver's 50-row window is again a superset of the round-10
+    # baseline and `queries_dropped` is empty. The displaced
+    # events_attribution_timedecay keeps its DuckDB oracle, its local
+    # compare in test_tpch_parity.py, its vanilla-session rehearsal and
+    # its bench row — nothing was removed from the engine either way.
+    "embedding_quantize",
     # gopher_quality / dedup_span_extract replace pii_scrub /
     # vocab_topk in the window (round 6): the Gopher rule set is the
     # published quality-filter surface (Rae et al. 2021) and the span
