@@ -101,6 +101,7 @@ def test_scrub_append_rows_pure_append_when_untouched(spark, tmp_path):
 # --- BM25 txn: old five-directory staged layout still rolls forward --------
 
 
+@pytest.mark.slow
 def test_bm25_apply_txn_reads_pre_round10_staged_layout(
     spark, sf_dir, tmp_path
 ):

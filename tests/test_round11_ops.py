@@ -211,6 +211,7 @@ def test_key_shift_cached_per_dataset(spark):
 # --- SQL-side oracle digest == Python digest, whole corpus -------------------
 
 
+@pytest.mark.slow
 def test_sql_digest_matches_python_digest_corpus_wide(oracle_con):
     """The round-11 oracle digest runs INSIDE DuckDB (per-row sha256 +
     limb sums) so sf100 oracles never materialize results. Its verdicts

@@ -370,6 +370,7 @@ class TestStarContraction:
                 edges, nodes, id_col="doc_id", driver_cap=0
             ).collect()
 
+    @pytest.mark.slow
     def test_matches_label_propagation_on_random_graphs(self, spark):
         import random
 

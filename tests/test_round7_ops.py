@@ -331,6 +331,7 @@ def test_perceptual_hash_catches_edits_not_strangers(spark):
     assert not any(3 in p for p in pairs), f"stranger collided: {pairs}"
 
 
+@pytest.mark.slow
 def test_index_update_lifecycle_then_compaction(spark, sf_dir, tmp_path):
     """The long-lived index story end-to-end: repeated CDC updates
     accrete small files; compact_small_files bin-packs them back and
@@ -368,6 +369,7 @@ def test_index_update_lifecycle_then_compaction(spark, sf_dir, tmp_path):
     assert _index_rows(spark, idx) == before_rows
 
 
+@pytest.mark.slow
 def test_streaming_ingest_admit_index_follows_stream(spark, sf_dir, tmp_path):
     """The one-job ingest loop: seed corpus -> stream 3 micro-batches
     through screen+admit+index-update. Copies of SEED docs are
@@ -457,6 +459,7 @@ def test_streaming_ingest_admit_index_follows_stream(spark, sf_dir, tmp_path):
     assert _index_rows(spark, idx) == _index_rows(spark, rebuilt)
 
 
+@pytest.mark.slow
 def test_streaming_vector_ingest_admit(spark, sf_dir, tmp_path):
     """Vector twin of the ingest-admit loop: exact copies of SEED
     vectors are rejected in any batch, copies of batch-0 admissions

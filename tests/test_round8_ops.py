@@ -552,6 +552,7 @@ def test_dphyp_rewrite_falls_back_cleanly(spark, sf_dir):
         assert text == sql and traces == []
 
 
+@pytest.mark.slow
 def test_dphyp_rewrite_result_equal_across_tpch_texts(spark, sf_dir):
     """Every TPC-H oracle text that rewrites must stay result-equal to
     the original — the product-path blanket guarantee."""
@@ -650,6 +651,7 @@ def test_maintain_agg_planted_hot_group_stays_balanced(spark):
 # --- epoch-versioned streaming MV: cold restart across a process ---------
 
 
+@pytest.mark.slow
 def test_streaming_rollup_cold_restart_converges(spark, tmp_path):
     """The exactly-once claim a production deployment leans on, proven
     across a PROCESS boundary: a separate JVM runs the maintenance
@@ -1172,6 +1174,7 @@ def test_bm25_index_update_requires_meta(spark, sf_dir, tmp_path):
         bm25_index_update(d, empty_diff, str(tmp_path / "nothere"))
 
 
+@pytest.mark.slow
 def test_bm25_batch_replay_idempotent(spark, sf_dir, tmp_path):
     """bm25_index_update's exactly-once claim, tested directly:
     re-applying a CDC micro-batch (foreachBatch replay) must leave
@@ -1217,6 +1220,7 @@ def test_bm25_batch_replay_idempotent(spark, sf_dir, tmp_path):
     assert state1 == _bm25_index_rows(spark, full)
 
 
+@pytest.mark.slow
 def test_streaming_bm25_maintain_e2e(spark, sf_dir, tmp_path):
     """The lexical index follows a CDC change STREAM end-to-end: three
     micro-batches of image-carrying rows drive the maintained index to

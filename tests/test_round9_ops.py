@@ -138,6 +138,7 @@ _CRASH_POINTS = [
 @pytest.mark.parametrize(
     "point,when", _CRASH_POINTS, ids=[f"{n}-{w}" for n, w in _CRASH_POINTS]
 )
+@pytest.mark.slow
 def test_bm25_update_replay_converges_after_midbatch_crash(
     spark, sf_dir, tmp_path, monkeypatch, point, when
 ):
@@ -202,6 +203,7 @@ def test_bm25_update_replay_converges_after_midbatch_crash(
     assert _bm25_index_rows(spark, idx) == _bm25_index_rows(spark, full)
 
 
+@pytest.mark.slow
 def test_bm25_update_committed_token_skips_even_with_different_delta(
     spark, sf_dir, tmp_path
 ):
@@ -227,6 +229,7 @@ def test_bm25_update_committed_token_skips_even_with_different_delta(
     assert _bm25_index_rows(spark, idx) == state
 
 
+@pytest.mark.slow
 def test_bm25_update_ignores_stale_foreign_intent(spark, sf_dir, tmp_path):
     """An intent left behind by a DIFFERENT (already committed) batch
     must not be rolled forward — a fresh token recomputes from the live
@@ -280,6 +283,7 @@ def test_bm25_probe_on_drained_index_returns_empty(spark, sf_dir, tmp_path):
 # --- deterministic ---------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_reflect_barrier_registry_is_bounded(spark):
     from xngin_spark.plans import reflect
     from xngin_spark.plans.reflect import _BARRIERS, reflect_checkpoint
@@ -348,6 +352,7 @@ def _parquet_count(path):
     )
 
 
+@pytest.mark.slow
 def test_bm25_churn_file_count_bounded(spark, sf_dir, tmp_path):
     """20 CDC update cycles against a persisted BM25 index: the
     scrub-then-append cycle accretes delta files, auto_compact bin-packs
@@ -411,6 +416,7 @@ def test_bm25_churn_file_count_bounded(spark, sf_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_ivf_churn_per_partition_files_bounded(spark, sf_dir, tmp_path):
     """Same bound for the partitioned IVF index: per-LIST file counts
     stay bounded across 20 update cycles and update == rebuild."""

@@ -260,6 +260,7 @@ def test_run_available_now_timeout_stops_query(spark, events_dir):
         __import__("time").sleep(0.5)
 
 
+@pytest.mark.slow
 def test_incremental_window_counts_sink(spark, events_dir, tmp_path):
     from xngin_spark.streaming.sinks import incremental_window_counts
 

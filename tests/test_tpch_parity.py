@@ -30,10 +30,10 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
         f"cols={sorted(res.spark_cols)} vs oracle rows={res.oracle_rows} "
         f"hash={res.oracle_hash} cols={sorted(res.oracle_cols)}"
     )
-
-
-@pytest.mark.parametrize("name", NAMES)
-def test_query_nonempty(name, spark, sf_dir):
     # A correct-but-empty query usually means a retuned constant missed
-    # the data domain — catch that explicitly.
-    assert Q.QUERIES[name](spark, sf_dir).count() > 0, f"{name} returned 0 rows"
+    # the data domain — catch that explicitly. ``compare`` already
+    # counted the materialized rows, so this costs nothing (the old
+    # separate test_query_nonempty re-EXECUTED all ~200 oracle queries
+    # a second time for a count the compare had in hand — r12 verify-
+    # budget fix).
+    assert res.spark_rows > 0, f"{name} returned 0 rows"
