@@ -157,16 +157,26 @@ def learn(
     (rank, left_sym, right_sym, merged, pair_count) in learn order.
     Deterministic: ties break on (pair_count DESC, left_sym,
     right_sym), and all counts are exact integers."""
-    symtab0 = init_symbols(word_freq_table(docs, text_col))
-    # one corpus pass either way: try to land the word table on the
-    # driver (limit cap+1 detects overflow without a separate count job)
-    probe = symtab0.select("syms", "freq").limit(driver_cap + 1).toPandas()
-    if len(probe) <= driver_cap:
+    # one corpus pass either way: the word table materializes ONCE as a
+    # distributed checkpoint (the distributed loop needed that anyway),
+    # and the cap probe is a column-pruned count over the checkpoint —
+    # never a driver-side collect. The previous limit(cap+1).toPandas()
+    # probe shipped up to cap+1 SYMBOL ARRAYS to the driver even when
+    # the corpus was ABOVE the cap, a ~hundreds-of-MB driver allocation
+    # made just to decide to go distributed (r11 verdict scale risk).
+    symtab0 = init_symbols(word_freq_table(docs, text_col)).localCheckpoint()
+    n_words = symtab0.limit(driver_cap + 1).count()
+    if n_words <= driver_cap:
+        probe = symtab0.select("syms", "freq").toPandas()
         rows = _driver_learn(
             list(zip(probe["syms"].tolist(), probe["freq"].tolist())), merges
         )
     else:
-        rows = _distributed_learn(symtab0, merges)
+        rows = _distributed_learn(symtab0, merges, checkpointed=True)
+    # rows are plain Python now — the checkpoint's blocks are dead
+    from xngin_spark.operators.util import release_checkpoint
+
+    release_checkpoint(symtab0)
     # values_df, not createDataFrame: downstream bench actions over a
     # python local relation each pay a ~4s python->JVM stage
     # (operators/util.values_df); merge lists are small by construction
@@ -180,10 +190,13 @@ def learn(
     )
 
 
-def _distributed_learn(symtab: DataFrame, merges: int) -> list[tuple]:
+def _distributed_learn(
+    symtab: DataFrame, merges: int, checkpointed: bool = False
+) -> list[tuple]:
     """The above-cap merge loop: per round one pair-count shuffle, one
     top-1 collect, one checkpointed JVM fold (unchanged semantics)."""
-    symtab = symtab.localCheckpoint()
+    if not checkpointed:
+        symtab = symtab.localCheckpoint()
     rows: list[tuple] = []
     for rank in range(1, merges + 1):
         top = (
