@@ -335,26 +335,42 @@ def bm25_topk(
     # (doc lengths, corpus stats, df, the probe join) would otherwise
     # each re-scan and re-explode the corpus. At production scale this
     # IS the persisted inverted index — build once, probe per query
-    # batch (measured here: 2.5s -> ~1.4s at sf0.1).
-    tf = pairs.groupBy(id_col, "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    ).localCheckpoint(eager=True)
+    # batch (measured r11: 2.5s -> ~1.4s at sf0.1; re-measured r12:
+    # DROPPING the checkpoint in favor of pure exchange reuse read
+    # SLOWER interleaved, 16 -> 18 jobs — reuse does not dedupe the
+    # duplicated subtrees the way the checkpoint does, so it stays).
+    # The corpus statistics, however, now ride the plan as a broadcast
+    # one-row cross join instead of a driver-blocking .first(): one
+    # fewer serialized driver round-trip, bit-identical values (COUNT/
+    # AVG land in the same doubles whether collected or joined).
+    from xngin_spark.operators.dedup import track_checkpoint
+
+    tf = track_checkpoint(
+        pairs.groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).first()
-    n_docs, avgdl = float(stats["n_docs"]), float(stats["avgdl"])
+        F.count(F.lit(1)).cast("double").alias("__n_docs"),
+        F.avg("dl").alias("__avgdl"),
+    )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    cand = tf.join(
-        F.broadcast(query_terms), tf["tok"] == query_terms["term"]
-    ).join(dfreq, "tok").join(dl, id_col)
-    return _bm25_rank(cand, n_docs, avgdl, k1, b, k, id_col)
+    cand = (
+        tf.join(F.broadcast(query_terms), tf["tok"] == query_terms["term"])
+        .join(dfreq, "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+    )
+    return _bm25_rank(
+        cand, F.col("__n_docs"), F.col("__avgdl"), k1, b, k, id_col
+    )
 
 
 def _bm25_rank(
     cand: DataFrame,
-    n_docs: float,
-    avgdl: float,
+    n_docs,  # float | Column
+    avgdl,  # float | Column
     k1: float,
     b: float,
     k: int,
@@ -363,13 +379,17 @@ def _bm25_rank(
     """THE BM25 scoring tail (per-term Robertson idf, 8-digit round,
     decimal sum, (score desc, id) rank) — defined once so the in-memory
     ranker and the persisted-index probe can never drift. ``cand``
-    carries (qid, id_col, tf, df, dl)."""
-    from pyspark.sql import Window
+    carries (qid, id_col, tf, df, dl). ``n_docs``/``avgdl`` may be
+    Python floats (the persisted-index probe reads them from _meta) or
+    double Columns riding ``cand`` (bm25_topk cross-joins its one-row
+    stats aggregate so the whole ranking is a single job) — the
+    expression tree is identical either way."""
+    from pyspark.sql import Column, Window
 
-    idf = F.log(
-        1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+    nd = n_docs if isinstance(n_docs, Column) else F.lit(float(n_docs))
+    ad = avgdl if isinstance(avgdl, Column) else F.lit(float(avgdl))
+    idf = F.log(1.0 + (nd - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / ad)
     term_score = F.round(idf * F.col("tf") * (k1 + 1.0) / denom, 8)
     scored = (
         cand.select("qid", id_col, term_score.alias("ts"))
@@ -423,20 +443,52 @@ def bm25_index_persist(
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
         .localCheckpoint(eager=True)  # feeds all three index tables
     )
-    tf.write.mode(mode).parquet(f"{path}/postings")
     dl = tf.groupBy(id_col).agg(F.sum("tf").cast("long").alias("dl"))
-    dl.write.mode(mode).parquet(f"{path}/doclen")
-    tf.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("df")
-    ).write.mode(mode).parquet(f"{path}/termstats")
-    stats = dl.agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("sum_dl"),
-    ).first()
+    # The three table writes and the stats aggregate are INDEPENDENT
+    # consumers of the checkpointed postings — submit them from a small
+    # thread pool so the scheduler overlaps their stages (guide §2.6:
+    # actions are only sequential because driver code calls them
+    # sequentially). Serialized depth drops from 5 driver round-trips
+    # after the checkpoint to 1; each job is unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write_postings():
+        tf.write.mode(mode).parquet(f"{path}/postings")
+
+    def _write_doclen():
+        dl.write.mode(mode).parquet(f"{path}/doclen")
+
+    def _write_termstats():
+        tf.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("long").alias("df")
+        ).write.mode(mode).parquet(f"{path}/termstats")
+
+    def _stats():
+        return dl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("sum_dl"),
+        ).first()
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(_write_postings),
+            ex.submit(_write_doclen),
+            ex.submit(_write_termstats),
+        ]
+        stats_fut = ex.submit(_stats)
+        for f in futs:
+            f.result()
+        stats = stats_fut.result()
     _write_bm25_meta(
         df.sparkSession, path, id_col, text_col,
         int(stats["n_docs"]), int(stats["sum_dl"] or 0), mode=mode,
     )
+    # every consumer of the checkpointed postings has materialized —
+    # free the blocks instead of pinning one corpus-sized frame per
+    # index build in a long-lived session
+    from xngin_spark.operators.util import release_checkpoint
+
+    release_checkpoint(tf)
 
 
 def _write_bm25_meta(
@@ -794,7 +846,16 @@ def bm25_index_probe(
     terms = [
         r.term for r in query_terms.select("term").distinct().collect()
     ]
-    meta = spark.read.json(f"{path}/_meta").head()
+    # schema pinned: inference would read the _meta file twice (one
+    # pass to infer, one to load) and cost an extra driver job per probe
+    meta = (
+        spark.read.schema(
+            "id_col string, text_col string, n_docs long, sum_dl long,"
+            " applied_token string"
+        )
+        .json(f"{path}/_meta")
+        .head()
+    )
     id_col = meta["id_col"]
     n_docs = float(meta["n_docs"])
     # a drained corpus (CDC deletes can legitimately empty the index)
