@@ -56,10 +56,16 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (qid, vec_id, cosine, rank).
 
-    Plan shape: corpus posexplode (map-side) ⋈ broadcast exploded
+    Plan shape: ONE corpus posexplode (map-side) ⋈ broadcast exploded
     queries on position → decimal-sum per (qid, id) → window top-k
     partitioned by qid. The only shuffle is on (qid, id) partial dot
-    products; corpus text/embeddings never re-shuffle.
+    products; corpus text/embeddings never re-shuffle. The corpus norm
+    rides the SAME (qid, id) aggregation as the dot product — decimal
+    accumulation is exact and order-independent, so sum(cx²) over a
+    (qid, id) group is bit-identical to the per-id norm a separate pass
+    would compute (r12: this removes the second corpus explode, its
+    groupBy shuffle and the norm re-join that the old two-pass shape
+    paid).
     """
     c = fan_out(corpus).select(
         F.col(id_col).alias("cid"), F.posexplode(vec_col).alias("pos", "cx")
@@ -73,10 +79,14 @@ def cosine_topk(
         .agg(
             F.sum((F.col("qx").cast("double") * F.col("cx").cast("double")).cast(DEC9))
             .cast("double")
-            .alias("dot")
+            .alias("dot"),
+            F.sqrt(
+                F.sum(
+                    (F.col("cx").cast("double") * F.col("cx").cast("double")).cast(DEC9)
+                ).cast("double")
+            ).alias("cnorm"),
         )
     )
-    cn = _norms(corpus, id_col, vec_col).select(F.col("id").alias("cid"), F.col("norm").alias("cnorm"))
     qn = _norms(queries, query_id_col, vec_col).select(
         F.col("id").alias("qid"), F.col("norm").alias("qnorm")
     )
@@ -85,7 +95,6 @@ def cosine_topk(
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("cid"))
     return (
         dots.join(F.broadcast(qn), "qid")
-        .join(cn, "cid")
         .withColumn("cosine", F.col("dot") / (F.col("qnorm") * F.col("cnorm")))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
@@ -360,8 +369,33 @@ def cosine_topk_lsh(
     q = qsig.withColumn("bucket", F.explode_outer(F.array(*probes))).filter(
         F.col("bucket").isNotNull()
     )
+    # qnorm rides the BROADCAST side, evaluated once per (query, probe)
+    # row instead of once per candidate pair — the old per-pair form
+    # re-ran the 64-element fold for the same query against every
+    # candidate (r12; expression unchanged, so cosines are bit-equal).
+    # A full decide-narrow/re-attach restructure (guide §8) was measured
+    # interleaved and REVERTED: with one signature per corpus vector a
+    # (query, candidate) pair matches at most ONE probed bucket, so
+    # there are no duplicate matches to dedup away, and the second
+    # corpus scan + candidate broadcast cost 5 -> 7 jobs and ~10% wall.
     pairs = c.alias("c").join(
-        F.broadcast(q.select(query_id_col, "bucket", F.col(vec_col).alias("qvec"))),
+        F.broadcast(
+            q.select(
+                query_id_col,
+                "bucket",
+                F.col(vec_col).alias("qvec"),
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(
+                            F.col(vec_col),
+                            lambda a: a.cast("double") * a.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ).alias("qnorm"),
+            )
+        ),
         "bucket",
     )
     scored = pairs.withColumn(
@@ -379,13 +413,7 @@ def cosine_topk_lsh(
                     lambda acc, x: acc + x,
                 )
             )
-            * F.sqrt(
-                F.aggregate(
-                    F.transform(F.col("qvec"), lambda a: a.cast("double") * a.cast("double")),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            )
+            * F.col("qnorm")
         ),
     )
     from pyspark.sql import Window
