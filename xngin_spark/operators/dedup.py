@@ -613,7 +613,12 @@ def winnow_fingerprints(
                 + np.repeat(starts, m)
             )
             # per-doc distinct via ONE int64 sort: fp < 2^31 (the mod)
-            # and doc_idx < chunk size, so doc_idx<<31 | fp is exact
+            # and doc_idx < chunk size, so doc_idx<<31 | fp is exact.
+            # The unpack below masks with an explicit all-ones 31-bit
+            # constant; that only extracts fp exactly while fp < 2^31,
+            # i.e. while WINNOW_MOD <= 2^31 — decoupled from the mod
+            # VALUE but pinned to its RANGE (ADVICE r11)
+            assert WINNOW_MOD <= (1 << 31), "packing assumes fp < 2^31"
             comb = doc_idx << np.int64(31) | win_all[pos]
             comb = np.sort(comb)
             keep = np.empty(len(comb), dtype=bool)
@@ -623,7 +628,7 @@ def winnow_fingerprints(
             return pd.DataFrame(
                 {
                     "id": ids_np[comb >> np.int64(31)],
-                    "fp": comb & np.int64(WINNOW_MOD),
+                    "fp": comb & np.int64((1 << 31) - 1),
                 }
             )
 

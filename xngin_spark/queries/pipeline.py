@@ -2658,12 +2658,22 @@ def docs_stream_screen(spark, sf_dir):
     k, bands = 16, 8
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     corpus = d.filter(F.col("doc_id") % 5 != 4)
-    csig = minhash_signatures(corpus, k=k, portable=True).localCheckpoint(
-        eager=True
+    # ONE eager materialization of the static side: cband is a
+    # map-side band/bucket projection of the checkpointed signatures,
+    # so checkpointing it too (the old shape) paid a second blocking
+    # driver action to save a trivial per-batch recompute over a
+    # #corpus-sized frame. Tracked so release_checkpoints() can free
+    # the blocks after the run (r11 ADVICE convention).
+    from xngin_spark.operators.dedup import track_checkpoint
+
+    csig = track_checkpoint(
+        minhash_signatures(corpus, k=k, portable=True).localCheckpoint(
+            eager=True
+        )
     )
     cband = _band_buckets(csig, "doc_id", k, bands).select(
         F.col("doc_id").alias("corpus_id"), "band", "bucket"
-    ).localCheckpoint(eager=True)
+    )
 
     path = os.path.join(sf_dir, "documents.parquet")
     stream = documents_stream(spark, path)
@@ -2784,7 +2794,9 @@ def emb_stream_screen(spark, sf_dir):
         "IF(CAST(element_at(embedding, i) AS DOUBLE) < 0, "
         "shiftleft(1L, i - 1), 0L)), 0L, (a, x) -> a + x)"
     )
-    corpus = (
+    from xngin_spark.operators.dedup import track_checkpoint
+
+    corpus = track_checkpoint(
         emb.filter(F.col("vec_id") % 5 != 4)
         .select(
             F.col("vec_id").alias("corpus_id"),
