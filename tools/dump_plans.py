@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Dump ``explain("formatted")`` for named queries to plans/r11/.
+"""Dump ``explain("formatted")`` for named queries to plans/$XNGIN_PLANS_ROUND/.
 
 Usage:
   python tools/dump_plans.py before q1 dedup_pipeline ...
   python tools/dump_plans.py after q1 ...
 
-Writes plans/r11/<name>_<tag>.txt — the optimization round's plan
+Writes plans/<round>/<name>_<tag>.txt (round = XNGIN_PLANS_ROUND, default
+r12) — the optimization round's plan
 evidence (Exchange count, join strategy, PushedFilters/ReadSchema,
 WholeStageCodegen spans, Python-eval nodes).
 
@@ -32,7 +33,9 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("XNGIN_PLANS_ROUND", "r12")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     from xngin_spark import queries as Q
