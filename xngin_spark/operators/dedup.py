@@ -221,11 +221,18 @@ def _band_buckets(
     k: int,
     bands: int,
     portable: bool = False,
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, band, bucket) rows from a signature table — THE banding
     expression, defined once: minhash_lsh_pairs, minhash_index_persist
     and minhash_screen all band through here, so the persisted index
     can never silently drift from the in-memory pairing path.
+
+    ``keep`` passes extra columns of ``sigs`` through the explode
+    unchanged — a streaming consumer can carry the signature alongside
+    its band rows instead of re-deriving it and joining the stream with
+    itself (a stream-stream join's state for a value each row already
+    had).
 
     explode_outer + post-filter: plain explode lets
     InferFiltersFromGenerate re-run the whole banding transform inside
@@ -234,6 +241,7 @@ def _band_buckets(
     return (
         sigs.select(
             F.col(id_col),
+            *[F.col(c) for c in keep],
             F.explode_outer(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -249,6 +257,7 @@ def _band_buckets(
         .filter(F.col("bb").isNotNull())
         .select(
             id_col,
+            *keep,
             F.col("bb.band").alias("band"),
             F.col("bb.bucket").alias("bucket"),
         )

@@ -2680,18 +2680,23 @@ def docs_stream_screen(spark, sf_dir):
     new = stream.unionAll(stream).filter(
         (F.col("doc_id") < 1000) & (F.col("doc_id") % 5 == 4)
     )
+    # The band rows CARRY the signature (keep=("sig",)) instead of
+    # re-deriving it in a second minhash pass and joining the stream
+    # with itself on new_id. That self-join was a STREAM-STREAM join —
+    # a whole stateful operator (store commits every batch, unbounded
+    # state) spent re-attaching a value every row already had. One
+    # stateful operator (the exactly-once dropDuplicates) remains.
+    # Values are unchanged: est_jaccard is a pure function of
+    # (sig, sig_c), sig is deterministic per doc text, and the pair-key
+    # dropDuplicates collapses delivery/band copies identically in
+    # either shape (r12).
     nsig = minhash_signatures(new, k=k, portable=True)
-    nband = _band_buckets(nsig, "doc_id", k, bands).select(
-        F.col("doc_id").alias("new_id"), "band", "bucket"
-    )
-    cand = nband.join(F.broadcast(cband), on=["band", "bucket"]).select(
-        "new_id", "corpus_id"
+    nband = _band_buckets(nsig, "doc_id", k, bands, keep=("sig",)).select(
+        F.col("doc_id").alias("new_id"), "sig", "band", "bucket"
     )
     est = _sig_agreement(F.col("sig"), F.col("sig_c"), k)
     screened = (
-        cand.join(
-            nsig.select(F.col("doc_id").alias("new_id"), "sig"), "new_id"
-        )
+        nband.join(F.broadcast(cband), on=["band", "bucket"])
         .join(
             F.broadcast(
                 csig.select(
