@@ -328,3 +328,29 @@ def test_incremental_ivf_index_stream(spark, sf_dir, tmp_path):
     # exactly-once by construction, no duplicate rows
     incremental_ivf_index(sdf, cents, idx, str(tmp_path / "ckpt2"))
     assert spark.read.parquet(idx).count() == len(want_assign)
+
+
+def test_stateful_boundary_prunes_columns(spark, events_dir):
+    """The pandas state functions receive ONLY the columns they read:
+    the wide ``props`` JSON string (and, for transitions, ``value``)
+    must never cross the Arrow JVM→Python boundary (r12 §4.1
+    projection). Asserted on the analyzed plan's state-operator child
+    output, which is what gets shipped per batch."""
+    from xngin_spark.streaming.stateful import (
+        stream_attribution,
+        stream_transitions,
+    )
+
+    def boundary_cols(df):
+        child = df._jdf.queryExecution().analyzed().children().head()
+        out = child.output()
+        return {out.apply(i).name() for i in range(out.size())}
+
+    sdf = events_stream(spark, events_dir)
+    assert boundary_cols(stream_transitions(sdf)) == {
+        "user_id", "ts", "event_id", "event_type"
+    }
+    assert boundary_cols(stream_attribution(sdf)) == {
+        "user_id", "ts", "event_id", "event_type", "value"
+    }
+    assert boundary_cols(running_totals(sdf)) == {"user_id", "value"}

@@ -55,12 +55,25 @@ def _update_totals(
     )
 
 
+def _project(sdf: DataFrame, *cols: str) -> DataFrame:
+    """Narrow the stream to the columns the state function actually
+    reads BEFORE the groupBy: Spark cannot see inside a pandas state
+    function, so without this every batch ships the full event row
+    (including the wide ``props`` JSON string) through the Arrow
+    JVM→Python boundary and the state-shuffle — and the parquet scan
+    reads the dropped columns too (guide §4.1: pass only the columns
+    the function needs). Pure column pruning: values and semantics are
+    untouched."""
+    return sdf.select(*cols)
+
+
 def running_totals(sdf: DataFrame) -> DataFrame:
     """Per-user running (count, sum(value)) updated every micro-batch.
 
     Output mode must be ``update``: one refreshed row per user per batch
     in which that user appeared.
     """
+    sdf = _project(sdf, "user_id", "value")
     return sdf.groupBy("user_id").applyInPandasWithState(
         _update_totals,
         outputStructType=RUNNING_TOTALS_SCHEMA,
@@ -120,6 +133,7 @@ def _update_transitions(
 def stream_transitions(sdf: DataFrame) -> DataFrame:
     """(user_id, event_type, next_type) append-mode rows — each
     transition emitted exactly once, state = one string per user."""
+    sdf = _project(sdf, "user_id", "ts", "event_id", "event_type")
     return sdf.groupBy("user_id").applyInPandasWithState(
         _update_transitions,
         outputStructType=TRANSITIONS_SCHEMA,
@@ -249,6 +263,7 @@ def stream_pattern_match(sdf: DataFrame, pattern: str | None = None) -> DataFram
                 }
             )
 
+    sdf = _project(sdf, "user_id", "ts", "event_id", "event_type")
     return sdf.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=PATTERN_SCHEMA,
@@ -357,6 +372,7 @@ def stream_attribution(sdf: DataFrame) -> DataFrame:
     """(user_id, touch_type, value) — one append-mode row per purchase,
     credited to the carried last touch. Aggregate the sink with the
     dsum discipline to reproduce the batch attribution report."""
+    sdf = _project(sdf, "user_id", "ts", "event_id", "event_type", "value")
     return sdf.groupBy("user_id").applyInPandasWithState(
         _update_attribution,
         outputStructType=ATTRIBUTION_SCHEMA,
@@ -488,6 +504,7 @@ def stream_attribution_linear(sdf: DataFrame) -> DataFrame:
     append mode. Aggregate the sink with the micro-unit truncation
     discipline (queries/windows._credit_musum) to reproduce the batch
     linear-attribution report."""
+    sdf = _project(sdf, "user_id", "ts", "event_id", "event_type", "value")
     return sdf.groupBy("user_id").applyInPandasWithState(
         _update_attribution_linear,
         outputStructType=LINEAR_ATTRIBUTION_SCHEMA,
@@ -607,6 +624,7 @@ def stream_attribution_ushaped(sdf: DataFrame) -> DataFrame:
     """(user_id, touch_type, credit) — per-purchase half-credits in
     append mode; aggregate with the dsum discipline to reproduce the
     batch u-shaped report."""
+    sdf = _project(sdf, "user_id", "ts", "event_id", "event_type", "value")
     return sdf.groupBy("user_id").applyInPandasWithState(
         _update_attribution_ushaped,
         outputStructType=LINEAR_ATTRIBUTION_SCHEMA,
@@ -728,6 +746,7 @@ def stream_attribution_timedecay(sdf: DataFrame) -> DataFrame:
     """(user_id, touch_type, credit) — per-purchase stepped-decay
     credits in append mode; aggregate with the micro-unit truncation
     discipline to reproduce the batch time-decay report."""
+    sdf = _project(sdf, "user_id", "ts", "event_id", "event_type", "value")
     return sdf.groupBy("user_id").applyInPandasWithState(
         _update_attribution_timedecay,
         outputStructType=LINEAR_ATTRIBUTION_SCHEMA,
