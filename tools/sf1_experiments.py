@@ -200,6 +200,7 @@ def setsim_persist(spark, sf_dir, threshold=0.9):
 def main() -> None:
     sf_dir = sys.argv[1]
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    only = set(sys.argv[3:])
     from xngin_spark import queries as Q
     from xngin_spark.operators.dedup import (
         release_checkpoints,
@@ -212,22 +213,6 @@ def main() -> None:
     Q.load_all()
     spark = get_spark("xngin_sf1_exp")
     sc = spark.sparkContext
-
-    # equality proof once per experiment (sorted collected rows)
-    cur_cc = sorted(
-        map(tuple, Q.QUERIES["constraint_check"](spark, sf_dir).collect())
-    )
-    melt_cc = sorted(map(tuple, melt_constraint_check(spark, sf_dir).collect()))
-    assert cur_cc == melt_cc, "melt variant diverges!"
-    print(f"constraint_check equality OK ({len(cur_cc)} rows)", flush=True)
-
-    cur_ss = setsim_prefix_join(
-        T(spark, sf_dir, "documents"), threshold=0.9
-    ).count()
-    per_ss = setsim_persist(spark, sf_dir).count()
-    release_persisted()
-    assert cur_ss == per_ss, f"setsim variants differ: {cur_ss} vs {per_ss}"
-    print(f"setsim equality OK ({cur_ss} pairs)", flush=True)
 
     experiments = {
         "constraint_check": (
@@ -243,10 +228,30 @@ def main() -> None:
             ("current", "persist"),
         ),
     }
+    if only:
+        experiments = {k: v for k, v in experiments.items() if k in only}
+
+    # equality proof for the melt rewrite (it restructures the PLAN, so
+    # prove values). The setsim persist variant differs ONLY in
+    # StorageLevel materialization — persist cannot change row values —
+    # and the r11 round proved the two variants row-equal at sf0.1; a
+    # full-corpus equality re-proof at sf1 costs ~30 min of pure count
+    # and is skipped.
+    if "constraint_check" in experiments:
+        cur_cc = sorted(
+            map(tuple, Q.QUERIES["constraint_check"](spark, sf_dir).collect())
+        )
+        melt_cc = sorted(
+            map(tuple, melt_constraint_check(spark, sf_dir).collect())
+        )
+        assert cur_cc == melt_cc, "melt variant diverges!"
+        print(f"constraint_check equality OK ({len(cur_cc)} rows)", flush=True)
+
     results = {}
     for name, (cur, var, tags) in experiments.items():
+        exp_rounds = rounds if name == "constraint_check" else min(rounds, 2)
         rows = []
-        for rnd in range(rounds + 1):
+        for rnd in range(exp_rounds + 1):
             rec = {}
             for tag, builder in zip(tags, (cur, var)):
                 sc.setJobDescription(f"sf1:{name}:{tag}:r{rnd}")
